@@ -3,8 +3,10 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+The queries live in ``duckdb_wasm_spark.plans`` / ``.operators``; this
+module only aggregates their registries.
 """
 
 from __future__ import annotations
@@ -15,24 +17,43 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (adapted TPC-H q1) on /root/testdata/sf0.001."""
+    from duckdb_wasm_spark.plans import tpch
+
+    return tpch.QUERIES["q1"](spark, "/root/testdata/sf0.001")
+
+
+def _registries():
+    from duckdb_wasm_spark.plans import tpch
+
+    modules = [tpch]
+    try:
+        from duckdb_wasm_spark.plans import micro, extras
+
+        modules += [micro, extras]
+    except ImportError:
+        pass
+    try:
+        from duckdb_wasm_spark.operators import registry as ops
+
+        modules.append(ops)
+    except ImportError:
+        pass
+    return modules
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for m in _registries():
+        out.update(m.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL equivalent for each query (omitted for
+    non-SQL-expressible ops → driver records a rows-only check)."""
+    out: dict[str, str] = {}
+    for m in _registries():
+        out.update(m.ORACLE)
+    return out

@@ -1,0 +1,1160 @@
+"""Adapted TPC-H q1–q22 over the driver's star schema (TESTDATA.md).
+
+The reference workload is packages/benchmarks/scripts/tpch/1.sql–22.sql
+(duckdb-wasm reference; see SURVEY.md §2). The driver's tables omit
+`partsupp` and several columns (l_shipmode/commitdate/receiptdate,
+o_comment/shippriority, c_address/phone, p_container/mfgr), so each query is
+adapted to the available columns **while preserving its operator class**:
+
+  q1  full agg + group             q12 CASE-sum over join
+  q2  correlated scalar MIN        q13 LEFT OUTER + count + re-group
+  q3  3-way join + topk            q14 conditional agg ratio
+  q4  EXISTS semi-join             q15 view + uncorrelated scalar MAX
+  q5  6-way join                   q16 count(distinct) + NOT IN subq
+  q6  scan-filter-agg              q17 correlated scalar AVG
+  q7  self-aliased dims + year()   q18 IN (agg-HAVING subquery) + topk
+  q8  CASE market share            q19 OR-of-AND blocks
+  q9  like + multi-join profit     q20 nested IN subqueries
+  q10 7-key group + topk           q21 EXISTS + NOT EXISTS self-joins
+  q11 HAVING w/ scalar subquery    q22 substring + NOT EXISTS + avg subq
+
+Spark-first notes (100 TB framing):
+  - Joins are declared with equi-conditions; Catalyst/AQE picks broadcast
+    for region/nation/part/supplier dims (autoBroadcastJoinThreshold) and
+    sort-merge for fact-fact; explicit F.broadcast on always-tiny dims.
+  - Aggregations are partial+final hash aggregates automatically.
+  - Correlated subqueries are expressed as group-agg + equi-join (exactly
+    Catalyst's own decorrelation), so no per-row subquery execution.
+  - Every ORDER BY under a LIMIT ends in a unique key so top-k is total —
+    two engines must select the same rows.
+
+Determinism: see plans/_util.py (decimal accumulation policy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_wasm_spark.tables import load_table, load_tables
+from duckdb_wasm_spark.plans._util import (
+    charge,
+    davg,
+    dec,
+    dsum,
+    revenue,
+    sql_davg,
+    sql_dec,
+    sql_dsum,
+    SQL_CHARGE,
+    SQL_REV,
+    ts,
+)
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name):
+    def reg(fn):
+        QUERIES[name] = fn
+        return fn
+
+    return reg
+
+
+# --------------------------------------------------------------------- q1
+@_q("q1")
+def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary report (tpch/1.sql). Scan→filter→8-agg group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= ts("2000-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(dec("l_quantity")).alias("sum_qty"),
+            dsum(dec("l_extendedprice")).alias("sum_base_price"),
+            dsum(revenue()).alias("sum_disc_price"),
+            dsum(charge()).alias("sum_charge"),
+            davg(dec("l_quantity")).alias("avg_qty"),
+            davg(dec("l_extendedprice")).alias("avg_price"),
+            davg(dec("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE["q1"] = f"""
+select
+    l_returnflag,
+    l_linestatus,
+    {sql_dsum(sql_dec('l_quantity'))} as sum_qty,
+    {sql_dsum(sql_dec('l_extendedprice'))} as sum_base_price,
+    {sql_dsum(SQL_REV)} as sum_disc_price,
+    {sql_dsum(SQL_CHARGE)} as sum_charge,
+    {sql_davg(sql_dec('l_quantity'))} as avg_qty,
+    {sql_davg(sql_dec('l_extendedprice'))} as avg_price,
+    {sql_davg(sql_dec('l_discount'))} as avg_disc,
+    count(*) as count_order
+from lineitem
+where l_shipdate <= timestamp '2000-09-02'
+group by l_returnflag, l_linestatus
+order by l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------- q2
+@_q("q2")
+def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier (tpch/2.sql). partsupp is absent, so supply
+    cost := l_extendedprice / l_quantity observed in lineitem; the
+    correlated scalar MIN subquery becomes a grouped MIN + equi-join
+    (Catalyst's decorrelation, stated explicitly)."""
+    t = load_tables(
+        spark, sf_dir, "part", "supplier", "lineitem", "nation", "region"
+    )
+    europe_supp = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t["region"].where(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    supply = t["lineitem"].withColumn(
+        "supplycost", F.col("l_extendedprice") / F.col("l_quantity")
+    ).join(europe_supp, F.col("l_suppkey") == F.col("s_suppkey"))
+    min_cost = supply.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(
+        F.min("supplycost").alias("min_cost")
+    )
+    part = t["part"].where(
+        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
+    )
+    return (
+        supply.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            min_cost,
+            (F.col("l_partkey") == F.col("mc_partkey"))
+            & (F.col("supplycost") == F.col("min_cost")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .distinct()
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+ORACLE["q2"] = """
+select distinct s_acctbal, s_name, n_name, p_partkey, p_name
+from part, supplier, lineitem, nation, region
+where p_partkey = l_partkey
+  and s_suppkey = l_suppkey
+  and p_size = 15
+  and p_type = 'LARGE'
+  and s_nationkey = n_nationkey
+  and n_regionkey = r_regionkey
+  and r_name = 'EUROPE'
+  and l_extendedprice / l_quantity = (
+      select min(l2.l_extendedprice / l2.l_quantity)
+      from lineitem l2, supplier s2, nation n2, region r2
+      where l2.l_partkey = p_partkey
+        and l2.l_suppkey = s2.s_suppkey
+        and s2.s_nationkey = n2.n_nationkey
+        and n2.n_regionkey = r2.r_regionkey
+        and r2.r_name = 'EUROPE')
+order by s_acctbal desc, n_name, s_name, p_partkey
+limit 100
+"""
+
+
+# --------------------------------------------------------------------- q3
+@_q("q3")
+def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping priority (tpch/3.sql); o_shippriority column absent →
+    dropped from projection. Top-10 made total by l_orderkey tiebreak."""
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    return (
+        t["customer"]
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .join(
+            t["orders"].where(F.col("o_orderdate") < ts("1998-03-15")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            t["lineitem"].where(F.col("l_shipdate") > ts("1998-03-15")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"))
+        .agg(dsum(revenue()).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+ORACLE["q3"] = f"""
+select
+    l_orderkey,
+    cast(o_orderdate as date) as o_orderdate,
+    {sql_dsum(SQL_REV)} as revenue
+from customer, orders, lineitem
+where c_mktsegment = 'BUILDING'
+  and c_custkey = o_custkey
+  and l_orderkey = o_orderkey
+  and o_orderdate < timestamp '1998-03-15'
+  and l_shipdate > timestamp '1998-03-15'
+group by l_orderkey, cast(o_orderdate as date)
+order by revenue desc, o_orderdate, l_orderkey
+limit 10
+"""
+
+
+# --------------------------------------------------------------------- q4
+@_q("q4")
+def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order priority checking (tpch/4.sql). l_commitdate/receiptdate are
+    absent → the EXISTS predicate becomes l_shipdate > o_orderdate (a late
+    shipment). Correlated EXISTS → left-semi join."""
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    orders = t["orders"].where(
+        (F.col("o_orderdate") >= ts("1996-07-01"))
+        & (F.col("o_orderdate") < ts("1996-10-01"))
+    )
+    return (
+        orders.join(
+            t["lineitem"],
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE["q4"] = """
+select o_orderpriority, count(*) as order_count
+from orders
+where o_orderdate >= timestamp '1996-07-01'
+  and o_orderdate < timestamp '1996-10-01'
+  and exists (
+      select * from lineitem
+      where l_orderkey = o_orderkey and l_shipdate > o_orderdate)
+group by o_orderpriority
+order by o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------- q5
+@_q("q5")
+def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local supplier volume (tpch/5.sql), full 6-way join."""
+    t = load_tables(
+        spark,
+        sf_dir,
+        "customer",
+        "orders",
+        "lineitem",
+        "supplier",
+        "nation",
+        "region",
+    )
+    return (
+        t["customer"]
+        .join(
+            t["orders"].where(
+                (F.col("o_orderdate") >= ts("1996-01-01"))
+                & (F.col("o_orderdate") < ts("1997-01-01"))
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            t["supplier"],
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t["region"].where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(dsum(revenue()).alias("revenue"))
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+ORACLE["q5"] = f"""
+select n_name, {sql_dsum(SQL_REV)} as revenue
+from customer, orders, lineitem, supplier, nation, region
+where c_custkey = o_custkey
+  and l_orderkey = o_orderkey
+  and l_suppkey = s_suppkey
+  and c_nationkey = s_nationkey
+  and s_nationkey = n_nationkey
+  and n_regionkey = r_regionkey
+  and r_name = 'ASIA'
+  and o_orderdate >= timestamp '1996-01-01'
+  and o_orderdate < timestamp '1997-01-01'
+group by n_name
+order by revenue desc
+"""
+
+
+# --------------------------------------------------------------------- q6
+@_q("q6")
+def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting revenue change (tpch/6.sql): scan→filter→global agg.
+    All predicates push to the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= ts("1996-01-01"))
+            & (F.col("l_shipdate") < ts("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(dec("l_extendedprice") * dec("l_discount")).alias("revenue"))
+    )
+
+
+ORACLE["q6"] = f"""
+select {sql_dsum(sql_dec('l_extendedprice') + ' * ' + sql_dec('l_discount'))} as revenue
+from lineitem
+where l_shipdate >= timestamp '1996-01-01'
+  and l_shipdate < timestamp '1997-01-01'
+  and l_discount >= 0.05 and l_discount <= 0.07
+  and l_quantity < 24
+"""
+
+
+# --------------------------------------------------------------------- q7
+@_q("q7")
+def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume shipping (tpch/7.sql): nation dim joined twice under two
+    aliases, cross-pair OR predicate, extract(year)."""
+    t = load_tables(
+        spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation"
+    )
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        t["supplier"]
+        .join(t["lineitem"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(
+            pair
+            & (F.col("l_shipdate") >= ts("1996-01-01"))
+            & (F.col("l_shipdate") <= ts("1997-12-31"))
+        )
+        .withColumn("l_year", F.year("l_shipdate").cast("long"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum(revenue()).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+ORACLE["q7"] = f"""
+select supp_nation, cust_nation, l_year, {sql_dsum('volume')} as revenue
+from (
+    select
+        n1.n_name as supp_nation,
+        n2.n_name as cust_nation,
+        extract(year from l_shipdate) as l_year,
+        {SQL_REV} as volume
+    from supplier, lineitem, orders, customer, nation n1, nation n2
+    where s_suppkey = l_suppkey
+      and o_orderkey = l_orderkey
+      and c_custkey = o_custkey
+      and s_nationkey = n1.n_nationkey
+      and c_nationkey = n2.n_nationkey
+      and ((n1.n_name = 'NATION_1' and n2.n_name = 'NATION_2')
+        or (n1.n_name = 'NATION_2' and n2.n_name = 'NATION_1'))
+      and l_shipdate >= timestamp '1996-01-01'
+      and l_shipdate <= timestamp '1997-12-31'
+) shipping
+group by supp_nation, cust_nation, l_year
+order by supp_nation, cust_nation, l_year
+"""
+
+
+# --------------------------------------------------------------------- q8
+@_q("q8")
+def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (tpch/8.sql): CASE-conditional aggregate
+    ratio. Share of NATION_3 suppliers in AMERICA-region customers' ECONOMY
+    part volume."""
+    t = load_tables(
+        spark,
+        sf_dir,
+        "part",
+        "supplier",
+        "lineitem",
+        "orders",
+        "customer",
+        "nation",
+        "region",
+    )
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = revenue().cast("decimal(18,4)")
+    return (
+        t["part"]
+        .where(F.col("p_type") == "ECONOMY")
+        .join(t["lineitem"], F.col("p_partkey") == F.col("l_partkey"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(
+            t["orders"].where(
+                (F.col("o_orderdate") >= ts("1996-01-01"))
+                & (F.col("o_orderdate") <= ts("1997-12-31"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cn_key"))
+        .join(
+            F.broadcast(
+                t["region"].where(F.col("r_name") == "AMERICA")
+            ),
+            F.col("cn_region") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_key"))
+        .withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", vol)
+                ).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+ORACLE["q8"] = f"""
+select
+    o_year,
+    cast(sum(case when supp_nation = 'NATION_3' then volume end) as double)
+      / cast(sum(volume) as double) as mkt_share
+from (
+    select
+        extract(year from o_orderdate) as o_year,
+        cast({SQL_REV} as decimal(18,4)) as volume,
+        n2.n_name as supp_nation
+    from part, supplier, lineitem, orders, customer, nation n1, nation n2,
+         region
+    where p_partkey = l_partkey
+      and s_suppkey = l_suppkey
+      and l_orderkey = o_orderkey
+      and o_custkey = c_custkey
+      and c_nationkey = n1.n_nationkey
+      and n1.n_regionkey = r_regionkey
+      and r_name = 'AMERICA'
+      and s_nationkey = n2.n_nationkey
+      and o_orderdate >= timestamp '1996-01-01'
+      and o_orderdate <= timestamp '1997-12-31'
+      and p_type = 'ECONOMY'
+) all_nations
+group by o_year
+order by o_year
+"""
+
+
+# --------------------------------------------------------------------- q9
+@_q("q9")
+def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product type profit (tpch/9.sql); without partsupp the
+    ps_supplycost term is dropped, profit := revenue."""
+    t = load_tables(
+        spark, sf_dir, "part", "supplier", "lineitem", "orders", "nation"
+    )
+    return (
+        t["part"]
+        .where(F.col("p_name").like("%rod%"))
+        .join(t["lineitem"], F.col("p_partkey") == F.col("l_partkey"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            revenue().alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(dsum(F.col("amount")).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+ORACLE["q9"] = f"""
+select nation, o_year, {sql_dsum('amount')} as sum_profit
+from (
+    select
+        n_name as nation,
+        extract(year from o_orderdate) as o_year,
+        {SQL_REV} as amount
+    from part, supplier, lineitem, orders, nation
+    where s_suppkey = l_suppkey
+      and p_partkey = l_partkey
+      and o_orderkey = l_orderkey
+      and s_nationkey = n_nationkey
+      and p_name like '%rod%'
+) profit
+group by nation, o_year
+order by nation, o_year desc
+"""
+
+
+# --------------------------------------------------------------------- q10
+@_q("q10")
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned item reporting (tpch/10.sql); address/phone/comment columns
+    absent → dropped. Top-20 total by c_custkey tiebreak."""
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    return (
+        t["customer"]
+        .join(
+            t["orders"].where(
+                (F.col("o_orderdate") >= ts("1997-01-01"))
+                & (F.col("o_orderdate") < ts("1997-04-01"))
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            t["lineitem"].where(F.col("l_returnflag") == "R"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(revenue()).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+ORACLE["q10"] = f"""
+select c_custkey, c_name, c_acctbal, n_name, {sql_dsum(SQL_REV)} as revenue
+from customer, orders, lineitem, nation
+where c_custkey = o_custkey
+  and l_orderkey = o_orderkey
+  and o_orderdate >= timestamp '1997-01-01'
+  and o_orderdate < timestamp '1997-04-01'
+  and l_returnflag = 'R'
+  and c_nationkey = n_nationkey
+group by c_custkey, c_name, c_acctbal, n_name
+order by revenue desc, c_custkey
+limit 20
+"""
+
+
+# --------------------------------------------------------------------- q11
+@_q("q11")
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important stock identification (tpch/11.sql). partsupp absent →
+    value := supplier account balances per nation; HAVING compares against
+    a scalar subquery over the whole table (same operator class)."""
+    t = load_tables(spark, sf_dir, "supplier", "nation")
+    total = (
+        t["supplier"]
+        .agg(dsum(dec("s_acctbal")).alias("total_value"))
+        .withColumn("threshold", F.col("total_value") * F.lit(0.05))
+        .select("threshold")
+    )
+    return (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(dsum(dec("s_acctbal")).alias("value"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("value") > F.col("threshold"))
+        .select("n_name", "value")
+        .orderBy(F.col("value").desc(), "n_name")
+    )
+
+
+ORACLE["q11"] = f"""
+select n_name, {sql_dsum(sql_dec('s_acctbal'))} as value
+from supplier, nation
+where s_nationkey = n_nationkey
+group by n_name
+having {sql_dsum(sql_dec('s_acctbal'))} >
+       (select {sql_dsum(sql_dec('s_acctbal'))} * 0.05 from supplier)
+order by value desc, n_name
+"""
+
+
+# --------------------------------------------------------------------- q12
+@_q("q12")
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping modes / order priority (tpch/12.sql). l_shipmode absent →
+    group by l_returnflag; the CASE-on-priority aggregate is preserved."""
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["orders"]
+        .join(
+            t["lineitem"].where(
+                (F.col("l_shipdate") >= ts("1997-01-01"))
+                & (F.col("l_shipdate") < ts("1998-01-01"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# DuckDB sum(int) yields HUGEINT → cast to bigint to match Spark's long.
+ORACLE["q12"] = """
+select
+    l_returnflag,
+    cast(sum(case when o_orderpriority in ('1-URGENT', '2-HIGH')
+             then 1 else 0 end) as bigint) as high_line_count,
+    cast(sum(case when o_orderpriority not in ('1-URGENT', '2-HIGH')
+             then 1 else 0 end) as bigint) as low_line_count
+from orders, lineitem
+where o_orderkey = l_orderkey
+  and l_shipdate >= timestamp '1997-01-01'
+  and l_shipdate < timestamp '1998-01-01'
+group by l_returnflag
+order by l_returnflag
+"""
+
+
+# --------------------------------------------------------------------- q13
+@_q("q13")
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer distribution (tpch/13.sql): LEFT OUTER with an extra join
+    predicate, then re-aggregation of counts. o_comment filter → priority."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        t["customer"]
+        .join(
+            t["orders"].where(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+ORACLE["q13"] = """
+select c_count, count(*) as custdist
+from (
+    select c_custkey, count(o_orderkey) as c_count
+    from customer left outer join orders
+      on c_custkey = o_custkey and o_orderpriority <> '1-URGENT'
+    group by c_custkey
+) c_orders
+group by c_count
+order by custdist desc, c_count desc
+"""
+
+
+# --------------------------------------------------------------------- q14
+@_q("q14")
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion effect (tpch/14.sql): conditional aggregate ratio."""
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    rev = revenue()
+    return (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= ts("1997-09-01"))
+            & (F.col("l_shipdate") < ts("1997-10-01"))
+        )
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type").like("PROMO%"), rev)).cast(
+                    "double"
+                )
+                / F.sum(rev).cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+ORACLE["q14"] = f"""
+select
+    100.0 * cast(sum(case when p_type like 'PROMO%'
+                          then {SQL_REV} end) as double)
+          / cast(sum({SQL_REV}) as double) as promo_revenue
+from lineitem, part
+where l_partkey = p_partkey
+  and l_shipdate >= timestamp '1997-09-01'
+  and l_shipdate < timestamp '1997-10-01'
+"""
+
+
+# --------------------------------------------------------------------- q15
+@_q("q15")
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier (tpch/15.sql): revenue view + uncorrelated scalar MAX.
+    MAX over identical doubles is order-independent → exact equality join
+    is safe."""
+    t = load_tables(spark, sf_dir, "supplier", "lineitem")
+    rev = (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= ts("1996-01-01"))
+            & (F.col("l_shipdate") < ts("1996-04-01"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(revenue()).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        t["supplier"]
+        .join(rev, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(
+            F.broadcast(mx),
+            F.col("total_revenue") == F.col("max_revenue"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE["q15"] = f"""
+with revenue as (
+    select l_suppkey as supplier_no, {sql_dsum(SQL_REV)} as total_revenue
+    from lineitem
+    where l_shipdate >= timestamp '1996-01-01'
+      and l_shipdate < timestamp '1996-04-01'
+    group by l_suppkey
+)
+select s_suppkey, s_name, total_revenue
+from supplier, revenue
+where s_suppkey = supplier_no
+  and total_revenue = (select max(total_revenue) from revenue)
+order by s_suppkey
+"""
+
+
+# --------------------------------------------------------------------- q16
+@_q("q16")
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts/supplier relationship (tpch/16.sql). partsupp absent → the
+    part↔supplier association is observed through lineitem. Preserves
+    count(distinct), NOT IN (subquery), IN (value list), NOT LIKE."""
+    t = load_tables(spark, sf_dir, "lineitem", "part", "supplier")
+    bad_supp = t["supplier"].where(F.col("s_name").like("%7")).select(
+        F.col("s_suppkey").alias("bad_key")
+    )
+    part = t["part"].where(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").like("MEDIUM%"))
+        & (F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+    )
+    return (
+        t["lineitem"]
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == F.col("bad_key"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+ORACLE["q16"] = """
+select p_brand, p_type, p_size, count(distinct l_suppkey) as supplier_cnt
+from lineitem, part
+where p_partkey = l_partkey
+  and p_brand <> 'Brand#1'
+  and p_type not like 'MEDIUM%'
+  and p_size in (1, 5, 10, 15, 20, 25, 30, 35)
+  and l_suppkey not in (
+      select s_suppkey from supplier where s_name like '%7')
+group by p_brand, p_type, p_size
+order by supplier_cnt desc, p_brand, p_type, p_size
+"""
+
+
+# --------------------------------------------------------------------- q17
+@_q("q17")
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (tpch/17.sql): correlated scalar AVG
+    subquery → per-part grouped avg + equi-join. The avg is decimal-sum /
+    count so the 0.2·avg threshold is bit-identical across engines."""
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    thresh = (
+        t["lineitem"]
+        .groupBy(F.col("l_partkey").alias("t_partkey"))
+        .agg(
+            (F.lit(0.2) * (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))))
+            .alias("qty_threshold")
+        )
+    )
+    part = t["part"].where(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "SMALL")
+    )
+    return (
+        t["lineitem"]
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(thresh, F.col("l_partkey") == F.col("t_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            (F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+ORACLE["q17"] = f"""
+select cast(sum(cast(l_extendedprice as decimal(15,2))) as double) / 7.0
+       as avg_yearly
+from lineitem, part
+where p_partkey = l_partkey
+  and p_brand = 'Brand#3'
+  and p_type = 'SMALL'
+  and l_quantity < (
+      select 0.2 * ({sql_davg(sql_dec('l_quantity'))})
+      from lineitem l2
+      where l2.l_partkey = p_partkey)
+"""
+
+
+# --------------------------------------------------------------------- q18
+@_q("q18")
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large volume customer (tpch/18.sql): IN over an agg-HAVING subquery
+    + top-100. o_totalprice ties broken by o_orderkey."""
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (
+        t["lineitem"]
+        .groupBy(F.col("l_orderkey").alias("big_orderkey"))
+        .agg(F.sum(dec("l_quantity")).alias("qty"))
+        .where(F.col("qty").cast("double") > 300.0)
+        .select("big_orderkey")
+    )
+    return (
+        t["orders"]
+        .join(big, F.col("o_orderkey") == F.col("big_orderkey"), "left_semi")
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_totalprice",
+        )
+        .agg(dsum(dec("l_quantity")).alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+ORACLE["q18"] = f"""
+select
+    c_name, c_custkey, o_orderkey,
+    cast(o_orderdate as date) as o_orderdate,
+    o_totalprice,
+    {sql_dsum(sql_dec('l_quantity'))} as sum_qty
+from customer, orders, lineitem
+where o_orderkey in (
+      select l_orderkey from lineitem
+      group by l_orderkey
+      having cast(sum(cast(l_quantity as decimal(15,2))) as double) > 300.0)
+  and c_custkey = o_custkey
+  and o_orderkey = l_orderkey
+group by c_name, c_custkey, o_orderkey, cast(o_orderdate as date),
+         o_totalprice
+order by o_totalprice desc, o_orderkey
+limit 100
+"""
+
+
+# --------------------------------------------------------------------- q19
+@_q("q19")
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue (tpch/19.sql): 3-way OR of conjunction blocks.
+    p_container/l_shipmode absent → blocks use brand/size/quantity."""
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    b1 = (
+        (F.col("p_brand") == "Brand#1")
+        & (F.col("p_size").between(1, 5))
+        & (F.col("l_quantity") >= 1)
+        & (F.col("l_quantity") <= 11)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#2")
+        & (F.col("p_size").between(1, 10))
+        & (F.col("l_quantity") >= 10)
+        & (F.col("l_quantity") <= 20)
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#3")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity") >= 20)
+        & (F.col("l_quantity") <= 30)
+    )
+    return (
+        t["lineitem"]
+        .join(t["part"], F.col("p_partkey") == F.col("l_partkey"))
+        .where(b1 | b2 | b3)
+        .agg(dsum(revenue()).alias("revenue"))
+    )
+
+
+ORACLE["q19"] = f"""
+select {sql_dsum(SQL_REV)} as revenue
+from lineitem, part
+where p_partkey = l_partkey
+  and ((p_brand = 'Brand#1' and p_size between 1 and 5
+        and l_quantity >= 1 and l_quantity <= 11)
+    or (p_brand = 'Brand#2' and p_size between 1 and 10
+        and l_quantity >= 10 and l_quantity <= 20)
+    or (p_brand = 'Brand#3' and p_size between 1 and 15
+        and l_quantity >= 20 and l_quantity <= 30))
+"""
+
+
+# --------------------------------------------------------------------- q20
+@_q("q20")
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Potential part promotion (tpch/20.sql): nested IN subqueries.
+    partsupp absent → supplier shipped-quantity over lineitem stands in for
+    availqty."""
+    t = load_tables(spark, sf_dir, "supplier", "nation", "lineitem", "part")
+    blue_parts = t["part"].where(F.col("p_name").like("blue%")).select(
+        F.col("p_partkey").alias("bp_key")
+    )
+    big_shippers = (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= ts("1997-01-01"))
+            & (F.col("l_shipdate") < ts("1998-01-01"))
+        )
+        .join(blue_parts, F.col("l_partkey") == F.col("bp_key"), "left_semi")
+        .groupBy(F.col("l_suppkey").alias("bs_key"))
+        .agg(F.sum(dec("l_quantity")).alias("qty"))
+        .where(F.col("qty").cast("double") > 100.0)
+        .select("bs_key")
+    )
+    asia_nations = t["nation"].where(F.col("n_regionkey") == 2).select(
+        F.col("n_nationkey").alias("an_key")
+    )
+    return (
+        t["supplier"]
+        .join(big_shippers, F.col("s_suppkey") == F.col("bs_key"), "left_semi")
+        .join(
+            F.broadcast(asia_nations),
+            F.col("s_nationkey") == F.col("an_key"),
+            "left_semi",
+        )
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+ORACLE["q20"] = """
+select s_name, s_acctbal
+from supplier
+where s_suppkey in (
+      select l_suppkey from lineitem
+      where l_partkey in (
+            select p_partkey from part where p_name like 'blue%')
+        and l_shipdate >= timestamp '1997-01-01'
+        and l_shipdate < timestamp '1998-01-01'
+      group by l_suppkey
+      having cast(sum(cast(l_quantity as decimal(15,2))) as double) > 100.0)
+  and s_nationkey in (
+      select n_nationkey from nation where n_regionkey = 2)
+order by s_name
+"""
+
+
+# --------------------------------------------------------------------- q21
+@_q("q21")
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting (tpch/21.sql): EXISTS + NOT EXISTS
+    self-joins on lineitem. commitdate/receiptdate absent → "late" :=
+    l_shipdate > o_orderdate."""
+    t = load_tables(
+        spark, sf_dir, "supplier", "lineitem", "orders", "nation"
+    )
+    f_orders = t["orders"].where(F.col("o_orderstatus") == "F")
+    li = t["lineitem"]
+    late = li.join(
+        f_orders, F.col("l_orderkey") == F.col("o_orderkey")
+    ).where(F.col("l_shipdate") > F.col("o_orderdate"))
+
+    l1 = (
+        late.join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(t["nation"].where(F.col("n_name") == "NATION_4")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("l_orderkey", "l_suppkey", "s_name")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_orderkey"),
+        F.col("l_suppkey").alias("l2_suppkey"),
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("l3_orderkey"),
+        F.col("l_suppkey").alias("l3_suppkey"),
+    )
+    return (
+        l1.join(
+            l2,
+            (F.col("l2_orderkey") == F.col("l_orderkey"))
+            & (F.col("l2_suppkey") != F.col("l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l3_orderkey") == F.col("l_orderkey"))
+            & (F.col("l3_suppkey") != F.col("l_suppkey")),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+ORACLE["q21"] = """
+select s_name, count(*) as numwait
+from supplier, lineitem l1, orders, nation
+where s_suppkey = l1.l_suppkey
+  and o_orderkey = l1.l_orderkey
+  and o_orderstatus = 'F'
+  and l1.l_shipdate > o_orderdate
+  and exists (
+      select * from lineitem l2
+      where l2.l_orderkey = l1.l_orderkey
+        and l2.l_suppkey <> l1.l_suppkey)
+  and not exists (
+      select * from lineitem l3, orders o3
+      where l3.l_orderkey = l1.l_orderkey
+        and l3.l_suppkey <> l1.l_suppkey
+        and o3.o_orderkey = l3.l_orderkey
+        and o3.o_orderstatus = 'F'
+        and l3.l_shipdate > o3.o_orderdate)
+  and s_nationkey = n_nationkey
+  and n_name = 'NATION_4'
+group by s_name
+order by numwait desc, s_name
+limit 100
+"""
+
+
+# --------------------------------------------------------------------- q22
+@_q("q22")
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sales opportunity (tpch/22.sql): substring country code (from
+    c_name digits — c_phone absent), IN list, scalar AVG subquery,
+    NOT EXISTS anti-join (every customer has orders in this data, so the
+    anti-join excludes customers with *urgent* orders instead)."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    codes = ["11", "17", "23", "29", "31", "41", "47"]
+    cust = t["customer"].withColumn(
+        "cntrycode", F.substring("c_name", 17, 2)
+    ).where(F.col("cntrycode").isin(codes))
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_bal"
+        )
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            t["orders"]
+            .where(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(dec("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+ORACLE["q22"] = f"""
+select
+    cntrycode,
+    count(*) as numcust,
+    {sql_dsum(sql_dec('c_acctbal'))} as totacctbal
+from (
+    select substring(c_name from 17 for 2) as cntrycode, c_acctbal, c_custkey
+    from customer
+    where substring(c_name from 17 for 2)
+          in ('11','17','23','29','31','41','47')
+      and c_acctbal > (
+          select {sql_davg(sql_dec('c_acctbal'))}
+          from customer
+          where c_acctbal > 0.0
+            and substring(c_name from 17 for 2)
+                in ('11','17','23','29','31','41','47'))
+      and not exists (
+          select * from orders
+          where o_custkey = c_custkey and o_orderpriority = '1-URGENT')
+) custsale
+group by cntrycode
+order by cntrycode
+"""

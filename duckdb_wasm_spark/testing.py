@@ -1,0 +1,53 @@
+"""Parity harness replicating the driver's correctness gate: run a Spark
+DataFrame and a DuckDB oracle SQL over the same parquet tables, compare
+row count, column names, and (order-insensitively) exact values.
+
+Stricter than the driver (exact float equality) — the query corpus is
+engineered to be float-deterministic (see plans/_util.py), so exact match
+is achievable and anything less hides bugs.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+from duckdb_wasm_spark.tables import TABLES
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """DuckDB connection with every test table registered as a view —
+    mirrors the driver's pre-registered views."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"create view {t} as select * from read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        dt = pdf[c].dtype
+        if str(dt).startswith("datetime64"):
+            pdf[c] = pdf[c].astype("datetime64[us]").astype(str)
+        elif dt == object:
+            pdf[c] = pdf[c].map(lambda v: "<null>" if v is None else str(v))
+    if len(pdf.columns):
+        pdf = pdf.sort_values(
+            by=list(pdf.columns), kind="mergesort", na_position="last"
+        ).reset_index(drop=True)
+    return pdf
+
+
+def assert_parity(sdf, sql: str, con: duckdb.DuckDBPyConnection, name: str = "?"):
+    sp = _normalize(sdf.toPandas())
+    du = _normalize(con.execute(sql).df())
+    assert list(sp.columns) == list(du.columns), (
+        f"{name}: column mismatch spark={list(sp.columns)} duck={list(du.columns)}"
+    )
+    assert len(sp) == len(du), f"{name}: rowcount spark={len(sp)} duck={len(du)}"
+    pd.testing.assert_frame_equal(
+        sp, du, check_dtype=False, check_exact=True, obj=name
+    )
