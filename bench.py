@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Benchmark entry point (driver contract, BASELINE.md "bench").
+
+Runs the registered query corpus at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default 32) and
+prints exactly ONE JSON line on stdout:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Methodology: one warm-up action first (parquet scans + JVM/codegen
+warm-up is session overhead, not plan cost — the reference's
+benchmark.js harness likewise samples warm), then each query timed as
+plan-build + execute-to-driver (collect). Everything else (logs, Spark
+chatter) goes to stderr so stdout stays machine-parseable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)/?$", sf_dir)
+    try:
+        return float(m.group(1)) if m else -1.0
+    except ValueError:
+        return -1.0
+
+
+def _build_session(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("duckdb_wasm_spark-bench")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1").rstrip("/")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    spark = _build_session(cpus)
+
+    # Warm-up: touch the fact table & spin up codegen/shuffle machinery once.
+    from duckdb_wasm_spark.tables import load_table
+
+    load_table(spark, sf_dir, "lineitem").count()
+
+    timings: dict[str, float] = {}
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            df.collect()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # pragma: no cover - bench must not die mid-run
+            print(f"[bench] {name} FAILED: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+
+    ok = {k: v for k, v in timings.items() if v >= 0}
+    total = round(sum(ok.values()), 4)
+    out = {
+        "metric": "query_corpus_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(sf_dir),
+        "n_queries": len(timings),
+        "n_failed": len(timings) - len(ok),
+        "cpus": cpus,
+    }
+    print(json.dumps(out), flush=True)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
