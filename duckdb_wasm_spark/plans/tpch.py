@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from duckdb_wasm_spark.tables import load_table, load_tables
 from duckdb_wasm_spark.plans._util import (
@@ -109,8 +110,14 @@ order by l_returnflag, l_linestatus
 def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimum-cost supplier (tpch/2.sql). partsupp is absent, so supply
     cost := l_extendedprice / l_quantity observed in lineitem; the
-    correlated scalar MIN subquery becomes a grouped MIN + equi-join
-    (Catalyst's decorrelation, stated explicitly)."""
+    correlated scalar MIN subquery becomes a per-part MIN window over the
+    already-part-filtered join.
+
+    Scale notes: lineitem joins the selective part filter FIRST, so the
+    fact table is cut to ~1/100 before any other work (previously the
+    per-part MIN aggregated every partkey and lineitem was scanned twice).
+    One lineitem scan, one shuffle on p_partkey for the window; AQE picks
+    broadcast for the filtered part side when it is small."""
     t = load_tables(
         spark, sf_dir, "part", "supplier", "lineitem", "nation", "region"
     )
@@ -125,22 +132,21 @@ def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_regionkey") == F.col("r_regionkey"),
         )
     )
-    supply = t["lineitem"].withColumn(
-        "supplycost", F.col("l_extendedprice") / F.col("l_quantity")
-    ).join(europe_supp, F.col("l_suppkey") == F.col("s_suppkey"))
-    min_cost = supply.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(
-        F.min("supplycost").alias("min_cost")
-    )
     part = t["part"].where(
         (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
     )
-    return (
-        supply.join(part, F.col("l_partkey") == F.col("p_partkey"))
-        .join(
-            min_cost,
-            (F.col("l_partkey") == F.col("mc_partkey"))
-            & (F.col("supplycost") == F.col("min_cost")),
+    supply = (
+        t["lineitem"]
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn(
+            "supplycost", F.col("l_extendedprice") / F.col("l_quantity")
         )
+        .join(europe_supp, F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        supply.withColumn("min_cost", F.min("supplycost").over(w))
+        .where(F.col("supplycost") == F.col("min_cost"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
         .distinct()
         .orderBy(
@@ -830,24 +836,30 @@ order by supplier_cnt desc, p_brand, p_type, p_size
 @_q("q17")
 def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-quantity-order revenue (tpch/17.sql): correlated scalar AVG
-    subquery → per-part grouped avg + equi-join. The avg is decimal-sum /
-    count so the 0.2·avg threshold is bit-identical across engines."""
+    subquery → per-part AVG window. The avg is decimal-sum / count so the
+    0.2·avg threshold is bit-identical across engines.
+
+    Scale notes: lineitem is joined to the selective part filter FIRST and
+    the per-part AVG threshold is a window over that filtered join — one
+    lineitem scan, one shuffle on p_partkey (previously the threshold
+    aggregated ALL partkeys, a full extra fact-table shuffle for ~1/100 of
+    the groups)."""
     t = load_tables(spark, sf_dir, "lineitem", "part")
-    thresh = (
-        t["lineitem"]
-        .groupBy(F.col("l_partkey").alias("t_partkey"))
-        .agg(
-            (F.lit(0.2) * (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))))
-            .alias("qty_threshold")
-        )
-    )
     part = t["part"].where(
         (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "SMALL")
     )
+    w = Window.partitionBy("p_partkey")
     return (
         t["lineitem"]
         .join(part, F.col("l_partkey") == F.col("p_partkey"))
-        .join(thresh, F.col("l_partkey") == F.col("t_partkey"))
+        .withColumn(
+            "qty_threshold",
+            F.lit(0.2)
+            * (
+                F.sum(dec("l_quantity")).over(w).cast("double")
+                / F.count(F.lit(1)).over(w)
+            ),
+        )
         .where(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
             (F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
@@ -1027,44 +1039,48 @@ order by s_name
 def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suppliers who kept orders waiting (tpch/21.sql): EXISTS + NOT EXISTS
     self-joins on lineitem. commitdate/receiptdate absent → "late" :=
-    l_shipdate > o_orderdate."""
+    l_shipdate > o_orderdate.
+
+    The EXISTS/NOT-EXISTS pair is rewritten as per-order distinct-supplier
+    counts (the standard q21 decorrelation):
+      EXISTS l2 (other supplier in the order)      ⇔ n_supp(order) ≥ 2
+      NOT EXISTS l3 (other LATE supplier in order) ⇔ n_late_supp(order) = 1
+    both exact because the probe row's own supplier always appears in both
+    sets.
+
+    Scale notes: `late` is computed ONCE and its per-order late-supplier
+    count is a window over it (previously `late` was built twice and
+    lineitem shuffled twice more through row-level semi/anti joins). Two
+    lineitem scans total (late + the all-suppliers count), all joins keyed
+    on l_orderkey."""
     t = load_tables(
         spark, sf_dir, "supplier", "lineitem", "orders", "nation"
     )
     f_orders = t["orders"].where(F.col("o_orderstatus") == "F")
     li = t["lineitem"]
-    late = li.join(
-        f_orders, F.col("l_orderkey") == F.col("o_orderkey")
-    ).where(F.col("l_shipdate") > F.col("o_orderdate"))
-
-    l1 = (
-        late.join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+    late = (
+        li.join(f_orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    w = Window.partitionBy("l_orderkey")
+    late_flagged = late.withColumn(
+        "n_late_supp", F.size(F.collect_set("l_suppkey").over(w))
+    )
+    all_supp = li.groupBy(F.col("l_orderkey").alias("a_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp")
+    )
+    return (
+        late_flagged.where(F.col("n_late_supp") == 1)
+        .join(
+            all_supp.where(F.col("n_supp") >= 2),
+            F.col("l_orderkey") == F.col("a_orderkey"),
+            "left_semi",
+        )
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
             F.broadcast(t["nation"].where(F.col("n_name") == "NATION_4")),
             F.col("s_nationkey") == F.col("n_nationkey"),
-        )
-        .select("l_orderkey", "l_suppkey", "s_name")
-    )
-    l2 = li.select(
-        F.col("l_orderkey").alias("l2_orderkey"),
-        F.col("l_suppkey").alias("l2_suppkey"),
-    )
-    l3 = late.select(
-        F.col("l_orderkey").alias("l3_orderkey"),
-        F.col("l_suppkey").alias("l3_suppkey"),
-    )
-    return (
-        l1.join(
-            l2,
-            (F.col("l2_orderkey") == F.col("l_orderkey"))
-            & (F.col("l2_suppkey") != F.col("l_suppkey")),
-            "left_semi",
-        )
-        .join(
-            l3,
-            (F.col("l3_orderkey") == F.col("l_orderkey"))
-            & (F.col("l3_suppkey") != F.col("l_suppkey")),
-            "left_anti",
         )
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
