@@ -28,14 +28,20 @@ def sql_toks(col: str = "text") -> str:
 
 # ------------------------------------------------------------ trigrams
 def trigrams(t: Column) -> Column:
-    """Distinct 3-token shingles of a token array (Spark). 1-based
-    element_at to mirror DuckDB list indexing."""
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(t) - 2, F.lit(0))),
-        lambda i: F.concat_ws(
-            " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
-        ),
-    )
+    """Distinct 3-token shingles of a token array (Spark).
+
+    Built by zipping three shifted slices of the token array, NOT by
+    indexing ``t`` inside a per-element lambda: a lambda body referencing
+    ``t`` re-evaluates the whole token expression for every element
+    (Catalyst collapses projections, so even a "materialized" token
+    column gets inlined back) — observed ~30× slowdown. Slices evaluate
+    ``t`` a constant number of times per ROW."""
+    m = F.greatest(F.size(t) - 2, F.lit(0))
+    first = F.slice(t, 1, m)
+    second = F.slice(t, 2, m)
+    third = F.slice(t, 3, m)
+    g12 = F.zip_with(first, second, lambda x, y: F.concat(x, F.lit(" "), y))
+    grams = F.zip_with(g12, third, lambda xy, z: F.concat(xy, F.lit(" "), z))
     return F.array_distinct(grams)
 
 

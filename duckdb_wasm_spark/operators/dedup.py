@@ -98,11 +98,19 @@ group by 1
 JACCARD_THRESHOLD = 0.2
 
 
+def _gram_arrays(docs: DataFrame) -> DataFrame:
+    """(doc_id, grams): materialized distinct trigram-shingle array.
+    Tokens are materialized first so the shingle builder's element_at
+    references a column, not a re-evaluated split expression."""
+    return docs.withColumn("_t", toks()).select(
+        "doc_id", trigrams(F.col("_t")).alias("grams")
+    )
+
+
 def _gram_sets(docs: DataFrame) -> DataFrame:
     """(doc_id, gram) exploded distinct trigram shingles."""
-    return (
-        docs.select("doc_id", F.explode(trigrams(toks())).alias("gram"))
-        .distinct()
+    return _gram_arrays(docs).select(
+        "doc_id", F.explode(F.col("grams")).alias("gram")
     )
 
 
@@ -165,24 +173,36 @@ where cast(n_common as double) / (sa.n + sb.n - n_common)
 N_HASHES = 16
 N_BANDS = 4
 ROWS_PER_BAND = N_HASHES // N_BANDS
+MH_PRIME = 2147483647  # 2^31 - 1; Carter-Wegman universal family mod p
+
+
+def _mh_a(j: int) -> int:
+    return 2 * j + 1  # odd, in [1, p-1]
+
+
+def _mh_b(j: int) -> int:
+    return 7919 * j + 13
 
 
 def _minhash_sigs(docs: DataFrame) -> DataFrame:
-    """(doc_id, grams, s0..s15): per-doc MinHash signature — for hash j,
-    the lexicographic min of md5('j|' + shingle)."""
-    g = trigrams(toks())
+    """(doc_id, s0..s15): per-doc MinHash signature. Each shingle is
+    md5-hashed ONCE to a 60-bit int; the 16 hash functions are the
+    Carter-Wegman family h_j(g) = (a_j·(g mod p) + b_j) mod p — pure
+    codegen integer arithmetic instead of 16 interpreted md5 array
+    folds (products < 2^62, no overflow in either engine).
 
-    def sig(j):
-        # closure factory: a default-arg lambda would change arity and make
-        # Spark bind the (element, index) pair instead
-        prefix = f"{j}|"
-        return F.array_min(
-            F.transform(F.col("grams"), lambda x: F.md5(F.concat(F.lit(prefix), x)))
-        )
-
-    sig_cols = [sig(j).alias(f"s{j}") for j in range(N_HASHES)]
-    return docs.select("doc_id", g.alias("grams")).select(
-        "doc_id", "grams", *sig_cols
+    Plan shape: shingles exploded once, 16 min() map-side-combining
+    aggregates over a single shuffle by doc_id."""
+    g = _gram_sets(docs).withColumn(
+        "gh", tok_hash60(F.col("gram")) % MH_PRIME
+    )
+    return g.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(_mh_a(j)) * F.col("gh") + F.lit(_mh_b(j))) % MH_PRIME
+            ).alias(f"s{j}")
+            for j in range(N_HASHES)
+        ]
     )
 
 
@@ -190,9 +210,14 @@ def _minhash_sigs(docs: DataFrame) -> DataFrame:
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash-LSH near-dup: signature → band keys → bucket join →
     exact-Jaccard verify. Candidate generation is an equi-join on
-    (band, key): cost scales with real collisions, never all pairs."""
+    (band, key): cost scales with real collisions, never all pairs.
+
+    Plan shape: the band-bucket join shuffles only (doc_id, band, key) —
+    the shingle arrays are joined back per candidate doc afterwards, so
+    the wide payload never rides the bucket shuffle."""
     docs = load_table(spark, sf_dir, "documents")
     sigs = _minhash_sigs(docs)
+    gram_sets = _gram_arrays(docs)
     band_structs = F.array(
         *[
             F.struct(
@@ -201,7 +226,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.concat_ws(
                         "|",
                         *[
-                            F.col(f"s{b * ROWS_PER_BAND + r}")
+                            F.col(f"s{b * ROWS_PER_BAND + r}").cast("string")
                             for r in range(ROWS_PER_BAND)
                         ],
                     )
@@ -211,20 +236,27 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     bands = sigs.select(
-        "doc_id", "grams", F.explode(band_structs).alias("bk")
-    ).select("doc_id", "grams", "bk.band", "bk.key")
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"),
-        "band", "key",
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"),
-        "band", "key",
-    )
+        "doc_id", F.explode(band_structs).alias("bk")
+    ).select("doc_id", "bk.band", "bk.key")
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "key")
     cand = (
         a.join(b, ["band", "key"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
+        .select("doc_a", "doc_b")
+        .distinct()
+        .join(
+            gram_sets.select(
+                F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            gram_sets.select(
+                F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b")
+            ),
+            "doc_b",
+        )
     )
     inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))
     union = F.size("grams_a") + F.size("grams_b") - inter
@@ -237,15 +269,16 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_sql() -> str:
     sigs = ",\n       ".join(
-        f"list_min(list_transform(grams, x -> md5('{j}|' || x))) s{j}"
+        f"min(({_mh_a(j)} * gh + {_mh_b(j)}) % {MH_PRIME}) s{j}"
         for j in range(N_HASHES)
     )
     band_rows = "\n  union all\n".join(
-        "  select doc_id, grams, {b} band, md5({expr}) bkey from sigs".format(
+        "  select doc_id, {b} band, md5({expr}) bkey from sigs".format(
             b=b,
             expr
             =" || '|' || ".join(
-                f"s{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+                f"cast(s{b * ROWS_PER_BAND + r} as varchar)"
+                for r in range(ROWS_PER_BAND)
             ),
         )
         for b in range(N_BANDS)
@@ -253,22 +286,29 @@ def _minhash_sql() -> str:
     return f"""
 with docs as (
   select doc_id, {sql_trigrams(sql_toks('text'))} grams from documents),
+gh as (
+  select doc_id, {sql_tok_hash60('g')} % {MH_PRIME} gh
+  from (select doc_id, unnest(grams) g from docs)),
 sigs as (
-  select doc_id, grams,
+  select doc_id,
        {sigs}
-  from docs),
+  from gh group by doc_id),
 bands as (
 {band_rows}),
 cand as (
-  select distinct a.doc_id doc_a, b.doc_id doc_b,
-         a.grams grams_a, b.grams grams_b
+  select distinct a.doc_id doc_a, b.doc_id doc_b
   from bands a join bands b
-    on a.band = b.band and a.bkey = b.bkey and a.doc_id < b.doc_id)
+    on a.band = b.band and a.bkey = b.bkey and a.doc_id < b.doc_id),
+candg as (
+  select doc_a, doc_b, ga.grams grams_a, gb.grams grams_b
+  from cand
+  join docs ga on doc_a = ga.doc_id
+  join docs gb on doc_b = gb.doc_id)
 select doc_a, doc_b,
        cast(len(list_intersect(grams_a, grams_b)) as double)
          / (len(grams_a) + len(grams_b)
             - len(list_intersect(grams_a, grams_b))) jaccard
-from cand
+from candg
 where cast(len(list_intersect(grams_a, grams_b)) as double)
         / (len(grams_a) + len(grams_b)
            - len(list_intersect(grams_a, grams_b)))
@@ -289,19 +329,32 @@ HAMMING_MAX = 10
 def _simhash_bands(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash, band, band_val): 60-bit SimHash over shingle
     hash60s, split into 4 15-bit bands. Pure integer arithmetic — exact
-    in both engines."""
-    hashes = F.transform(trigrams(toks()), lambda g: tok_hash60(g))
-    d = docs.select("doc_id", hashes.alias("hs"))
+    in both engines.
+
+    Plan shape: shingle hashes are EXPLODED and the 60 bit votes are 60
+    map-side-combining SUM aggregates over one shuffle by doc_id —
+    whole-stage-codegen hash-agg instead of 60 interpreted per-row array
+    folds (integer sums are order-insensitive, so the result is
+    unchanged)."""
+    exploded = _gram_sets(docs).select(
+        "doc_id", tok_hash60(F.col("gram")).alias("h")
+    )
+    votes = exploded.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"v{b}")
+            for b in range(SIM_BITS)
+        ]
+    )
 
     def bit(b: int):
         # majority vote of bit b across shingle hashes: +1 if set else -1
-        vote = F.aggregate(
-            F.col("hs"),
-            F.lit(0),
-            lambda acc, h: acc
-            + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).cast("int"),
+        return (
+            F.when(F.col(f"v{b}") >= 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
         )
-        return F.when(vote >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
 
     band_vals = [
         sum(
@@ -310,7 +363,7 @@ def _simhash_bands(docs: DataFrame) -> DataFrame:
         ).alias(f"band_{band}")
         for band in range(SIM_BANDS)
     ]
-    d = d.select("doc_id", *band_vals)
+    d = votes.select("doc_id", *band_vals)
     simhash = sum(
         F.col(f"band_{band}") * F.lit(1 << (band * SIM_BAND_BITS))
         for band in range(SIM_BANDS)
@@ -477,18 +530,26 @@ def _hyperplanes(spark: SparkSession) -> DataFrame:
 
 @_q("dedup_embedding_lsh")
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup via signed-random-projection LSH: 32 hyperplane
-    sign bits → 8 bands × 4 bits → bucket join → exact-cosine verify at
+    """Embedding near-dup via signed-random-projection LSH: 48 hyperplane
+    sign bits → 12 bands × 4 bits → bucket join → exact-cosine verify at
     COS_THRESHOLD. The hyperplane table is broadcast; signatures are one
     narrow pass over embeddings; candidates come from band-bucket
-    equi-joins only."""
+    equi-joins only.
+
+    Plan shape: per-vector norms are precomputed once (sqrt(v·v)), so
+    each candidate pair evaluates ONE dot fold instead of three — the
+    fold is the expensive interpreted higher-order expression."""
     emb = load_table(spark, sf_dir, "embeddings")
+    normed = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    )
     planes = _hyperplanes(spark)
     signed = (
         emb.join(F.broadcast(planes))
         .select(
             "vec_id",
-            "embedding",
             "p",
             F.when(dot_fold(F.col("embedding"), F.col("w")) >= 0, 1)
             .otherwise(0)
@@ -505,20 +566,24 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("band_val")
         )
     )
-    with_emb = bands.join(emb, "vec_id")
+    with_emb = bands.join(normed, "vec_id")
     a = with_emb.select(
         F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"),
-        "band", "band_val",
+        F.col("norm").alias("norm_a"), "band", "band_val",
     )
     b = with_emb.select(
         F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"),
-        "band", "band_val",
+        F.col("norm").alias("norm_b"), "band", "band_val",
     )
     return (
         a.join(b, ["band", "band_val"])
         .where(F.col("a_id") < F.col("b_id"))
         .dropDuplicates(["a_id", "b_id"])
-        .withColumn("sim", cosine(F.col("ea"), F.col("eb")))
+        .withColumn(
+            "sim",
+            dot_fold(F.col("ea"), F.col("eb"))
+            / (F.col("norm_a") * F.col("norm_b")),
+        )
         .where(F.col("sim") >= COS_THRESHOLD)
         .select("a_id", "b_id", "sim")
     )
@@ -538,15 +603,19 @@ bands as (
   select vec_id, cast(floor(p / {HP_BITS}) as int) band,
          sum(sgn * cast(pow(2.0, p % {HP_BITS}) as bigint)) band_val
   from signed group by 1, 2),
-we as (select b.*, e.embedding from bands b join embeddings e using (vec_id)),
+normed as (
+  select vec_id, embedding, sqrt({sql_dot('embedding', 'embedding')}) nrm
+  from embeddings),
+we as (select b.*, e.embedding, e.nrm
+       from bands b join normed e using (vec_id)),
 cand as (
   select distinct a.vec_id a_id, b.vec_id b_id,
-         a.embedding ea, b.embedding eb
+         a.embedding ea, b.embedding eb, a.nrm norm_a, b.nrm norm_b
   from we a join we b
     on a.band = b.band and a.band_val = b.band_val and a.vec_id < b.vec_id)
-select a_id, b_id, {sql_cosine('ea', 'eb')} sim
+select a_id, b_id, {sql_dot('ea', 'eb')} / (norm_a * norm_b) sim
 from cand
-where {sql_cosine('ea', 'eb')} >= {COS_THRESHOLD}
+where {sql_dot('ea', 'eb')} / (norm_a * norm_b) >= {COS_THRESHOLD}
 """
 
 

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from duckdb_wasm_spark.operators.dedup import cosine, sql_cosine
+from duckdb_wasm_spark.operators.dedup import dot_fold, sql_dot
 from duckdb_wasm_spark.tables import load_table
 
 QUERIES: dict = {}
@@ -61,11 +61,18 @@ def sim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k neighbors by cosine for the query panel (vec_id <
     N_QUERIES), self excluded. Ties break on neighbor id."""
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq")
+    normed = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("nrm"),
     )
-    n = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("en")
+    q = normed.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq"),
+        F.col("nrm").alias("nq"),
+    )
+    n = normed.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("en"),
+        F.col("nrm").alias("nn"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
@@ -76,7 +83,8 @@ def sim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("eq"), F.col("en")).alias("sim"),
+            (dot_fold(F.col("eq"), F.col("en")) / (F.col("nq") * F.col("nn")))
+            .alias("sim"),
         )
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOP_K)
@@ -85,11 +93,15 @@ def sim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["sim_topk_brute"] = f"""
-with q as (select vec_id query_id, embedding eq from embeddings
-           where vec_id < {N_QUERIES}),
-n as (select vec_id neighbor_id, embedding en from embeddings),
+with normed as (
+  select vec_id, embedding,
+         sqrt({sql_dot('embedding', 'embedding')}) nrm
+  from embeddings),
+q as (select vec_id query_id, embedding eq, nrm nq from normed
+      where vec_id < {N_QUERIES}),
+n as (select vec_id neighbor_id, embedding en, nrm nn from normed),
 sims as (
-  select query_id, neighbor_id, {sql_cosine('eq', 'en')} sim
+  select query_id, neighbor_id, {sql_dot('eq', 'en')} / (nq * nn) sim
   from q join n on query_id <> neighbor_id),
 ranked as (
   select *, row_number() over (partition by query_id
@@ -107,31 +119,41 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell only. Returns the per-cell top-k (approximate vs
     sim_topk_brute — that recall gap IS the IVF trade)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cent = emb.where(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").alias("ec")
+    normed = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    cent = normed.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("ec"),
+        F.col("nrm").alias("nc"),
     )
     aw = Window.partitionBy("vec_id").orderBy(
         F.col("c_sim").desc(), F.col("c_id").asc()
     )
     assigned = (
-        emb.join(F.broadcast(cent))
+        normed.join(F.broadcast(cent))
         .select(
             "vec_id",
             "embedding",
+            "nrm",
             "c_id",
-            cosine(F.col("embedding"), F.col("ec")).alias("c_sim"),
+            (
+                dot_fold(F.col("embedding"), F.col("ec"))
+                / (F.col("nrm") * F.col("nc"))
+            ).alias("c_sim"),
         )
         .withColumn("arn", F.row_number().over(aw))
         .where(F.col("arn") == 1)
-        .select("vec_id", "embedding", F.col("c_id").alias("cell"))
+        .select("vec_id", "embedding", "nrm", F.col("c_id").alias("cell"))
     )
     q = assigned.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq"),
-        "cell",
+        F.col("nrm").alias("nq"), "cell",
     )
     n = assigned.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("en"),
-        "cell",
+        F.col("nrm").alias("nn"), "cell",
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
@@ -143,7 +165,8 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "cell",
             "neighbor_id",
-            cosine(F.col("eq"), F.col("en")).alias("sim"),
+            (dot_fold(F.col("eq"), F.col("en")) / (F.col("nq") * F.col("nn")))
+            .alias("sim"),
         )
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOP_K)
@@ -152,22 +175,26 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["sim_topk_ivf"] = f"""
-with cent as (select vec_id c_id, embedding ec from embeddings
-              where vec_id < {N_CENTROIDS}),
+with normed as (
+  select vec_id, embedding,
+         sqrt({sql_dot('embedding', 'embedding')}) nrm
+  from embeddings),
+cent as (select vec_id c_id, embedding ec, nrm nc from normed
+         where vec_id < {N_CENTROIDS}),
 assigned as (
-  select vec_id, embedding, cell from (
-    select e.vec_id, e.embedding, c.c_id cell,
+  select vec_id, embedding, nrm, cell from (
+    select e.vec_id, e.embedding, e.nrm, c.c_id cell,
            row_number() over (
              partition by e.vec_id
-             order by {sql_cosine('e.embedding', 'c.ec')} desc,
+             order by {sql_dot('e.embedding', 'c.ec')} / (e.nrm * c.nc) desc,
                       c.c_id asc) arn
-    from embeddings e, cent c)
+    from normed e, cent c)
   where arn = 1),
-q as (select vec_id query_id, embedding eq, cell from assigned
+q as (select vec_id query_id, embedding eq, nrm nq, cell from assigned
       where vec_id < {N_QUERIES}),
-n as (select vec_id neighbor_id, embedding en, cell from assigned),
+n as (select vec_id neighbor_id, embedding en, nrm nn, cell from assigned),
 sims as (
-  select query_id, q.cell, neighbor_id, {sql_cosine('eq', 'en')} sim
+  select query_id, q.cell, neighbor_id, {sql_dot('eq', 'en')} / (nq * nn) sim
   from q join n using (cell)
   where query_id <> neighbor_id),
 ranked as (

@@ -180,18 +180,29 @@ ORACLE["text_langid"] = _langid_sql()
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints: exact (md5 of normalized text), vocabulary
     (md5 of the sorted distinct-token list), and min-shingle (lexicographic
-    min of per-trigram md5 — a 1-function MinHash)."""
-    docs = load_table(spark, sf_dir, "documents")
-    t = toks()
-    return docs.select(
+    min of per-trigram md5 — a 1-function MinHash).
+
+    Plan shape: the min-shingle runs as explode → codegen md5 → min()
+    hash-agg (map-side combining) rather than an interpreted per-row
+    array fold; the narrow fingerprints join back on doc_id."""
+    docs = load_table(spark, sf_dir, "documents").withColumn("_t", toks())
+    t = F.col("_t")
+    narrow = docs.select(
         "doc_id",
         F.md5(F.lower(F.trim(F.col("text")))).alias("fp_exact"),
         F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(t)))).alias(
             "fp_vocab"
         ),
-        F.array_min(F.transform(trigrams(t), lambda g: F.md5(g))).alias(
-            "fp_min_shingle"
-        ),
+    )
+    min_shingle = (
+        docs.select("doc_id", F.explode(trigrams(t)).alias("gram"))
+        .groupBy("doc_id")
+        .agg(F.min(F.md5(F.col("gram"))).alias("fp_min_shingle"))
+    )
+    # left join: a doc with <3 tokens has no shingles → NULL fingerprint,
+    # matching the oracle's list_min over an empty list
+    return narrow.join(min_shingle, "doc_id", "left").select(
+        "doc_id", "fp_exact", "fp_vocab", "fp_min_shingle"
     )
 
 
