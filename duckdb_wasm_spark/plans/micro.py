@@ -1,0 +1,192 @@
+"""Micro-benchmark corpus — the reference's system micro-benchmarks
+re-expressed over the driver's tables, each with its embedded cardinality
+contract (reference: packages/benchmarks/src/system/
+duckdb_sync_benchmarks.ts:174-645; asserts at :222-224, :293-295,
+:349-352, :466-468, :536-539, :627-630).
+
+  micro_sort         integer/2-key ORDER BY over events      rows == N
+  micro_topk         ORDER BY + LIMIT k (TakeOrderedAndProject) rows == k
+  micro_grouped_sum  SUM(v) GROUP BY k                       rows == |keys|
+  micro_regex        LIKE '_x%' one-char wildcard scan       rows == hits
+  micro_join2        2-way equi-join w/ filter               rows == |match|
+  micro_join3        3-way equi-join w/ filter               rows == |match|
+
+CARDINALITY() gives the expected row count per query as a function of
+the input tables (checked in tests, mirroring the reference's embedded
+asserts).
+
+Scale notes: sort is a global range-partitioned sort (Spark samples
+boundaries — the one unavoidable all-shuffle op); topk never
+materializes the full sort (TakeOrderedAndProject); grouped sum is
+partial+final hash agg; joins let AQE pick broadcast for the dim side.
+Money sums follow the decimal-accumulation policy (plans/_util.py) so
+double results are bit-stable across engines and partition orders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_wasm_spark.plans._util import dec, dsum, sql_dec, sql_dsum
+from duckdb_wasm_spark.tables import load_table, load_tables
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name):
+    def reg(fn):
+        QUERIES[name] = fn
+        return fn
+
+    return reg
+
+
+TOP_K = 100
+
+
+# ------------------------------------------------------------ micro_sort
+@_q("micro_sort")
+def micro_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-key sort over events (ref sort bench: 1-2 integer order keys).
+    Contract: rows == count(events)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_id", "user_id", "value").orderBy(
+        F.col("user_id").asc(), F.col("event_id").desc()
+    )
+
+
+ORACLE["micro_sort"] = """
+select event_id, user_id, value from events
+order by user_id asc, event_id desc
+"""
+
+
+# ------------------------------------------------------------ micro_topk
+@_q("micro_topk")
+def micro_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K: ORDER BY + LIMIT fuses to TakeOrderedAndProject (no global
+    sort materialization). Tie-broken on event_id so top-k is total.
+    Contract: rows == K."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_id", "value")
+        .orderBy(F.col("value").desc(), F.col("event_id").asc())
+        .limit(TOP_K)
+    )
+
+
+ORACLE["micro_topk"] = f"""
+select event_id, value from events
+order by value desc, event_id asc
+limit {TOP_K}
+"""
+
+
+# ----------------------------------------------------- micro_grouped_sum
+@_q("micro_grouped_sum")
+def micro_grouped_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped sum (ref: SELECT SUM(v1) FROM t GROUP BY v0).
+    Contract: rows == count(distinct user_id)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(dsum(dec("value")).alias("sum_value"))
+
+
+ORACLE["micro_grouped_sum"] = f"""
+select user_id, {sql_dsum(sql_dec('value'))} sum_value
+from events group by user_id
+"""
+
+
+# ----------------------------------------------------------- micro_regex
+@_q("micro_regex")
+def micro_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE with one-char wildcard prefix (ref: WHERE v0 LIKE '_#%').
+    Contract: rows == matching parts."""
+    part = load_table(spark, sf_dir, "part")
+    return part.where(F.col("p_name").like("_a%")).select(
+        "p_partkey", "p_name"
+    )
+
+
+ORACLE["micro_regex"] = """
+select p_partkey, p_name from part where p_name like '_a%'
+"""
+
+
+# ----------------------------------------------------------- micro_join2
+@_q("micro_join2")
+def micro_join2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-way equi-join with a filtered build side (ref join2:
+    rows == filterA · stepAB). Contract: one row per 'F' order of a
+    BUILDING-segment customer."""
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    cust = t["customer"].where(F.col("c_mktsegment") == "BUILDING")
+    return (
+        t["orders"]
+        .where(F.col("o_orderstatus") == "F")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "c_custkey", "c_name", "o_totalprice")
+    )
+
+
+ORACLE["micro_join2"] = """
+select o_orderkey, c_custkey, c_name, o_totalprice
+from orders join customer on o_custkey = c_custkey
+where o_orderstatus = 'F' and c_mktsegment = 'BUILDING'
+"""
+
+
+# ----------------------------------------------------------- micro_join3
+@_q("micro_join3")
+def micro_join3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way equi-join fact→dim→dim (ref join3:
+    rows == filterA · stepAB · stepBC)."""
+    t = load_tables(spark, sf_dir, "lineitem", "orders", "customer")
+    cust = t["customer"].where(F.col("c_mktsegment") == "BUILDING")
+    return (
+        t["lineitem"]
+        .where(F.col("l_quantity") <= 5)
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "l_orderkey", "l_linenumber", "c_custkey",
+            dec("l_extendedprice").cast("double").alias("price"),
+        )
+    )
+
+
+ORACLE["micro_join3"] = """
+select l_orderkey, l_linenumber, c_custkey,
+       cast(cast(l_extendedprice as decimal(15,2)) as double) price
+from lineitem
+join orders on l_orderkey = o_orderkey
+join customer on o_custkey = c_custkey
+where l_quantity <= 5 and c_mktsegment = 'BUILDING'
+"""
+
+
+# ---------------------------------------------------- cardinality contract
+def CARDINALITY(spark: SparkSession, sf_dir: str) -> dict[str, int]:
+    """Expected row count per micro query, computed from the inputs —
+    the reference's embedded benchmark asserts, reproduced."""
+    ev = load_table(spark, sf_dir, "events")
+    part = load_table(spark, sf_dir, "part")
+    t = load_tables(spark, sf_dir, "orders", "customer", "lineitem")
+    cust_b = t["customer"].where(F.col("c_mktsegment") == "BUILDING")
+    return {
+        "micro_sort": ev.count(),
+        "micro_topk": TOP_K,
+        "micro_grouped_sum": ev.select("user_id").distinct().count(),
+        "micro_regex": part.where(F.col("p_name").like("_a%")).count(),
+        "micro_join2": t["orders"]
+        .where(F.col("o_orderstatus") == "F")
+        .join(cust_b, F.col("o_custkey") == F.col("c_custkey"))
+        .count(),
+        "micro_join3": t["lineitem"]
+        .where(F.col("l_quantity") <= 5)
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_b, F.col("o_custkey") == F.col("c_custkey"))
+        .count(),
+    }

@@ -15,6 +15,7 @@ files / hive partitions; nothing here materializes or collects.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -35,20 +36,39 @@ TABLES = (
 BROADCAST_DIMS = ("region", "nation")
 
 
-def _pin_utc(spark: SparkSession) -> None:
+def _ensure_session_conf(spark: SparkSession) -> None:
+    """One-time session configuration (guarded — no repeated global
+    mutation per load call):
+      - UTC session timezone (DuckDB reads naive-UTC; SURVEY §7.6)
+      - nanosAsLong: events.parquet carries TIMESTAMP(NANOS), which the
+        Spark parquet reader rejects natively; read as long and convert
+        (see load_table)."""
+    if getattr(spark, "_dws_conf_done", False):
+        return
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark._dws_conf_done = True
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one test table as a DataFrame (lazy scan, no materialization)."""
-    _pin_utc(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Load one test table as a DataFrame (lazy scan, no materialization).
+
+    events.ts arrives as INT64 nanoseconds (nanosAsLong) and is converted
+    to a microsecond timestamp with integer `div` (a double division
+    would lose precision above 2^53 ns) — matching DuckDB's own ns→us
+    truncation of the same column."""
+    _ensure_session_conf(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return df
 
 
 def load_tables(
     spark: SparkSession, sf_dir: str, *names: str
 ) -> dict[str, DataFrame]:
     """Load several tables; defaults to all of TABLES."""
-    _pin_utc(spark)
     use = names or TABLES
     return {n: load_table(spark, sf_dir, n) for n in use}
