@@ -2,27 +2,40 @@
 data-processing capabilities of the duckdb-wasm reference (see SURVEY.md).
 
 Architecture (Spark-first, not a port):
-  - ``session``    WebDB-shaped API (SparkDB/Connection) over a SparkSession
-                   (reference: lib/src/webdb.cc WebDB / WebDB::Connection).
-  - ``dialect``    DuckDB→Spark SQL translation (``::`` casts, parquet_scan,
-                   generate_series, PRAGMA, COPY TO — SURVEY §4.2).
-  - ``sources``    CSV / JSON (row-array + column-object w/ inference
-                   lattice) / Arrow ingestion (reference lib/src/json_*.cc).
-  - ``plans``      the query corpus: adapted TPC-H q1–q22, micro-benchmarks,
-                   window/set-op extensions (reference
-                   packages/benchmarks/scripts/tpch/*.sql).
-  - ``operators``  LLM-data-pipeline extensions: dedup (exact / MinHash-LSH /
-                   SimHash / n-gram Jaccard), similarity search, text
-                   analysis, multimodal column plumbing.
-  - ``streaming``  Structured Streaming over the events table (extension
-                   scope, SURVEY §7 phase 5).
+  - ``session``    WebDB-shaped API (SparkDB/Connection) over a SparkSession:
+                   query / send+fetch cursor / prepared statements / file
+                   registry / tokenizer (reference: lib/src/webdb.cc).
+  - ``dialect``    DuckDB→Spark SQL translation: ``::`` casts,
+                   generate_series, substring FROM/FOR, parquet_scan +
+                   implicit file refs, PRAGMA, COPY, EXPORT (SURVEY §4.2).
+  - ``writers``    COPY TO csv/parquet single-file sinks + EXPORT DATABASE.
+  - ``sources``    CSV option surface, JSON (row-array + column-object with
+                   the inference lattice), Arrow ingestion, type-name
+                   grammar (reference lib/src/json_*.cc, csv_*.cc).
+  - ``plans``      the query corpus: adapted TPC-H q1–q22 (plans.tpch) and
+                   the system micro-benchmarks (plans.micro).
+  - ``operators``  LLM-data-pipeline extensions: dedup (exact / n-gram
+                   Jaccard / MinHash-LSH / SimHash / embedding LSH),
+                   similarity search (brute-force + IVF), text analysis,
+                   multimodal binary-column plumbing.
+  - ``tokenizer``  SQL lexer for the Tokenize() API surface.
+  - ``streaming``  Structured Streaming over the events table (planned —
+                   not yet on disk).
 
 Everything is DataFrame/Spark-SQL declarative so Catalyst does pushdown,
-pruning, join selection, and AQE; Python UDFs appear only where built-ins
+pruning, join selection, and AQE; Python appears only where built-ins
 cannot express the semantics (and then as Arrow-batched pandas UDFs).
 """
 
 from duckdb_wasm_spark.tables import TABLES, load_table, load_tables
 
-__all__ = ["TABLES", "load_table", "load_tables"]
-__version__ = "0.1.0"
+__all__ = ["TABLES", "load_table", "load_tables", "SparkDB"]
+__version__ = "0.2.0"
+
+
+def __getattr__(name):
+    if name == "SparkDB":  # lazy: avoid importing pyspark at package import
+        from duckdb_wasm_spark.session import SparkDB
+
+        return SparkDB
+    raise AttributeError(name)

@@ -1,0 +1,331 @@
+"""DuckDB → Spark SQL dialect translation (SURVEY §4.2 "custom work
+Catalyst does NOT give us"; exercised by the reference's own SQL corpus:
+packages/duckdb-wasm/test/batch_stream.test.ts:23-283 (`::` casts,
+generate_series), test/bindings.test.ts:57-199, tpch/*.sql
+(substring FROM/FOR), test/regression/github_332.test.ts:68 (implicit
+file table refs), test/filesystem.test.ts:116-214 (COPY / EXPORT).
+
+`translate()` classifies a statement and rewrites the query text:
+  - `expr::TYPE`        → CAST(expr AS TYPE) with the type-name map
+  - generate_series     → Spark's `range` TVF (inclusive → end+step)
+  - substring FROM/FOR  → substring(x, i, n)
+  - parquet_scan('f') / read_csv('f') / bare 'f.parquet' table refs →
+    placeholder views the session registers from its file registry
+  - PRAGMA / COPY / EXPORT / DDL / INSERT → structured commands the
+    session executes outside spark.sql
+
+Pure string-level translation; everything that parses as a plain query
+goes straight to spark.sql so Catalyst sees the original shape.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+# DuckDB type name → Spark SQL type name
+_TYPE_MAP = {
+    "varchar": "STRING",
+    "text": "STRING",
+    "char": "STRING",
+    "bpchar": "STRING",
+    "real": "FLOAT",
+    "float4": "FLOAT",
+    "float8": "DOUBLE",
+    "int1": "TINYINT",
+    "int2": "SMALLINT",
+    "int4": "INT",
+    "int8": "BIGINT",
+    "signed": "INT",
+    "hugeint": "DECIMAL(38,0)",
+    "utinyint": "SMALLINT",
+    "usmallint": "INT",
+    "uinteger": "BIGINT",
+    "ubigint": "DECIMAL(20,0)",
+    "blob": "BINARY",
+    "bytea": "BINARY",
+    "logical": "BOOLEAN",
+    "bool": "BOOLEAN",
+    "datetime": "TIMESTAMP",
+}
+
+
+def map_type_name(name: str) -> str:
+    base = name.strip()
+    m = re.match(r"^([A-Za-z_]+)\s*(\(.*\))?$", base)
+    if not m:
+        return base
+    head, params = m.group(1).lower(), m.group(2) or ""
+    if head in ("varchar", "char", "bpchar", "text"):
+        return "STRING"  # length-parameterized strings collapse
+    if head in _TYPE_MAP:
+        return _TYPE_MAP[head]
+    return (head.upper() + params)
+
+
+@dataclass
+class Translated:
+    kind: str  # query | show_tables | create_table | create_table_as |
+    #            create_view | drop | insert | copy | export | unsupported
+    sql: str = ""
+    # file tables to register before running: view_name -> (path, format)
+    file_views: dict[str, tuple[str, str]] = field(default_factory=dict)
+    # structured command payload (DDL/COPY/...)
+    meta: dict = field(default_factory=dict)
+
+
+_CAST_OPERAND = (
+    # f(...) — no space before the paren, or `SELECT (expr)::T` would
+    # lex the keyword as a call name
+    r"([A-Za-z_][\w.]*\([^()]*\)"
+    r"|\([^()]*\)"  # (...)
+    r"|'[^']*'"  # 'literal'
+    r"|[A-Za-z_][\w.]*"  # identifier
+    r"|\d+(?:\.\d+)?)"  # number
+)
+_CAST_TYPE = r"([A-Za-z_]\w*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"
+_CAST_RE = re.compile(_CAST_OPERAND + r"\s*::\s*" + _CAST_TYPE)
+
+
+def _rewrite_casts(sql: str) -> str:
+    prev = None
+    while prev != sql:  # fixpoint: supports chained/nested casts
+        prev = sql
+        sql = _CAST_RE.sub(
+            lambda m: f"CAST({m.group(1)} AS {map_type_name(m.group(2))})", sql
+        )
+    return sql
+
+
+_GENSERIES_RE = re.compile(
+    r"generate_series\s*\(([^()]*)\)", re.IGNORECASE
+)
+
+
+def _rewrite_generate_series(sql: str) -> str:
+    """duckdb's bounds are INCLUSIVE; Spark's range excludes the end.
+    Args may be literals or scalar expressions incl. `?` parameter
+    markers (bindings.test.ts:57 uses generate_series(0, ?)); a
+    non-literal step is assumed positive."""
+
+    def repl(m):
+        parts = [p.strip() for p in m.group(1).split(",")]
+        if len(parts) not in (2, 3):
+            return m.group(0)
+        a, b = parts[0], parts[1]
+        step = parts[2] if len(parts) == 3 else "1"
+        try:
+            step_i = int(step)
+        except ValueError:
+            step_i = 1  # expression step: assume ascending
+        bump = "+ 1" if step_i > 0 else "- 1"
+        try:
+            end = str(int(b) + (1 if step_i > 0 else -1))
+        except ValueError:
+            end = f"({b}) {bump}"
+        if step == "1":
+            return f"range({a}, {end})"
+        return f"range({a}, {end}, {step})"
+
+    return _GENSERIES_RE.sub(repl, sql)
+
+
+_SUBSTR_FF = re.compile(
+    r"substring\s*\(\s*(.+?)\s+from\s+(.+?)\s+for\s+(.+?)\s*\)", re.IGNORECASE
+)
+_SUBSTR_F = re.compile(
+    r"substring\s*\(\s*(.+?)\s+from\s+(.+?)\s*\)", re.IGNORECASE
+)
+
+
+def _rewrite_substring(sql: str) -> str:
+    sql = _SUBSTR_FF.sub(r"substring(\1, \2, \3)", sql)
+    sql = _SUBSTR_F.sub(r"substring(\1, \2)", sql)
+    return sql
+
+
+_SCAN_FN_RE = re.compile(
+    r"(parquet_scan|read_parquet|read_csv_auto|read_csv)\s*\(\s*'([^']+)'\s*\)",
+    re.IGNORECASE,
+)
+# a bare 'file.csv' used as a table reference after FROM/JOIN
+_FILE_REF_RE = re.compile(
+    r"(\bfrom\b|\bjoin\b)(\s+)'([^']+\.(?:csv|parquet|json))'", re.IGNORECASE
+)
+
+
+def _view_name_for(path: str, idx: int) -> str:
+    stem = re.sub(r"\W+", "_", path.rsplit("/", 1)[-1])
+    return f"_file_{stem}_{idx}"
+
+
+def _rewrite_file_tables(sql: str) -> tuple[str, dict[str, tuple[str, str]]]:
+    views: dict[str, tuple[str, str]] = {}
+
+    def scan_repl(m):
+        fn, path = m.group(1).lower(), m.group(2)
+        fmt = "csv" if "csv" in fn else "parquet"
+        name = _view_name_for(path, len(views))
+        views[name] = (path, fmt)
+        return name
+
+    sql = _SCAN_FN_RE.sub(scan_repl, sql)
+
+    def ref_repl(m):
+        path = m.group(3)
+        fmt = path.rsplit(".", 1)[-1].lower()
+        name = _view_name_for(path, len(views))
+        views[name] = (path, fmt)
+        return f"{m.group(1)}{m.group(2)}{name}"
+
+    sql = _FILE_REF_RE.sub(ref_repl, sql)
+    return sql, views
+
+
+def _rewrite_query_text(sql: str) -> tuple[str, dict[str, tuple[str, str]]]:
+    sql = _rewrite_casts(sql)
+    sql = _rewrite_generate_series(sql)
+    sql = _rewrite_substring(sql)
+    return _rewrite_file_tables(sql)
+
+
+# ----------------------------------------------------------- statements
+_PRAGMA_RE = re.compile(r"^\s*PRAGMA\s+(\w+)\s*;?\s*$", re.IGNORECASE)
+_CTAS_RE = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+([\w.\"]+)\s+AS\s+(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CREATE_TABLE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+([\w.\"]+)\s*\((.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CREATE_VIEW_RE = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+([\w.\"]+)\s+AS\s+(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_RE = re.compile(
+    r"^\s*DROP\s+(TABLE|VIEW)\s+(IF\s+EXISTS\s+)?([\w.\"]+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+([\w.\"]+)\s+(.*)$", re.IGNORECASE | re.DOTALL
+)
+_COPY_RE = re.compile(
+    r"^\s*COPY\s+(\([^)]*\)|[\w.\"]+)\s+TO\s+'([^']+)'\s*(?:\(|WITH\s*\()?([^)]*)\)?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_EXPORT_RE = re.compile(
+    r"^\s*EXPORT\s+DATABASE\s+'([^']+)'\s*(?:\(\s*FORMAT\s+(\w+)\s*\))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _norm_name(name: str) -> str:
+    name = name.strip().strip('"')
+    return name.split(".")[-1]  # schemas collapse to the default ("main")
+
+
+def translate(sql: str) -> Translated:
+    """Classify + rewrite one statement."""
+    if m := _PRAGMA_RE.match(sql):
+        pragma = m.group(1).lower()
+        if pragma == "show_tables":
+            return Translated("show_tables")
+        return Translated("unsupported", meta={"pragma": pragma})
+
+    if m := _EXPORT_RE.match(sql):
+        return Translated(
+            "export",
+            meta={"dir": m.group(1), "format": (m.group(2) or "csv").lower()},
+        )
+
+    if m := _COPY_RE.match(sql):
+        src, path, opts_text = m.group(1), m.group(2), m.group(3) or ""
+        opts: dict[str, str] = {}
+        for part in re.split(r",", opts_text):
+            part = part.strip()
+            if not part:
+                continue
+            kv = part.split(None, 1)
+            key = kv[0].lower()
+            val = kv[1].strip().strip("'") if len(kv) > 1 else "true"
+            opts[key] = val
+        if src.startswith("("):
+            inner, views = _rewrite_query_text(src[1:-1])
+            return Translated(
+                "copy", sql=inner, file_views=views,
+                meta={"path": path, "options": opts, "source": None},
+            )
+        return Translated(
+            "copy",
+            meta={"path": path, "options": opts, "source": _norm_name(src)},
+        )
+
+    if m := _CTAS_RE.match(sql):
+        query, views = _rewrite_query_text(m.group(2).rstrip("; \n"))
+        return Translated(
+            "create_table_as", sql=query, file_views=views,
+            meta={"name": _norm_name(m.group(1))},
+        )
+
+    if m := _CREATE_TABLE_RE.match(sql):
+        return Translated(
+            "create_table",
+            meta={"name": _norm_name(m.group(1)), "columns_sql": m.group(2)},
+        )
+
+    if m := _CREATE_VIEW_RE.match(sql):
+        query, views = _rewrite_query_text(m.group(2).rstrip("; \n"))
+        return Translated(
+            "create_view", sql=query, file_views=views,
+            meta={"name": _norm_name(m.group(1))},
+        )
+
+    if m := _DROP_RE.match(sql):
+        return Translated(
+            "drop",
+            meta={
+                "what": m.group(1).lower(),
+                "if_exists": bool(m.group(2)),
+                "name": _norm_name(m.group(3)),
+            },
+        )
+
+    if m := _INSERT_RE.match(sql):
+        body, views = _rewrite_query_text(m.group(2).rstrip("; \n"))
+        return Translated(
+            "insert", sql=body, file_views=views,
+            meta={"name": _norm_name(m.group(1))},
+        )
+
+    query, views = _rewrite_query_text(sql)
+    return Translated("query", sql=query, file_views=views)
+
+
+def columns_from_ddl(columns_sql: str) -> str:
+    """`a INTEGER, b VARCHAR(11) DEFAULT NULL` → Spark DDL schema string.
+    DEFAULT NULL collapses to plain nullable (bindings.test.ts:74-84)."""
+    out = []
+    depth = 0
+    cur = []
+    parts: list[str] = []
+    for ch in columns_sql:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    for part in parts:
+        part = re.sub(r"\s+DEFAULT\s+NULL\s*$", "", part.strip(), flags=re.IGNORECASE)
+        toks = part.split(None, 1)
+        if len(toks) != 2:
+            raise ValueError(f"cannot parse column def: {part!r}")
+        name, typ = toks
+        out.append(f"{name} {map_type_name(typ)}")
+    return ", ".join(out)

@@ -1,0 +1,239 @@
+"""Session/connection API: behaviors mirrored from the reference's
+test/bindings.test.ts (generate_series, prepared statements, typecheck,
+bigint patch, tokenizer goldens) and test/filesystem.test.ts (parquet
+scan via registry, COPY round-trips, EXPORT DATABASE)."""
+
+import os
+
+import pyarrow as pa
+import pytest
+
+from duckdb_wasm_spark.session import Connection, SparkDB, SparkDBError
+
+
+@pytest.fixture(scope="module")
+def db(spark):
+    return SparkDB(spark=spark)
+
+
+@pytest.fixture()
+def conn(db):
+    return db.connect()
+
+
+# ------------------------------------------------------------- queries
+def test_generate_series(conn):
+    # bindings.test.ts:57 / webdb_test.cc:53: inclusive bounds
+    t = conn.query("SELECT v::INTEGER AS v FROM generate_series(0, 3) t(v)")
+    assert t.column("v").to_pylist() == [0, 1, 2, 3]
+
+
+def test_cast_dialect(conn):
+    t = conn.query("SELECT (41 + 1)::TINYINT AS a, '7'::INTEGER AS b")
+    assert t.column("a").to_pylist() == [42]
+    assert t.column("b").to_pylist() == [7]
+
+
+def test_bigint_patch_default(conn):
+    # bindings.test.ts:176-199: int64 results arrive as float64 unless
+    # emitBigInt
+    t = conn.query("SELECT 9007199254740991 AS v")
+    assert pa.types.is_float64(t.schema.field("v").type)
+
+
+def test_emit_bigint_flag(spark):
+    db = SparkDB(spark=spark, config={"emitBigInt": True})
+    t = db.connect().query("SELECT 1::BIGINT AS v")
+    assert pa.types.is_int64(t.schema.field("v").type)
+
+
+# ---------------------------------------------------------------- DDL
+def test_ctas_insert_drop(conn):
+    conn.query("CREATE TABLE t1 AS SELECT 1::INTEGER AS a")
+    conn.query("INSERT INTO t1 VALUES (2), (3)")
+    t = conn.query("SELECT count(*)::INTEGER AS n FROM t1")
+    assert t.column("n").to_pylist() == [3]
+    names = conn.query("PRAGMA show_tables").column("name").to_pylist()
+    assert "t1" in names
+    conn.query("DROP TABLE t1")
+    assert "t1" not in conn.query("PRAGMA show_tables").column("name").to_pylist()
+
+
+def test_create_table_columns_default_null(conn):
+    # bindings.test.ts:74-84
+    conn.query(
+        "CREATE TABLE typed (a INTEGER, b VARCHAR(11) DEFAULT NULL)"
+    )
+    conn.query("INSERT INTO typed VALUES (1, 'x')")
+    rows = conn.query("SELECT * FROM typed")
+    assert rows.column("a").to_pylist() == [1.0] or rows.column("a").to_pylist() == [1]
+    conn.query("DROP TABLE typed")
+
+
+def test_insert_strict_typecheck(conn):
+    # bindings.test.ts:86-142: out-of-range insert must be rejected
+    conn.query("CREATE TABLE narrow (a TINYINT)")
+    with pytest.raises(Exception):
+        conn.query("INSERT INTO narrow VALUES (1000)")
+    conn.query("DROP TABLE narrow")
+
+
+def test_create_view(conn):
+    conn.query("CREATE TABLE base AS SELECT 5::INTEGER AS x")
+    conn.query("CREATE VIEW v5 AS SELECT x * 2 AS y FROM base")
+    assert conn.query("SELECT y FROM v5").column("y").to_pylist() == [10]
+    conn.query("DROP VIEW v5")
+    conn.query("DROP TABLE base")
+
+
+# -------------------------------------------------- prepared statements
+def test_prepared_statements(conn):
+    # bindings.test.ts:57-86 / webdb_test.cc:53-68
+    stmt = conn.prepare("SELECT v::INTEGER + ? AS v FROM generate_series(0, 2) t(v)")
+    t = conn.run_prepared(stmt, 10)
+    assert t.column("v").to_pylist() == [10.0, 11.0, 12.0]
+    conn.close_prepared(stmt)
+    with pytest.raises(SparkDBError):
+        conn.run_prepared(stmt, 1)
+
+
+def test_prepared_stream(conn):
+    stmt = conn.prepare("SELECT v::INTEGER AS v FROM generate_series(1, ?) t(v)")
+    stream = conn.send_prepared(stmt, 3)
+    got = []
+    for batch in stream:
+        got += batch.column("v").to_pylist()
+    assert got == [1.0, 2.0, 3.0]
+
+
+# ------------------------------------------------------ streaming cursor
+def test_send_fetch_cursor(conn):
+    stream = conn.send("SELECT v::INTEGER AS v FROM generate_series(0, 2999) t(v)")
+    batches = []
+    while (b := conn.fetch()) is not None:
+        batches.append(b)
+    assert sum(b.num_rows for b in batches) == 3000
+    assert len(batches) >= 3  # batched pull, not one blob
+    with pytest.raises(SparkDBError):
+        conn.fetch()  # cursor consumed
+
+
+def test_one_cursor_per_connection(conn):
+    s1 = conn.send("SELECT 1 AS a")
+    s2 = conn.send("SELECT 2 AS a")  # replaces s1 (webdb.h:40-47)
+    assert s1._done  # first cursor cancelled
+    vals = [b.column("a").to_pylist() for b in s2]
+    assert vals == [[2.0]]
+
+
+# ------------------------------------------------------- file registry
+def test_register_and_scan_parquet(conn, db, sf_dir):
+    db.register_file_url("region.parquet", f"{sf_dir}/region.parquet")
+    t = conn.query(
+        "SELECT count(*)::INTEGER AS n FROM parquet_scan('region.parquet')"
+    )
+    assert t.column("n").to_pylist() == [5]
+
+
+def test_register_buffer_csv_and_implicit_ref(conn, db):
+    db.register_file_text("pets.csv", "name,age\nrex,3\nmia,5\n")
+    t = conn.query("SELECT count(*)::INTEGER AS n FROM 'pets.csv'")
+    assert t.column("n").to_pylist() == [2]
+
+
+def test_glob_and_drop(db):
+    db.register_file_text("g1.csv", "a\n1\n")
+    db.register_file_text("g2.csv", "a\n2\n")
+    assert db.glob_files("g*.csv") == ["g1.csv", "g2.csv"]
+    db.drop_file("g1.csv")
+    assert db.glob_files("g*.csv") == ["g2.csv"]
+
+
+# ------------------------------------------------------------ tokenizer
+def test_tokenizer_goldens(db):
+    # webdb_test.cc:77-79, verbatim
+    assert db.tokenize("SELECT 1") == {"offsets": [0, 7], "types": [4, 1]}
+    assert db.tokenize("SELECT * FROM region") == {
+        "offsets": [0, 7, 9, 14],
+        "types": [4, 3, 4, 0],
+    }
+    assert db.tokenize("SELECT * FROM region, nation") == {
+        "offsets": [0, 7, 9, 14, 20, 22],
+        "types": [4, 3, 4, 0, 3, 0],
+    }
+
+
+def test_version_and_flags(db):
+    assert "duckdb_wasm_spark" in db.get_version()
+    assert isinstance(db.get_feature_flags(), int)
+
+
+# ---------------------------------------------------- ingestion surface
+def test_insert_csv_from_path(conn, db):
+    db.register_file_text("ins.csv", "a,b\n1,x\n2,y\n")
+    conn.insert_csv_from_path("ins.csv", table="ins1")
+    assert conn.query("SELECT count(*)::INTEGER AS n FROM ins1").column(
+        "n"
+    ).to_pylist() == [2]
+    # append mode (create=False) unions
+    conn.insert_csv_from_path("ins.csv", table="ins1", create=False)
+    assert conn.query("SELECT count(*)::INTEGER AS n FROM ins1").column(
+        "n"
+    ).to_pylist() == [4]
+    conn.query("DROP TABLE ins1")
+
+
+def test_insert_json_and_arrow(conn, db):
+    db.register_file_text("rows.json", '[{"a": 1}, {"a": 2}]')
+    conn.insert_json_from_path("rows.json", table="j1")
+    assert conn.query("SELECT sum(a)::INTEGER AS s FROM j1").column(
+        "s"
+    ).to_pylist() == [3]
+    conn.insert_arrow_table(pa.table({"a": [5, 6]}), name="a1")
+    assert conn.query("SELECT sum(a)::INTEGER AS s FROM a1").column(
+        "s"
+    ).to_pylist() == [11]
+    conn.query("DROP TABLE j1")
+    conn.query("DROP TABLE a1")
+
+
+# ----------------------------------------------------- COPY and EXPORT
+def test_copy_csv_roundtrip(conn, db, tmp_path):
+    # filesystem.test.ts:116-138
+    conn.query("CREATE TABLE ct AS SELECT v::INTEGER AS v FROM generate_series(1, 5) t(v)")
+    out = str(tmp_path / "out.csv")
+    conn.query(f"COPY ct TO '{out}' WITH (HEADER, DELIMITER '|')")
+    text = open(out).read()
+    assert text.splitlines()[0] == "v"
+    assert "|" not in text  # single column — delimiter accepted, unused
+    t = conn.query(f"SELECT count(*)::INTEGER AS n FROM 'out.csv'")
+    assert t.column("n").to_pylist() == [5]
+    conn.query("DROP TABLE ct")
+
+
+def test_copy_parquet_roundtrip(conn, db, tmp_path):
+    # filesystem.test.ts:139-160
+    conn.query("CREATE TABLE cp AS SELECT v::INTEGER AS v FROM generate_series(1, 100) t(v)")
+    out = str(tmp_path / "roundtrip.parquet")
+    conn.query(f"COPY cp TO '{out}' (FORMAT PARQUET)")
+    t = conn.query(
+        f"SELECT sum(v)::INTEGER AS s FROM parquet_scan('roundtrip.parquet')"
+    )
+    assert t.column("s").to_pylist() == [5050]
+    conn.query("DROP TABLE cp")
+
+
+def test_export_database(conn, db, tmp_path):
+    # filesystem.test.ts:183-214
+    conn.query("CREATE TABLE ex1 AS SELECT 1::INTEGER AS a")
+    conn.query("CREATE TABLE ex2 AS SELECT 'x' AS b")
+    out = str(tmp_path / "exported")
+    conn.query(f"EXPORT DATABASE '{out}' (FORMAT PARQUET)")
+    assert os.path.exists(f"{out}/schema.sql")
+    assert os.path.exists(f"{out}/load.sql")
+    assert os.path.exists(f"{out}/ex1.parquet")
+    assert os.path.exists(f"{out}/ex2.parquet")
+    ddl = open(f"{out}/schema.sql").read()
+    assert "CREATE TABLE ex1" in ddl
+    conn.query("DROP TABLE ex1")
+    conn.query("DROP TABLE ex2")
