@@ -35,6 +35,7 @@ def _registries():
         "duckdb_wasm_spark.plans.micro",
         "duckdb_wasm_spark.plans.extras",
         "duckdb_wasm_spark.operators.registry",
+        "duckdb_wasm_spark.streaming.windows",
     ):
         try:
             mod = __import__(modname, fromlist=["QUERIES"])

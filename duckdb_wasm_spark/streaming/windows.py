@@ -1,0 +1,144 @@
+"""Event-time window aggregations over `events` — batch DataFrames
+using the exact operators Structured Streaming runs incrementally
+(`F.window`, `F.session_window`), each with a DuckDB oracle so the
+driver's correctness gate covers the semantics.
+
+Determinism: window boundaries are pure integer epoch arithmetic in
+both engines (Spark window() ≡ DuckDB time_bucket for epoch-aligned
+tumbling buckets); value sums follow the decimal accumulation policy.
+
+Scale notes (100 TB): tumbling/sliding aggs are partial+final hash
+aggregates keyed on (window, type) — one shuffle; the sliding window
+fans each row into window/slide copies (2× here) before the partial
+agg, exactly like Spark's streaming expansion. Session windows shuffle
+by user and sort within partitions (Spark's session_window does the
+merge sort-side; the oracle's lag/cumsum-islands form is the same
+algorithm spelled out).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_wasm_spark.plans._util import dec, dsum, sql_dec, sql_dsum
+from duckdb_wasm_spark.tables import load_table
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name):
+    def reg(fn):
+        QUERIES[name] = fn
+        return fn
+
+    return reg
+
+
+# -------------------------------------------------------- events_tumbling
+@_q("events_tumbling")
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event_type: count + exact value sum.
+    Identical incremental form: readStream → withWatermark →
+    groupBy(window(ts, '1 hour'), event_type)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(dec("value")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+ORACLE["events_tumbling"] = f"""
+select time_bucket(interval 1 hour, ts) window_start,
+       event_type,
+       count(*) n,
+       {sql_dsum(sql_dec('value'))} sum_value
+from events
+group by 1, 2
+"""
+
+
+# --------------------------------------------------------- events_sliding
+@_q("events_sliding")
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes (each event lands in 2
+    windows) — Spark's window(ts, '1 hour', '30 minutes')."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+
+
+# the oracle expands the slide fan-out explicitly: an event at t belongs
+# to windows starting at bucket(t) and bucket(t) - 30min (those whose
+# [start, start+1h) contains t)
+ORACLE["events_sliding"] = """
+with fan as (
+  select time_bucket(interval 30 minutes, ts)
+           - k * (interval 30 minutes) window_start,
+         ts
+  from events, (select unnest([0, 1]) k))
+select window_start, count(*) n
+from fan
+where ts >= window_start
+  and ts < window_start + interval 1 hour
+group by 1
+"""
+
+
+# --------------------------------------------------------- events_session
+SESSION_GAP_MIN = 10
+
+
+@_q("events_session")
+def events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 10-minute inactivity gap —
+    Spark's session_window (the streaming stateful session operator) in
+    batch form. Output: user, session start, event count."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n",
+        )
+    )
+
+
+# islands form: a new session starts where the gap from the previous
+# event of the same user is >= the gap threshold
+ORACLE["events_session"] = f"""
+with marked as (
+  select user_id, ts,
+         case when lag(ts) over (partition by user_id order by ts)
+                   is null
+               or ts - lag(ts) over (partition by user_id order by ts)
+                   >= interval {SESSION_GAP_MIN} minutes
+              then 1 else 0 end new_session
+  from events),
+numbered as (
+  select user_id, ts,
+         sum(new_session) over (partition by user_id order by ts
+                                rows unbounded preceding) session_id
+  from marked)
+select user_id, min(ts) session_start, count(*) n
+from numbered
+group by user_id, session_id
+"""

@@ -1,0 +1,45 @@
+"""Streaming: window-aggregation oracle parity (batch form of the
+streaming operators) and real Structured Streaming runs (file source →
+watermark/state → memory sink) checked against batch results."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_wasm_spark.streaming import live, windows
+from duckdb_wasm_spark.testing import assert_parity
+
+
+@pytest.mark.parametrize("name", sorted(windows.QUERIES))
+def test_window_parity(name, spark, sf_dir, oracle):
+    assert name in windows.ORACLE
+    assert_parity(
+        windows.QUERIES[name](spark, sf_dir), windows.ORACLE[name], oracle, name
+    )
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir):
+    got, expected = live.stream_tumbling_counts(spark, sf_dir)
+    g = {(r.window_start, r.event_type): r.n for r in got.collect()}
+    e = {(r.window_start, r.event_type): r.n for r in expected.collect()}
+    assert g == e and len(g) > 0
+
+
+def test_stateful_running_counts(spark, sf_dir):
+    sink = live.run_stateful_counts(spark, sf_dir)
+    # last update per key is the final running total == batch count
+    final = {
+        r.event_type: r.total
+        for r in sink.groupBy("event_type")
+        .agg(F.max("total").alias("total"))
+        .collect()
+    }
+    from duckdb_wasm_spark.tables import load_table
+
+    batch = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert final == batch
