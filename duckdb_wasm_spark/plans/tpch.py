@@ -794,8 +794,15 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     part↔supplier association is observed through lineitem. Preserves
     count(distinct), NOT IN (subquery), IN (value list), NOT LIKE."""
     t = load_tables(spark, sf_dir, "lineitem", "part", "supplier")
-    bad_supp = t["supplier"].where(F.col("s_name").like("%7")).select(
-        F.col("s_suppkey").alias("bad_key")
+    # NOT IN (subquery) → left_anti is exact only while the subquery
+    # side has no NULLs (SQL NOT IN yields empty on any NULL); s_suppkey
+    # is a non-null key in this schema — guard anyway so a nullable
+    # future schema can't silently diverge.
+    bad_supp = (
+        t["supplier"]
+        .where(F.col("s_name").like("%7"))
+        .select(F.col("s_suppkey").alias("bad_key"))
+        .where(F.col("bad_key").isNotNull())
     )
     part = t["part"].where(
         (F.col("p_brand") != "Brand#1")

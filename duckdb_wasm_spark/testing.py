@@ -42,11 +42,16 @@ def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def assert_parity(sdf, sql: str, con: duckdb.DuckDBPyConnection, name: str = "?"):
-    sp = _normalize(sdf.toPandas())
-    du = _normalize(con.execute(sql).df())
-    assert list(sp.columns) == list(du.columns), (
-        f"{name}: column mismatch spark={list(sp.columns)} duck={list(du.columns)}"
+    sp_raw = sdf.toPandas()
+    du_raw = con.execute(sql).df()
+    # compare the ORIGINAL column order first (the driver sorts columns
+    # before hashing, but a SELECT-order mismatch is a query bug)
+    assert list(sp_raw.columns) == list(du_raw.columns), (
+        f"{name}: column order mismatch spark={list(sp_raw.columns)} "
+        f"duck={list(du_raw.columns)}"
     )
+    sp = _normalize(sp_raw)
+    du = _normalize(du_raw)
     assert len(sp) == len(du), f"{name}: rowcount spark={len(sp)} duck={len(du)}"
     pd.testing.assert_frame_equal(
         sp, du, check_dtype=False, check_exact=True, obj=name
