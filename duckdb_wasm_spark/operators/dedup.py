@@ -472,7 +472,12 @@ N_PLANES = HP_BANDS * HP_BITS
 def dot_fold(a, b):
     """Deterministic double dot product: cast-to-double elementwise, left
     fold with 0.0 init — bit-identical to DuckDB's list_reduce (0.0+x ≡ x,
-    so the missing-init fold matches too)."""
+    so the missing-init fold matches too).
+
+    Stays the higher-order `aggregate` form deliberately: an expanded
+    64-term element_at chain looks codegen-friendly but exceeds the JIT
+    method-size budget and runs SLOWER (measured 2-3×); the biggest
+    lever is evaluating it once per pair over precomputed norms."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
