@@ -167,6 +167,36 @@ where l_quantity <= 5 and c_mktsegment = 'BUILDING'
 """
 
 
+# ----------------------------------------------------- micro_scalar_fns
+@_q("micro_scalar_fns")
+def micro_scalar_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math + bitwise scalar coverage (ref batch_stream.test.ts:23
+    `(v & 127)::TINYINT`, batch_stream_async.test.ts:101 `sin(v)`).
+    Trig results are rounded to 12 decimals: JVM Math.sin and DuckDB's
+    libm differ in the last ulp on ~0.4% of inputs; at 12 decimals the
+    fixed event_id domain matches exactly (verified, deterministic)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.round(F.sin("event_id"), 12).alias("sin_v"),
+        F.round(F.cos("event_id"), 12).alias("cos_v"),
+        F.col("event_id").bitwiseAND(F.lit(127)).alias("band7"),
+        F.col("event_id").bitwiseXOR(F.lit(255)).alias("bxor"),
+        (F.col("event_id") % 7).alias("bmod"),
+    )
+
+
+ORACLE["micro_scalar_fns"] = """
+select event_id,
+       round(sin(event_id), 12) sin_v,
+       round(cos(event_id), 12) cos_v,
+       (event_id & 127) band7,
+       xor(event_id, 255) bxor,
+       event_id % 7 bmod
+from events
+"""
+
+
 # ---------------------------------------------------- cardinality contract
 def CARDINALITY(spark: SparkSession, sf_dir: str) -> dict[str, int]:
     """Expected row count per micro query, computed from the inputs —

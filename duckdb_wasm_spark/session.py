@@ -89,6 +89,10 @@ class SparkDB:
         # in-memory catalog: name -> DataFrame (tables) / sql (views)
         self._tables: dict[str, DataFrame] = {}
         self._views: dict[str, DataFrame] = {}
+        # per-file access statistics (ref CollectFileStatistics /
+        # ExportFileStatistics, webdb.cc:702-714; lib/src/io/file_stats.cc)
+        self._file_stats: dict[str, dict] = {}
+        self._stats_enabled: set[str] = set()
 
     # ------------------------------------------------------------ open
     @classmethod
@@ -113,9 +117,28 @@ class SparkDB:
     def tokenize(self, text: str) -> dict:
         return tokenizer.tokenize(text)
 
+    def reset(self) -> None:
+        """Drop all tables, views, registered files, and live state —
+        the reference's Open()/Reset cycle without tearing down the JVM
+        (ref webdb.cc:541-577 re-open semantics)."""
+        for name in self.list_tables():
+            try:
+                self.spark.catalog.dropTempView(name)
+            except Exception:
+                pass
+        self._tables.clear()
+        self._views.clear()
+        self._files.clear()
+        self._file_stats.clear()
+
     # --------------------------------------------------- file registry
     def register_file_url(self, name: str, path: str) -> None:
-        """Bind a name to an existing local path/URL (ref RegisterFileURL)."""
+        """Bind a name to an existing local path or distributed-FS URL.
+        s3a:// / abfs:// / gs:// URLs pass straight to spark.read, whose
+        parquet reader already does ranged (partial) reads — the Spark
+        counterpart of the reference's HTTP-Range machinery
+        (runtime_browser.ts:161-235). Plain http(s) would need staging.
+        (ref RegisterFileURL, webdb.cc:579-627)"""
         self._files[name] = path
 
     def register_file_buffer(self, name: str, data: bytes) -> str:
@@ -150,10 +173,36 @@ class SparkDB:
 
     def _resolve_file(self, name: str) -> str:
         if name in self._files:
-            return self._files[name]
-        if os.path.exists(name):
-            return name
-        raise SparkDBError(f"unknown file: {name!r}")
+            path = self._files[name]
+        elif os.path.exists(name):
+            path = name
+        else:
+            raise SparkDBError(f"unknown file: {name!r}")
+        if name in self._stats_enabled:
+            st = self._file_stats.setdefault(
+                name, {"reads": 0, "bytes": 0}
+            )
+            st["reads"] += 1
+            try:
+                st["bytes"] = os.path.getsize(path)
+            except OSError:
+                pass
+        return path
+
+    # ------------------------------------------------- file statistics
+    def collect_file_statistics(self, name: str, enable: bool = True) -> None:
+        """Toggle access-statistics collection for one registered file
+        (ref CollectFileStatistics, webdb.cc:702-708)."""
+        if enable:
+            self._stats_enabled.add(name)
+            self._file_stats.setdefault(name, {"reads": 0, "bytes": 0})
+        else:
+            self._stats_enabled.discard(name)
+
+    def export_file_statistics(self, name: str) -> dict:
+        """Export collected statistics (ref ExportFileStatistics,
+        webdb.cc:711-714): resolve count + current byte size."""
+        return dict(self._file_stats.get(name, {"reads": 0, "bytes": 0}))
 
     # --------------------------------------------------------- catalog
     def _register_catalog_views(self) -> None:

@@ -237,3 +237,26 @@ def test_export_database(conn, db, tmp_path):
     assert "CREATE TABLE ex1" in ddl
     conn.query("DROP TABLE ex1")
     conn.query("DROP TABLE ex2")
+
+
+# ---------------------------------------------------- reset + file stats
+def test_file_statistics(conn, db, sf_dir):
+    db.register_file_url("stats.parquet", f"{sf_dir}/region.parquet")
+    db.collect_file_statistics("stats.parquet", True)
+    conn.query("SELECT count(*) AS n FROM parquet_scan('stats.parquet')")
+    conn.query("SELECT count(*) AS n FROM parquet_scan('stats.parquet')")
+    st = db.export_file_statistics("stats.parquet")
+    assert st["reads"] == 2 and st["bytes"] > 0
+    db.collect_file_statistics("stats.parquet", False)
+    conn.query("SELECT 1 FROM parquet_scan('stats.parquet')")
+    assert db.export_file_statistics("stats.parquet")["reads"] == 2
+
+
+def test_reset(spark):
+    db2 = SparkDB(spark=spark)
+    c = db2.connect()
+    c.query("CREATE TABLE rt AS SELECT 1 AS a")
+    db2.register_file_text("r.csv", "a\n1\n")
+    db2.reset()
+    assert db2.list_tables() == []
+    assert db2.glob_files("*") == []
