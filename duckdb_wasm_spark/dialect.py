@@ -182,10 +182,32 @@ def _rewrite_file_tables(sql: str) -> tuple[str, dict[str, tuple[str, str]]]:
     return sql, views
 
 
+# sqlite-dialect strftime (the 7/8/9/22-sqlite tpch variants) → Spark's
+# date_format; both return VARCHAR
+_STRFTIME_MAP = {
+    "%Y": "yyyy", "%m": "MM", "%d": "dd",
+    "%H": "HH", "%M": "mm", "%S": "ss",
+}
+_STRFTIME_RE = re.compile(
+    r"strftime\s*\(\s*'([^']*)'\s*,\s*([^()]+?)\s*\)", re.IGNORECASE
+)
+
+
+def _rewrite_strftime(sql: str) -> str:
+    def repl(m):
+        fmt = m.group(1)
+        for k, v in _STRFTIME_MAP.items():
+            fmt = fmt.replace(k, v)
+        return f"date_format({m.group(2)}, '{fmt}')"
+
+    return _STRFTIME_RE.sub(repl, sql)
+
+
 def _rewrite_query_text(sql: str) -> tuple[str, dict[str, tuple[str, str]]]:
     sql = _rewrite_casts(sql)
     sql = _rewrite_generate_series(sql)
     sql = _rewrite_substring(sql)
+    sql = _rewrite_strftime(sql)
     return _rewrite_file_tables(sql)
 
 
