@@ -346,11 +346,30 @@ def _column_spans(text: str) -> dict[str, tuple[int, int]] | None:
     return spans
 
 
+_TRAILING_COMMA_RE = re.compile(r",(\s*[\]}])")
+
+
+def normalize_json_text(text: str) -> str:
+    """Strip trailing commas iff strict parsing needs it (Spark's JSON
+    parser is strict too, so the normalized text is what gets scanned)."""
+    try:
+        json.loads(text)
+        return text
+    except json.JSONDecodeError:
+        return _TRAILING_COMMA_RE.sub(r"\1", text)
+
+
+def loads_lenient(text: str):
+    """json.loads accepting trailing commas — the reference's rapidjson
+    parser flags allow them (exercised by github_334's row fixture)."""
+    return json.loads(normalize_json_text(text))
+
+
 def analyze_json(text: str) -> TableType:
     """Detect the table shape and infer the table type (ref
     InferTableType, json_analyzer.cc:613-700)."""
     try:
-        doc = json.loads(text)
+        doc = loads_lenient(text)
     except json.JSONDecodeError:
         return TableType(Shape.UNRECOGNIZED)
 

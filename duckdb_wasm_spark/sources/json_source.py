@@ -18,7 +18,6 @@ Shape handling:
 
 from __future__ import annotations
 
-import json
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -27,6 +26,8 @@ from duckdb_wasm_spark.sources.json_analyzer import (
     Shape,
     TableType,
     analyze_json,
+    loads_lenient,
+    normalize_json_text,
 )
 from duckdb_wasm_spark.sources.typenames import parse_columns
 
@@ -69,6 +70,10 @@ def read_json(
     if text is None:
         with open(path, "rb") as f:
             text = f.read().decode("utf-8")
+    raw_text = text
+    text = normalize_json_text(text)
+    if text is not raw_text:
+        path = None  # lenient cleanup: scan the normalized buffer, not the file
 
     table: TableType = analyze_json(text)
     if shape == "rows":
@@ -107,7 +112,7 @@ def read_json(
         return parsed.select("row.*")
 
     # COLUMN_OBJECT: transpose driver-side using the analyzer's spans
-    doc = json.loads(text)
+    doc = loads_lenient(text)
     names = [f.name for f in schema]
     arrays = {k: doc.get(k, []) for k in names}
     n_rows = max((len(v) for v in arrays.values()), default=0)
