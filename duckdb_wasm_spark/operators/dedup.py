@@ -115,12 +115,30 @@ def _gram_sets(docs: DataFrame) -> DataFrame:
 
 
 @_q("dedup_ngram_jaccard")
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, max_df: int | None = None
+) -> DataFrame:
     """Exact trigram-shingle Jaccard near-dup pairs (ground truth for the
     LSH variants). Inverted-index equi-join on the shingle — pairs that
-    share no shingle are never materialized."""
+    share no shingle are never materialized.
+
+    max_df: skew guard for scale — drop shingles appearing in more than
+    max_df documents before the self-join (a stop-gram shared by
+    millions of docs otherwise explodes one join key into a quadratic
+    hot partition; capping df bounds every key's fan-out at max_df²).
+    Off by default so the registered query stays the pure Jaccard
+    definition the oracle states; candidates lost to the cap can only
+    REMOVE result pairs whose overlap rode solely on stop-grams."""
     docs = load_table(spark, sf_dir, "documents")
     grams = _gram_sets(docs)
+    if max_df is not None:
+        rare = (
+            grams.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_df)
+            .select("gram")
+        )
+        grams = grams.join(rare, "gram", "left_semi")
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = grams.select(F.col("doc_id").alias("doc_a"), "gram")
     b = grams.select(F.col("doc_id").alias("doc_b"), "gram")

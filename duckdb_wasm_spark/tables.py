@@ -72,3 +72,32 @@ def load_tables(
     """Load several tables; defaults to all of TABLES."""
     use = names or TABLES
     return {n: load_table(spark, sf_dir, n) for n in use}
+
+
+def write_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    names_and_keys: dict[str, str],
+    n_buckets: int = 8,
+    database: str = "bucketed",
+) -> None:
+    """Materialize tables bucketed (and sorted) by their join key into a
+    catalog database — the co-located-join layout for repeated fact-fact
+    joins at scale: two tables bucketed on the same key with the same
+    bucket count join with NO exchange on either side (the shuffle is
+    paid once at write time, then amortized over every subsequent join).
+
+    At 100 TB this is the difference between re-shuffling the fact table
+    per query and a partition-local sort-merge join; on the cluster the
+    same call writes to the shared warehouse/metastore.
+    """
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    for name, key in names_and_keys.items():
+        df = load_table(spark, sf_dir, name)
+        (
+            df.write.mode("overwrite")
+            .bucketBy(n_buckets, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(f"{database}.{name}")
+        )

@@ -48,3 +48,17 @@ def test_entry_registry_exposes_operators():
     qs, osql = e.queries(), e.oracle_sql()
     for name in registry.QUERIES:
         assert name in qs and name in osql
+
+
+def test_ngram_jaccard_df_cap_is_sound(spark, sf_dir):
+    """The max_df skew guard may only shrink the candidate set — every
+    pair it emits must also appear in the uncapped exact result."""
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.QUERIES["dedup_ngram_jaccard"](spark, sf_dir).collect()
+    }
+    capped_df = dedup.dedup_ngram_jaccard(spark, sf_dir, max_df=50)
+    capped = {(r.doc_a, r.doc_b) for r in capped_df.collect()}
+    assert capped <= full
+    if full:
+        assert len(capped) / len(full) >= 0.5, "cap removed most true pairs"
