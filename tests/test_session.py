@@ -260,3 +260,52 @@ def test_reset(spark):
     db2.reset()
     assert db2.list_tables() == []
     assert db2.glob_files("*") == []
+
+
+# --------------------------------------- batch-stream type matrix
+# (batch_stream.test.ts:23-283: typed streamed results, value-exact)
+@pytest.mark.parametrize(
+    "sql,mask",
+    [
+        ("SELECT (v & 127)::TINYINT AS v FROM generate_series(0, 10000) t(v)", 127),
+        ("SELECT (v & 32767)::SMALLINT AS v FROM generate_series(0, 10000) t(v)", 32767),
+        ("SELECT v::INTEGER AS v FROM generate_series(0, 10000) t(v)", -1),
+        ("SELECT v::BIGINT AS v FROM generate_series(0, 10000) t(v)", -1),
+    ],
+    ids=["tinyint", "smallint", "integer", "bigint"],
+)
+def test_batch_stream_typed(conn, sql, mask):
+    i = 0
+    for batch in conn.send(sql):
+        assert batch.num_columns == 1
+        for v in batch.column("v").to_pylist():
+            want = i if mask < 0 else (i & mask)
+            assert v == want, (i, v)
+            i += 1
+    assert i == 10001
+
+
+def test_batch_stream_varchar(conn):
+    got = []
+    for batch in conn.send(
+        "SELECT v::VARCHAR AS v FROM generate_series(0, 2000) t(v)"
+    ):
+        got += batch.column("v").to_pylist()
+    assert got == [str(i) for i in range(2001)]
+
+
+def test_insert_json_explicit_shape_and_columns(conn, db):
+    # insert_json.test.ts 'options_1': forced ROW_ARRAY + typed columns,
+    # utf8 column keeps numbers as strings
+    db.register_file_text(
+        "opt1.json", '[{"a":1,"b":2,"c":3},{"a":4,"b":5,"c":6},{"a":7,"b":8,"c":9}]'
+    )
+    conn.insert_json_from_path(
+        "opt1.json",
+        table="opt1",
+        shape="rows",
+        columns={"a": "int16", "b": "int32", "c": "utf8"},
+    )
+    t = conn.query("SELECT * FROM opt1")
+    assert t.column("c").to_pylist() == ["3", "6", "9"]
+    conn.query("DROP TABLE opt1")
