@@ -1,0 +1,92 @@
+"""Spark ML LSH variants of the dedup/ANN operators — the stock
+`pyspark.ml.feature` implementations (MinHashLSH over hashed token
+features, BucketedRandomProjectionLSH over embeddings), registered as
+rows-only queries: their hash families are JVM-internal (seeded,
+deterministic, but not reproducible in DuckDB SQL), so no oracle —
+the hand-rolled md5-based variants in operators/dedup.py carry the
+exact-oracle coverage for the same algorithm families.
+
+Scale notes: both are the classic banded-LSH candidate joins under the
+hood (approxSimilarityJoin explodes hash bands and equi-joins on
+bucket), so cost follows collisions, not n². Fit is a metadata-only
+pass (MinHash seeds / random projections), no training shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_wasm_spark.operators._text import toks, trigrams
+from duckdb_wasm_spark.tables import load_table
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}  # intentionally empty: rows-only checks
+
+
+def _q(name):
+    def reg(fn):
+        QUERIES[name] = fn
+        return fn
+
+    return reg
+
+
+SEED = 42
+
+
+@_q("dedup_minhash_ml")
+def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pyspark.ml MinHashLSH near-dup candidates over hashed trigram
+    SHINGLE features (same item universe as the md5 MinHash in
+    dedup.py — raw tokens share too much vocabulary to discriminate),
+    Jaccard distance < 0.8 ⇔ shingle similarity > 0.2 (seeded →
+    deterministic run to run)."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "_t", toks()
+    ).select("doc_id", trigrams(F.col("_t")).alias("tokens"))
+    tf = HashingTF(
+        inputCol="tokens", outputCol="features", numFeatures=1 << 14, binary=True
+    )
+    feats = tf.transform(docs)
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8,
+                    seed=SEED)
+    model = mh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.8, distCol="jaccard_dist")
+    return (
+        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            "jaccard_dist",
+        )
+    )
+
+
+@_q("ann_brp_ml")
+def ann_brp_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pyspark.ml BucketedRandomProjectionLSH near-neighbor candidates
+    over the embedding column (euclidean distance < 1.1 ≈ cosine ≳ 0.4
+    on ~unit vectors)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding")).alias("features")
+    )
+    brp = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=0.5,
+        numHashTables=6, seed=SEED,
+    )
+    model = brp.fit(emb)
+    pairs = model.approxSimilarityJoin(emb, emb, 1.1, distCol="dist")
+    return (
+        pairs.where(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("a_id"),
+            F.col("datasetB.vec_id").alias("b_id"),
+            "dist",
+        )
+    )

@@ -3,10 +3,16 @@ merged into the driver contract by __spark_entry__.py."""
 
 from __future__ import annotations
 
-from duckdb_wasm_spark.operators import dedup, multimodal, similarity, text
+from duckdb_wasm_spark.operators import (
+    dedup,
+    ml_lsh,
+    multimodal,
+    similarity,
+    text,
+)
 
 QUERIES: dict = {}
 ORACLE: dict[str, str] = {}
-for _m in (text, dedup, similarity, multimodal):
+for _m in (text, dedup, similarity, multimodal, ml_lsh):
     QUERIES.update(_m.QUERIES)
     ORACLE.update(_m.ORACLE)

@@ -385,6 +385,22 @@ class Connection:
         table = df.toArrow()
         return table if self.db.emit_bigint else _patch_bigint(table)
 
+    def query_ipc(self, sql: str, *params) -> bytes:
+        """Materialized query serialized as one Arrow IPC stream — the
+        exact wire format the reference returns across the Wasm boundary
+        (webdb.cc:101-118 MakeFileWriter/WriteRecordBatch)."""
+        from duckdb_wasm_spark.sources.arrow_source import table_to_ipc
+
+        return table_to_ipc(self.query(sql, *params))
+
+    def close(self) -> None:
+        """Release connection state (live cursor + prepared statements) —
+        ref connection teardown in webdb.h."""
+        if self._stream is not None:
+            self._stream.close()
+            self._stream = None
+        self._prepared.clear()
+
     def send(self, sql: str, *params) -> ResultStream:
         """Streamed query; replaces any live cursor on this connection
         (ref SendQuery, webdb.cc:156-167)."""

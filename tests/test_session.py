@@ -309,3 +309,23 @@ def test_insert_json_explicit_shape_and_columns(conn, db):
     t = conn.query("SELECT * FROM opt1")
     assert t.column("c").to_pylist() == ["3", "6", "9"]
     conn.query("DROP TABLE opt1")
+
+
+def test_query_ipc_roundtrip(conn):
+    import pyarrow as pa
+
+    ipc = conn.query_ipc("SELECT v::INTEGER AS v FROM generate_series(1, 5) t(v)")
+    with pa.ipc.open_stream(ipc) as r:
+        t = r.read_all()
+    assert t.column("v").to_pylist() == [1, 2, 3, 4, 5]
+
+
+def test_connection_close(db):
+    c = db.connect()
+    c.send("SELECT 1 AS a")
+    stmt = c.prepare("SELECT 1 AS a")
+    c.close()
+    with pytest.raises(SparkDBError):
+        c.fetch()
+    with pytest.raises(SparkDBError):
+        c.run_prepared(stmt)
