@@ -1,0 +1,143 @@
+"""End-to-end training-corpus pipeline compositions — the operators of
+text.py/dedup.py chained the way a real data-curation job runs them,
+registered as oracle-checked queries.
+
+  pipeline_clean_corpus  quality-score → threshold filter → exact-dedup
+                         keeper selection → surviving documents
+  corpus_stats           corpus-level rollup: doc/token/char counts and
+                         mean quality per language
+
+Scale notes: the pipeline is one narrow projection (scoring) feeding
+one hash-shuffle (dedup groupBy) feeding a semi-join — three stages
+total for the full corpus pass; the rollup is a partial+final hash
+aggregate over the same single scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_wasm_spark.operators._text import STOPWORDS, sql_str_list, sql_toks, toks
+from duckdb_wasm_spark.tables import load_table
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name):
+    def reg(fn):
+        QUERIES[name] = fn
+        return fn
+
+    return reg
+
+
+QUALITY_MIN = 0.73  # ~25th percentile of the synthetic corpus: a real cut
+
+
+def _scored(docs: DataFrame) -> DataFrame:
+    """doc_id, lang, n_tokens, quality — the text_stats quality formula
+    inlined (0.3·TTR + 0.4·min(1, n/50) + 0.3·(1−stopword_ratio))."""
+    t = toks()
+    sw = STOPWORDS["en"]
+    d = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_distinct"),
+        F.size(F.filter(t, lambda x: x.isin(*sw))).alias("n_stop"),
+    )
+    ttr = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    swr = F.col("n_stop").cast("double") / F.col("n_tokens")
+    return d.select(
+        "doc_id",
+        "lang",
+        "text",
+        "n_tokens",
+        (
+            F.lit(0.3) * ttr
+            + F.lit(0.4)
+            * F.least(F.lit(1.0), F.col("n_tokens").cast("double") / F.lit(50.0))
+            + F.lit(0.3) * (F.lit(1.0) - swr)
+        ).alias("quality"),
+    )
+
+
+_SQL_SCORED = f"""
+  select doc_id, lang, text,
+         len({sql_toks('text')}) n_tokens,
+         0.3 * (cast(len(list_distinct({sql_toks('text')})) as double)
+                / len({sql_toks('text')}))
+           + 0.4 * least(1.0, cast(len({sql_toks('text')}) as double) / 50.0)
+           + 0.3 * (1.0 - cast(len(list_filter({sql_toks('text')},
+               x -> list_contains({sql_str_list(STOPWORDS['en'])}, x)))
+               as double) / len({sql_toks('text')})) quality
+  from documents
+"""
+
+
+# ------------------------------------------------- pipeline_clean_corpus
+@_q("pipeline_clean_corpus")
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter then exact-dedup: keep each distinct normalized
+    text's smallest surviving doc_id, with its quality score."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = _scored(docs).where(F.col("quality") >= QUALITY_MIN)
+    keepers = (
+        scored.groupBy(F.md5(F.lower(F.trim(F.col("text")))).alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return (
+        scored.join(keepers, "doc_id", "left_semi")
+        .select("doc_id", "lang", "n_tokens", "quality")
+    )
+
+
+ORACLE["pipeline_clean_corpus"] = f"""
+with scored as ({_SQL_SCORED}),
+surviving as (select * from scored where quality >= {QUALITY_MIN}),
+keepers as (
+  select min(doc_id) doc_id
+  from surviving group by md5(lower(trim(text))))
+select doc_id, lang, n_tokens, quality
+from surviving
+where doc_id in (select doc_id from keepers)
+"""
+
+
+# ------------------------------------------------------------ corpus_stats
+@_q("corpus_stats")
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus rollup: docs, tokens, token mean, and the
+    quality range. Every aggregate is order-independent (counts,
+    integer sums, double min/max) so results hash-match without any
+    tolerance — a double SUM of per-doc qualities would be
+    partition-order-dependent and is deliberately avoided."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        _scored(docs)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias(
+                "mean_tokens"
+            ),
+            F.min("quality").alias("min_quality"),
+            F.max("quality").alias("max_quality"),
+        )
+    )
+
+
+ORACLE["corpus_stats"] = f"""
+with scored as ({_SQL_SCORED})
+select lang, count(*) n_docs, sum(n_tokens) n_tokens,
+       cast(sum(n_tokens) as double) / count(*) mean_tokens,
+       min(quality) min_quality,
+       max(quality) max_quality
+from scored
+group by lang
+"""

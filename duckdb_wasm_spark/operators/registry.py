@@ -7,12 +7,13 @@ from duckdb_wasm_spark.operators import (
     dedup,
     ml_lsh,
     multimodal,
+    pipeline,
     similarity,
     text,
 )
 
 QUERIES: dict = {}
 ORACLE: dict[str, str] = {}
-for _m in (text, dedup, similarity, multimodal, ml_lsh):
+for _m in (text, dedup, similarity, multimodal, ml_lsh, pipeline):
     QUERIES.update(_m.QUERIES)
     ORACLE.update(_m.ORACLE)
