@@ -1,0 +1,47 @@
+"""Partition pruning: a table written with hive partitioning must be
+scanned with partition filters so a selective query touches only its
+partition's files — the layout that turns a 100 TB scan into a
+per-partition read (SURVEY §4.2: 'partition pruning — built-in if we
+partition the data')."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_wasm_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def partitioned_events(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("part") / "events_by_type")
+    load_table(spark, sf_dir, "events").write.partitionBy(
+        "event_type"
+    ).mode("overwrite").parquet(out)
+    return out
+
+
+def test_partition_filter_reaches_scan(spark, partitioned_events):
+    df = (
+        spark.read.parquet(partitioned_events)
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "event_type" in plan.split("PartitionFilters")[1].split("]")[0], (
+        "partition filter not pushed:\n" + plan[:1500]
+    )
+
+
+def test_pruned_read_matches_full_filter(spark, sf_dir, partitioned_events):
+    pruned = (
+        spark.read.parquet(partitioned_events)
+        .where(F.col("event_type") == "purchase")
+        .count()
+    )
+    full = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert pruned == full > 0
