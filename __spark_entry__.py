@@ -48,10 +48,20 @@ def _registries():
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordered so every oracle-backed query precedes the rows-only
+    (no-oracle) ones: the driver walks this dict in insertion order
+    with a global time budget, so an expensive no-oracle ML query in
+    the middle must never starve oracle-gated entries behind it
+    (round-2 verdict finding #1)."""
+    merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    oracles: dict[str, str] = {}
     for m in _registries():
-        out.update(m.QUERIES)
+        merged.update(m.QUERIES)
+        oracles.update(m.ORACLE)
+    out = {k: v for k, v in merged.items() if k in oracles}
+    out.update({k: v for k, v in merged.items() if k not in oracles})
     return out
 
 

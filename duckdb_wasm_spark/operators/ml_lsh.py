@@ -69,7 +69,10 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_brp_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pyspark.ml BucketedRandomProjectionLSH near-neighbor candidates
     over the embedding column (euclidean distance < 1.1 ≈ cosine ≳ 0.4
-    on ~unit vectors)."""
+    on ~unit vectors). Kept deliberately cheap (4 hash tables, wider
+    buckets) — it is a rows-only comparison point, and must never eat
+    the driver's correctness time budget (round-2 verdict #1); the
+    oracle-exact ANN coverage lives in operators/similarity.py."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
@@ -77,8 +80,8 @@ def ann_brp_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", array_to_vector(F.col("embedding")).alias("features")
     )
     brp = BucketedRandomProjectionLSH(
-        inputCol="features", outputCol="hashes", bucketLength=0.5,
-        numHashTables=6, seed=SEED,
+        inputCol="features", outputCol="hashes", bucketLength=0.75,
+        numHashTables=4, seed=SEED,
     )
     model = brp.fit(emb)
     pairs = model.approxSimilarityJoin(emb, emb, 1.1, distCol="dist")

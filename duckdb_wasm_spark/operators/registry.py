@@ -14,6 +14,9 @@ from duckdb_wasm_spark.operators import (
 
 QUERIES: dict = {}
 ORACLE: dict[str, str] = {}
-for _m in (text, dedup, similarity, multimodal, ml_lsh, pipeline):
+# ml_lsh (the only no-oracle, rows-only queries) is merged LAST so the
+# driver's ordered correctness walk exercises every oracle-backed query
+# before the expensive ML comparison points (round-2 verdict #1).
+for _m in (text, dedup, similarity, multimodal, pipeline, ml_lsh):
     QUERIES.update(_m.QUERIES)
     ORACLE.update(_m.ORACLE)
