@@ -230,7 +230,12 @@ _DROP_RE = re.compile(
     re.IGNORECASE,
 )
 _INSERT_RE = re.compile(
-    r"^\s*INSERT\s+INTO\s+([\w.\"]+)\s+(.*)$", re.IGNORECASE | re.DOTALL
+    # optional explicit column list: a strict comma-separated identifier
+    # list, so a parenthesized query body is never mistaken for one
+    r"^\s*INSERT\s+INTO\s+([\w.\"]+)\s*"
+    r"(?:\(\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)+|[A-Za-z_]\w*)\s*\)\s*)?"
+    r"\s(.*)$",
+    re.IGNORECASE | re.DOTALL,
 )
 _COPY_RE = re.compile(
     r"^\s*COPY\s+(\([^)]*\)|[\w.\"]+)\s+TO\s+'([^']+)'\s*(?:\(|WITH\s*\()?([^)]*)\)?\s*;?\s*$",
@@ -264,7 +269,8 @@ def translate(sql: str) -> Translated:
     if m := _COPY_RE.match(sql):
         src, path, opts_text = m.group(1), m.group(2), m.group(3) or ""
         opts: dict[str, str] = {}
-        for part in re.split(r",", opts_text):
+        # split on commas OUTSIDE single quotes so DELIMITER ',' survives
+        for part in re.split(r",(?=(?:[^']*'[^']*')*[^']*$)", opts_text):
             part = part.strip()
             if not part:
                 continue
@@ -314,10 +320,13 @@ def translate(sql: str) -> Translated:
         )
 
     if m := _INSERT_RE.match(sql):
-        body, views = _rewrite_query_text(m.group(2).rstrip("; \n"))
+        cols = (
+            [c.strip() for c in m.group(2).split(",")] if m.group(2) else None
+        )
+        body, views = _rewrite_query_text(m.group(3).rstrip("; \n"))
         return Translated(
             "insert", sql=body, file_views=views,
-            meta={"name": _norm_name(m.group(1))},
+            meta={"name": _norm_name(m.group(1)), "columns": cols},
         )
 
     query, views = _rewrite_query_text(sql)

@@ -80,6 +80,13 @@ class SparkDB:
                 .config("spark.ui.enabled", "false")
                 .getOrCreate()
             )
+        # snapshot caller-session confs we force, so close() can restore
+        # them (a shared SparkSession must not keep ANSI/UTC leaked into
+        # unrelated work after this database handle is done)
+        self._conf_snapshot = {
+            k: self._conf_get(spark, k)
+            for k in ("spark.sql.ansi.enabled", "spark.sql.session.timeZone")
+        }
         spark.conf.set("spark.sql.ansi.enabled", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         self.spark = spark
@@ -93,6 +100,15 @@ class SparkDB:
         # ExportFileStatistics, webdb.cc:702-714; lib/src/io/file_stats.cc)
         self._file_stats: dict[str, dict] = {}
         self._stats_enabled: set[str] = set()
+        # per-table INSERT counter since the last plan compaction
+        self._insert_depth: dict[str, int] = {}
+
+    @staticmethod
+    def _conf_get(spark: SparkSession, key: str) -> str | None:
+        try:
+            return spark.conf.get(key)
+        except Exception:
+            return None
 
     # ------------------------------------------------------------ open
     @classmethod
@@ -121,7 +137,12 @@ class SparkDB:
         """Drop all tables, views, registered files, and live state —
         the reference's Open()/Reset cycle without tearing down the JVM
         (ref webdb.cc:541-577 re-open semantics)."""
-        for name in self.list_tables():
+        file_views = [
+            t.name
+            for t in self.spark.catalog.listTables()
+            if t.isTemporary and t.name.startswith("_file_")
+        ]
+        for name in self.list_tables() + file_views:
             try:
                 self.spark.catalog.dropTempView(name)
             except Exception:
@@ -130,6 +151,19 @@ class SparkDB:
         self._views.clear()
         self._files.clear()
         self._file_stats.clear()
+        self._stats_enabled.clear()
+        self._insert_depth.clear()
+
+    def close(self) -> None:
+        """Release catalog state and hand a caller-provided SparkSession
+        back with its original ANSI/timezone confs (they are forced on
+        for the lifetime of this handle; see __init__)."""
+        self.reset()
+        for key, val in self._conf_snapshot.items():
+            if val is None:
+                self.spark.conf.unset(key)
+            else:
+                self.spark.conf.set(key, val)
 
     # --------------------------------------------------- file registry
     def register_file_url(self, name: str, path: str) -> None:
@@ -137,8 +171,20 @@ class SparkDB:
         s3a:// / abfs:// / gs:// URLs pass straight to spark.read, whose
         parquet reader already does ranged (partial) reads — the Spark
         counterpart of the reference's HTTP-Range machinery
-        (runtime_browser.ts:161-235). Plain http(s) would need staging.
+        (runtime_browser.ts:161-235). Plain http(s) URLs — which the
+        reference reads via XHR/Range (runtime_browser.ts:161-177,
+        224-235; exercised by test/filesystem.test.ts:25-79 against a
+        local server) — are staged into the session tmpdir on register
+        so every executor can scan a local path.
         (ref RegisterFileURL, webdb.cc:579-627)"""
+        if path.startswith(("http://", "https://")):
+            import urllib.request
+
+            staged = os.path.join(self._tmpdir, name.replace("/", "_"))
+            with urllib.request.urlopen(path) as resp, open(staged, "wb") as f:
+                while chunk := resp.read(1 << 20):
+                    f.write(chunk)
+            path = staged
         self._files[name] = path
 
     def register_file_buffer(self, name: str, data: bytes) -> str:
@@ -211,16 +257,37 @@ class SparkDB:
 
     def _set_table(self, name: str, df: DataFrame) -> None:
         self._tables[name] = df
+        self._insert_depth.pop(name, None)  # fresh lineage
         df.createOrReplaceTempView(name)
 
     def list_tables(self) -> list[str]:
         return sorted({*self._tables, *self._views})
 
 
+def _ipc_repack(batches):
+    """Executor-side mapInArrow body: serialize each incoming Arrow
+    batch to one IPC stream carried in a single-row binary column, so
+    the driver's toLocalIterator pulls whole columnar batches instead
+    of row objects (one Python hop per BATCH, not per row)."""
+    for b in batches:
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, b.schema) as writer:
+            writer.write_batch(b)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([sink.getvalue().to_pybytes()], pa.binary())], ["ipc"]
+        )
+
+
 class ResultStream:
     """Pull-based result cursor (ref StreamQueryResult + FetchQueryResults,
     webdb.cc:121-139, 169-202): schema available immediately; fetch()
-    returns one Arrow record batch or None at end-of-stream."""
+    returns one Arrow record batch or None at end-of-stream.
+
+    Egress is Arrow end-to-end: executors repack their output into IPC
+    payloads (`_ipc_repack` via mapInArrow), the driver deserializes
+    record batches and re-slices them to BATCH_ROWS. No Row objects are
+    materialized anywhere; incremental pull (partition at a time) is
+    preserved, so the driver never holds the full result."""
 
     BATCH_ROWS = 1024
 
@@ -231,24 +298,32 @@ class ResultStream:
         self.schema = (
             _patch_bigint(empty) if patch_bigint else empty
         ).schema
-        self._rows = df.toLocalIterator(prefetchPartitions=False)
+        self._pending = empty  # spark-typed buffer of not-yet-fetched rows
+        self._ipc_rows = df.mapInArrow(_ipc_repack, "ipc binary").toLocalIterator(
+            prefetchPartitions=False
+        )
         self._done = False
 
     def fetch(self) -> pa.RecordBatch | None:
-        if self._done:
+        while self._pending.num_rows < self.BATCH_ROWS and not self._done:
+            try:
+                row = next(self._ipc_rows)
+            except StopIteration:
+                self._done = True
+                break
+            with pa.ipc.open_stream(row.ipc) as reader:
+                incoming = reader.read_all()
+            self._pending = pa.concat_tables([self._pending, incoming])
+        if self._pending.num_rows == 0:
             return None
-        chunk = list(itertools.islice(self._rows, self.BATCH_ROWS))
-        if not chunk:
-            self._done = True
-            return None
-        tbl = pa.Table.from_pylist(
-            [r.asDict(recursive=True) for r in chunk]
-        ).select(self.schema.names)
-        tbl = tbl.cast(self.schema)
-        return tbl.combine_chunks().to_batches()[0]
+        out = self._pending.slice(0, self.BATCH_ROWS)
+        self._pending = self._pending.slice(self.BATCH_ROWS)
+        out = out.cast(self.schema)
+        return out.combine_chunks().to_batches()[0]
 
     def close(self) -> None:
         self._done = True
+        self._pending = self._pending.slice(0, 0)
 
     def __iter__(self):
         while (b := self.fetch()) is not None:
@@ -335,22 +410,44 @@ class Connection:
             if body.lower().startswith("values"):
                 body = f"SELECT * FROM ({body})"
             src = spark.sql(body, args=args) if args else spark.sql(body)
-            # strict insert typecheck: ANSI casts raise on overflow
-            # (bindings.test.ts:86-142); column count must match
-            if len(src.columns) != len(target.columns):
+            # explicit column list: map source columns to the named
+            # targets, unnamed columns fill with NULL
+            insert_cols = t.meta.get("columns") or list(target.columns)
+            unknown = [c for c in insert_cols if c not in target.columns]
+            if unknown:
                 raise SparkDBError(
-                    f"INSERT has {len(src.columns)} columns, table has "
-                    f"{len(target.columns)}"
+                    f"INSERT column(s) {unknown} not in table {name!r}"
                 )
-            casted = src.toDF(*target.columns)
-            for f in target.schema:
-                casted = casted.withColumn(
-                    f.name, casted[f.name].cast(f.dataType)
+            if len(src.columns) != len(insert_cols):
+                raise SparkDBError(
+                    f"INSERT has {len(src.columns)} columns, expected "
+                    f"{len(insert_cols)}"
                 )
+            from pyspark.sql import functions as F
+
+            named = src.toDF(*insert_cols)
+            casted = named.select(
+                *[
+                    (named[f.name] if f.name in insert_cols
+                     else F.lit(None)).cast(f.dataType).alias(f.name)
+                    for f in target.schema
+                ]
+            )
+            # strict insert typecheck: ANSI casts raise on overflow
+            # (bindings.test.ts:86-142). Evaluate the INCREMENT only —
+            # O(insert), not O(table)
+            casted.count()
             merged = target.unionByName(casted)
-            # force ANSI range-check eagerly so bad inserts raise here
-            merged.count()
+            # bound the union-plan depth: after K inserts the lineage is
+            # a K-deep union — compact it so the Nth insert never
+            # re-analyzes an N-node plan (at scale: write-through to the
+            # warehouse would go here instead)
+            depth = self.db._insert_depth.get(name, 0) + 1
+            if depth >= 16:
+                merged = merged.localCheckpoint(eager=True)
+                depth = 0
             self.db._set_table(name, merged)
+            self.db._insert_depth[name] = depth
             return self._empty_ok()
 
         if t.kind == "copy":

@@ -32,7 +32,16 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Join left⨝right on left_key == right_key with the left side's hot
-    keys spread across n_salts sub-partitions."""
+    keys spread across n_salts sub-partitions.
+
+    Only inner and left joins are result-identical under salting:
+    right/full would surface each unmatched right row once per replica.
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join preserves semantics only for inner/left joins, "
+            f"got how={how!r}"
+        )
     salted_left = left.withColumn(
         "_salt",
         F.pmod(
@@ -44,9 +53,11 @@ def salted_join(
         F.sequence(F.lit(0), F.lit(n_salts - 1))
     ).alias("_salt")
     salted_right = right.select("*", salts)
+    # dataframe-qualified keys so left_key == right_key (same column
+    # name on both sides) does not hit an ambiguous-reference error
     joined = salted_left.join(
         salted_right,
-        (F.col(left_key) == F.col(right_key))
+        (salted_left[left_key] == salted_right[right_key])
         & (salted_left["_salt"] == salted_right["_salt"]),
         how,
     )

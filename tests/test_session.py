@@ -78,6 +78,47 @@ def test_insert_strict_typecheck(conn):
     conn.query("DROP TABLE narrow")
 
 
+def test_insert_with_column_list(conn):
+    # reference accepts INSERT INTO t (a, b) VALUES ... (ADVICE r2);
+    # named columns map positionally, unnamed ones fill with NULL
+    conn.query("CREATE TABLE cl (a INTEGER, b VARCHAR(8), c INTEGER)")
+    conn.query("INSERT INTO cl (b, a) VALUES ('x', 1), ('y', 2)")
+    rows = conn.query("SELECT a::INTEGER AS a, b, c::INTEGER AS c FROM cl ORDER BY a")
+    assert rows.column("a").to_pylist() == [1, 2]
+    assert rows.column("b").to_pylist() == ["x", "y"]
+    assert rows.column("c").to_pylist() == [None, None]
+    with pytest.raises(SparkDBError):
+        conn.query("INSERT INTO cl (nope) VALUES (1)")
+    conn.query("DROP TABLE cl")
+
+
+def test_insert_plan_depth_bounded(conn, db):
+    # regression for the round-2 finding: N inserts must not build an
+    # N-deep union lineage — the plan is compacted every 16 inserts
+    conn.query("CREATE TABLE deep AS SELECT 0::INTEGER AS v")
+    for i in range(1, 41):
+        conn.query(f"INSERT INTO deep VALUES ({i})")
+    assert db._insert_depth["deep"] < 16
+    plan = db._tables["deep"]._jdf.queryExecution().logical().toString()
+    assert plan.count("Union") < 16  # not 40-deep
+    t = conn.query("SELECT count(*)::INTEGER AS n, sum(v)::INTEGER AS s FROM deep")
+    assert t.column("n").to_pylist() == [41]
+    assert t.column("s").to_pylist() == [820]
+    conn.query("DROP TABLE deep")
+
+
+def test_close_restores_shared_session_confs(spark):
+    # ADVICE r2: a caller-provided session must get its confs back
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        db2 = SparkDB(spark=spark)
+        assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+        db2.close()
+        assert spark.conf.get("spark.sql.ansi.enabled") == "false"
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+
+
 def test_create_view(conn):
     conn.query("CREATE TABLE base AS SELECT 5::INTEGER AS x")
     conn.query("CREATE VIEW v5 AS SELECT x * 2 AS y FROM base")
@@ -118,6 +159,21 @@ def test_send_fetch_cursor(conn):
         conn.fetch()  # cursor consumed
 
 
+def test_cursor_is_arrow_native(conn, monkeypatch):
+    # regression for the round-2 finding: the cursor must pull Arrow
+    # batches, never materialize per-row Python objects (Row.asDict /
+    # Table.from_pylist were the old slow path)
+    import pyspark.sql.types as _t
+
+    def _boom(self, recursive=False):
+        raise AssertionError("cursor materialized a Row object")
+
+    monkeypatch.setattr(_t.Row, "asDict", _boom)
+    stream = conn.send("SELECT v::INTEGER AS v FROM generate_series(0, 2999) t(v)")
+    total = sum(b.num_rows for b in stream)
+    assert total == 3000
+
+
 def test_one_cursor_per_connection(conn):
     s1 = conn.send("SELECT 1 AS a")
     s2 = conn.send("SELECT 2 AS a")  # replaces s1 (webdb.h:40-47)
@@ -139,6 +195,33 @@ def test_register_buffer_csv_and_implicit_ref(conn, db):
     db.register_file_text("pets.csv", "name,age\nrex,3\nmia,5\n")
     t = conn.query("SELECT count(*)::INTEGER AS n FROM 'pets.csv'")
     assert t.column("n").to_pylist() == [2]
+
+
+def test_register_http_url_stages_and_scans(conn, db, sf_dir):
+    # filesystem.test.ts:25-79 registers an http URL served locally and
+    # scans it; we stage-to-tmp on register so executors read a local path
+    import http.server
+    import socketserver
+    import threading
+
+    handler = lambda *a, **k: http.server.SimpleHTTPRequestHandler(
+        *a, directory=sf_dir, **k
+    )
+    with socketserver.TCPServer(("127.0.0.1", 0), handler) as httpd:
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            db.register_file_url(
+                "remote.parquet", f"http://127.0.0.1:{port}/region.parquet"
+            )
+            n = conn.query(
+                "SELECT count(*)::INTEGER AS n FROM parquet_scan('remote.parquet')"
+            ).column("n").to_pylist()
+            assert n == [5]
+        finally:
+            httpd.shutdown()
+    db.drop_file("remote.parquet")
 
 
 def test_glob_and_drop(db):
@@ -209,6 +292,15 @@ def test_copy_csv_roundtrip(conn, db, tmp_path):
     t = conn.query(f"SELECT count(*)::INTEGER AS n FROM 'out.csv'")
     assert t.column("n").to_pylist() == [5]
     conn.query("DROP TABLE ct")
+
+
+def test_copy_csv_comma_delimiter(conn, db, tmp_path):
+    # quoted option values containing a comma must survive option parsing
+    conn.query("CREATE TABLE cc AS SELECT 1::INTEGER AS a, 'x' AS b")
+    out = str(tmp_path / "comma.csv")
+    conn.query(f"COPY cc TO '{out}' (HEADER, DELIMITER ',')")
+    assert open(out).read().splitlines() == ["a,b", "1,x"]
+    conn.query("DROP TABLE cc")
 
 
 def test_copy_parquet_roundtrip(conn, db, tmp_path):

@@ -1,10 +1,28 @@
 """Salted joins must be result-identical to plain joins while spreading
 each hot key over n_salts partitions."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from duckdb_wasm_spark.skew import salted_join
 from duckdb_wasm_spark.tables import load_tables
+
+
+def test_salted_join_same_key_name(spark):
+    """Identical key names on both sides must not be ambiguous."""
+    left = spark.range(100).withColumnRenamed("id", "k")
+    right = spark.range(10).withColumnRenamed("id", "k").withColumn(
+        "tag", F.col("k") * 2
+    )
+    out = salted_join(left, right.select("k", "tag"), "k", "k", n_salts=4)
+    assert out.count() == 10
+
+
+def test_salted_join_rejects_right_full(spark):
+    df = spark.range(5).withColumnRenamed("id", "k")
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError):
+            salted_join(df, df, "k", "k", how=how)
 
 
 def test_salted_join_matches_plain(spark, sf_dir):

@@ -96,6 +96,49 @@ def test_json_rows_from_file_distributed(spark, tmp_path):
     assert df.count() == 3
 
 
+_TS_GOLDEN_COLS = (
+    '{ "a": ["2007-08-31 16:47", "2007-12-24 18:21",'
+    ' "2008-02-01 09:00:22", "2009-01-01 12:00:00",'
+    ' "2009-06-30 18:30:00"] }'
+)
+
+
+def test_json_cols_timestamp_golden_materializes(spark):
+    # ADVICE r2: the cols_timestamp_1 golden must INGEST (not just
+    # analyze) — parsed timestamps, no TypeError, no silent NULLs
+    df = json_source.read_json(spark, text=_TS_GOLDEN_COLS)
+    assert df.schema["a"].dataType == T.TimestampType()
+    vals = sorted(str(r.a) for r in df.collect())
+    assert vals[0] == "2007-08-31 16:47:00"
+    assert None not in {r.a for r in df.collect()}
+
+
+def test_json_rows_timestamp_from_file(spark, tmp_path):
+    p = tmp_path / "ts.json"
+    p.write_text(
+        '[ {"a": "2007-08-31 16:47"}, {"a": "2007-12-24 18:21"},'
+        ' {"a": "2008-02-01 09:00:22"} ]'
+    )
+    df = json_source.read_json(spark, path=str(p))
+    assert df.schema["a"].dataType == T.TimestampType()
+    got = sorted(str(r.a) for r in df.collect())
+    assert got == [
+        "2007-08-31 16:47:00", "2007-12-24 18:21:00", "2008-02-01 09:00:22",
+    ]
+
+
+def test_json_timestamp_mixed_int_epoch(spark):
+    # cols_timestamp_mixed_1: raw ints are epoch seconds
+    df = json_source.read_json(
+        spark,
+        text='{ "a": [1, 2, "2008-02-01 09:00:22"] }',
+    )
+    assert df.schema["a"].dataType == T.TimestampType()
+    got = sorted(str(r.a) for r in df.collect())
+    assert got[0] == "1970-01-01 00:00:01"
+    assert got[2] == "2008-02-01 09:00:22"
+
+
 def test_json_unrecognized_raises(spark):
     with pytest.raises(json_source.JSONShapeError):
         json_source.read_json(spark, text='{"a": 1}')
