@@ -34,6 +34,7 @@ def _registries():
     for modname in (
         "duckdb_wasm_spark.plans.micro",
         "duckdb_wasm_spark.plans.extras",
+        "duckdb_wasm_spark.plans.reference_sql",
         "duckdb_wasm_spark.operators.registry",
         "duckdb_wasm_spark.streaming.windows",
     ):
