@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from duckdb_wasm_spark.plans._util import dec, dsum, sql_dec, sql_dsum
-from duckdb_wasm_spark.tables import load_table
+from duckdb_wasm_spark.tables import load_table, write_events_daily
 
 QUERIES: dict = {}
 ORACLE: dict[str, str] = {}
@@ -120,6 +120,49 @@ def events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+# ---------------------------------------------------- events_daily_pruned
+def daily_layout(spark: SparkSession, sf_dir: str) -> str:
+    """The date-partitioned events layout for this session (written once
+    per (session, sf_dir); see tables.write_events_daily)."""
+    import tempfile
+
+    memo: dict = spark.__dict__.setdefault("_dws_events_daily", {})
+    if sf_dir not in memo:
+        out = tempfile.mkdtemp(prefix="dws_events_daily_")
+        memo[sf_dir] = write_events_daily(spark, sf_dir, out)
+    return memo[sf_dir]
+
+
+@_q("events_daily_pruned")
+def events_daily_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-day rollup over the date-partitioned events layout: the
+    scan must prune to ONE `event_date=` directory (PartitionFilters —
+    asserted in tests/test_partitioning.py), the 100×-scale path for
+    time-bounded event queries. The day is resolved driver-side to a
+    literal first (one scalar job) because static partition pruning
+    needs a compile-time constant."""
+    first_day = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.min(F.to_date("ts")))
+        .first()[0]
+    )
+    df = spark.read.parquet(daily_layout(spark, sf_dir)).where(
+        F.col("event_date") == F.lit(first_day)
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(dec("value")).alias("sum_value"),
+    )
+
+
+ORACLE["events_daily_pruned"] = f"""
+select event_type, count(*) n, {sql_dsum(sql_dec('value'))} sum_value
+from events
+where cast(ts as date) = (select min(cast(ts as date)) from events)
+group by 1
+"""
 
 
 # islands form: a new session starts where the gap from the previous

@@ -58,12 +58,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     would lose precision above 2^53 ns) — matching DuckDB's own ns→us
     truncation of the same column."""
     _ensure_session_conf(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    return df
+    # memoize the lazy plan per session: re-loading the same table used
+    # to re-list files and re-read parquet footers for every query in a
+    # corpus run (58 queries × N tables of pure driver-side setup). The
+    # DataFrame is an immutable plan — sharing it changes nothing about
+    # execution, pushdown, or pruning.
+    memo: dict = spark.__dict__.setdefault("_dws_table_memo", {})
+    key = (sf_dir, name)
+    if key not in memo:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        memo[key] = df
+    return memo[key]
 
 
 def load_tables(
@@ -72,6 +81,28 @@ def load_tables(
     """Load several tables; defaults to all of TABLES."""
     use = names or TABLES
     return {n: load_table(spark, sf_dir, n) for n in use}
+
+
+def write_events_daily(spark: SparkSession, sf_dir: str, out_path: str) -> str:
+    """Materialize `events` hive-partitioned by calendar day
+    (`event_date=YYYY-MM-DD/` directories) — the append-only layout for
+    event streams at scale: each day's micro-batches land in one
+    partition directory, and any time-bounded query prunes to the days
+    it touches instead of scanning the full history (100 TB of events →
+    a per-day read).
+
+    The pre-write `repartition(event_date)` gives one writer task per
+    day instead of (input_partitions × days) small files."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    (
+        ev.repartition("event_date")
+        .write.partitionBy("event_date")
+        .mode("overwrite")
+        .parquet(out_path)
+    )
+    return out_path
 
 
 def write_bucketed(

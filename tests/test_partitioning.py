@@ -33,6 +33,23 @@ def test_partition_filter_reaches_scan(spark, partitioned_events):
     )
 
 
+def test_events_daily_pruned_query(spark, sf_dir, oracle):
+    """The registered events_daily_pruned query must (a) prune its scan
+    to the event_date partition and (b) hash-match the oracle."""
+    from duckdb_wasm_spark.streaming import windows
+    from duckdb_wasm_spark.testing import assert_parity
+
+    df = windows.QUERIES["events_daily_pruned"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "event_date" in plan.split("PartitionFilters")[1].split("]")[0], (
+        "partition filter not pushed:\n" + plan[:1500]
+    )
+    assert_parity(
+        df, windows.ORACLE["events_daily_pruned"], oracle, "events_daily_pruned"
+    )
+
+
 def test_pruned_read_matches_full_filter(spark, sf_dir, partitioned_events):
     pruned = (
         spark.read.parquet(partitioned_events)
