@@ -330,7 +330,14 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sql() -> str:
+def _minhash_ctes() -> str:
+    """The shared CTE chain (docs → shingle hashes → signatures → bands →
+    verified candidates) used by the dedup_minhash oracle and reused by
+    the dedup_clusters oracle."""
+    return _minhash_sql_parts()[0]
+
+
+def _minhash_sql_parts() -> tuple[str, str]:
     sigs = ",\n       ".join(
         f"min(({_mh_a(j)} * gh + {_mh_b(j)}) % {MH_PRIME}) s{j}"
         for j in range(N_HASHES)
@@ -366,7 +373,7 @@ candg as (
   select doc_a, doc_b, ga.grams grams_a, gb.grams grams_b
   from cand
   join docs ga on doc_a = ga.doc_id
-  join docs gb on doc_b = gb.doc_id)
+  join docs gb on doc_b = gb.doc_id)""", f"""
 select doc_a, doc_b,
        cast(len(list_intersect(grams_a, grams_b)) as double)
          / (len(grams_a) + len(grams_b)
@@ -379,7 +386,113 @@ where cast(len(list_intersect(grams_a, grams_b)) as double)
 """
 
 
+def _minhash_sql() -> str:
+    ctes, final = _minhash_sql_parts()
+    return ctes + final
+
+
 ORACLE["dedup_minhash"] = _minhash_sql()
+
+
+# -------------------------------------------------------- dedup_clusters
+CC_MAX_ITERS = 15
+
+
+@_q("dedup_clusters")
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash near-dup pairs, with
+    canonical-document selection — the last stage of a dedup pipeline:
+    every document gets a cluster_id (the min doc_id reachable through
+    near-dup edges) and is_keeper marks the one document per cluster
+    that survives; singletons keep themselves.
+
+    Spark side: iterative min-label propagation — each round every node
+    takes min(own label, neighbors' labels) via one edge join + one
+    min-aggregate, localCheckpoint-ed so lineage stays flat; converges
+    in ≤ cluster-diameter rounds (near-dup clusters are shallow). The
+    monotone label sum is the convergence test (strictly decreases
+    until fixpoint — one scalar action per round). At 100 TB the same
+    loop holds (edges shuffle by src, labels by doc_id); if diameters
+    ever grow past ~15, swap in the large-star/small-star variant
+    of the same propagation.
+
+    Oracle: recursive-CTE transitive closure over the identical pair
+    SQL, min(reachable) per doc — exponentially more work than the
+    Spark form but exact and tiny at test SF."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    # materialize the symmetric edge list ONCE (the propagation loop
+    # must not re-run the whole MinHash pipeline per iteration)
+    edges = (
+        pairs.union(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .toDF("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    labels = labels.localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
+    for _ in range(CC_MAX_ITERS):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("src"),
+                    F.col("cluster_id").alias("src_label"),
+                ),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.min("src_label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(
+                nbr_min, labels["doc_id"] == nbr_min["dst"], "left"
+            )
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_label"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("cluster_id")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+    )
+
+
+def _clusters_sql() -> str:
+    ctes, pair_select = _minhash_sql_parts()
+    ctes = ctes.lstrip()
+    assert ctes.startswith("with ")
+    return f"""
+with recursive {ctes[len("with "):]},
+pairs as ({pair_select}),
+edges as (
+  select doc_a src, doc_b dst from pairs
+  union
+  select doc_b src, doc_a dst from pairs),
+reach(a, b) as (
+  select doc_id, doc_id from documents
+  union
+  select r.a, e.dst from reach r join edges e on r.b = e.src)
+select a doc_id, min(b) cluster_id, a = min(b) is_keeper
+from reach
+group by a
+"""
+
+
+ORACLE["dedup_clusters"] = _clusters_sql()
 
 
 # --------------------------------------------------------- dedup_simhash

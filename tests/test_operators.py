@@ -69,3 +69,20 @@ def test_ngram_jaccard_df_cap_is_sound(spark, sf_dir):
     assert capped <= full
     if full:
         assert len(capped) / len(full) >= 0.5, "cap removed most true pairs"
+
+
+def test_clusters_consistent_with_pairs(spark, sf_dir):
+    """Every near-dup pair must land in one cluster, the cluster label
+    must be the min member, and exactly one keeper exists per cluster."""
+    label = {
+        r.doc_id: r.cluster_id
+        for r in dedup.QUERIES["dedup_clusters"](spark, sf_dir).collect()
+    }
+    pairs = dedup.QUERIES["dedup_minhash"](spark, sf_dir).collect()
+    for r in pairs:
+        assert label[r.doc_a] == label[r.doc_b]
+    members: dict = {}
+    for doc, lab in label.items():
+        members.setdefault(lab, []).append(doc)
+    for lab, docs in members.items():
+        assert lab == min(docs)
