@@ -141,3 +141,92 @@ select lang, count(*) n_docs, sum(n_tokens) n_tokens,
 from scored
 group by lang
 """
+
+
+# ------------------------------------------------------- sample_balanced
+BALANCE_CAP = 60  # max docs kept per language
+
+# deterministic shuffle order: md5 of the doc id is a uniform,
+# engine-independent pseudo-random key; doc_id breaks (impossible)
+# hex ties so the ordering is total in both engines
+def _hash_order():
+    # lazy: Column construction needs an active session
+    return (F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+
+
+_SQL_HASH_ORDER = "md5(cast(doc_id as varchar)), doc_id"
+
+
+@_q("sample_balanced")
+def sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced corpus selection: keep at most BALANCE_CAP
+    documents per language, chosen by deterministic hash order — the
+    standard rebalancing step before mixing a multilingual training
+    corpus (downsamples over-represented languages without an RNG, so
+    the sample is reproducible run to run and engine to engine).
+
+    Scale: one window rank per language partition — a single shuffle
+    by lang; skewed languages sort-spill, nothing collects."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(*_hash_order())
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= BALANCE_CAP)
+        .select("doc_id", "lang", "rk")
+    )
+
+
+ORACLE["sample_balanced"] = f"""
+select doc_id, lang, rk
+from (
+  select doc_id, lang,
+         row_number() over (partition by lang
+                            order by {_SQL_HASH_ORDER}) rk
+  from documents)
+where rk <= {BALANCE_CAP}
+"""
+
+
+# --------------------------------------------------- sample_token_budget
+TOKEN_BUDGET = 2000  # max tokens kept per language
+
+
+@_q("sample_token_budget")
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: walk each language's documents in
+    deterministic hash order and keep documents while the running token
+    total stays within TOKEN_BUDGET — how a fixed-size pretraining mix
+    is actually drawn (budgets are in tokens, not documents).
+
+    Scale: same single lang-partition window as sample_balanced, with a
+    running integer sum instead of a rank."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(toks()).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(*_hash_order())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= TOKEN_BUDGET)
+        .select("doc_id", "lang", "n_tokens", "cum_tokens")
+    )
+
+
+ORACLE["sample_token_budget"] = f"""
+select doc_id, lang, n_tokens, cum_tokens
+from (
+  select doc_id, lang, n_tokens,
+         sum(n_tokens) over (partition by lang
+                             order by {_SQL_HASH_ORDER}
+                             rows unbounded preceding) cum_tokens
+  from (select doc_id, lang, len({sql_toks('text')}) n_tokens
+        from documents))
+where cum_tokens <= {TOKEN_BUDGET}
+"""
