@@ -1,0 +1,145 @@
+"""As-of and range joins — the temporal/banded join operators a
+time-series or attribution workload needs, absent from Spark's built-in
+join set but native SQL in the DuckDB engine family (ASOF JOIN, IEJoin
+inequality joins), so the reference's users have them today.
+
+  asof_click_attribution  for each purchase event, the same user's most
+                          recent click at-or-before it (ASOF JOIN
+                          semantics: `p ASOF LEFT JOIN c ON p.user_id =
+                          c.user_id AND p.ts >= c.ts`)
+  range_join_price_bands  non-equi join of orders into fixed price
+                          bands (the banded form of a range join)
+
+Scale notes (100 TB framing):
+  - The as-of join is NOT a join in Spark: the naive per-key
+    join-then-filter explodes on active users (every purchase × every
+    prior click). The scale-correct formulation is the union+window
+    merge: tag both sides, union, and take a running `max(click ts)`
+    per user over one (ts, side, id)-ordered window — exactly one
+    shuffle by user_id, cost linear in events per user, no candidate
+    explosion regardless of key skew.
+  - The band join broadcasts the tiny derived band table (12 rows) as
+    a BroadcastNestedLoopJoin on the range predicate — the right plan
+    for a small-side non-equi join (audited in the plan-guard BNLJ
+    allowlist); the aggregate after it is a partial+final hash agg.
+
+Determinism: the window order (ts, is_p, event_id) is total (event_id
+unique), so frames are identical in both engines; band sums accumulate
+as decimal before the final double cast (plans/_util.py policy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from duckdb_wasm_spark.plans._util import dec, dsum, sql_dec, sql_dsum
+from duckdb_wasm_spark.tables import load_table
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name):
+    def reg(fn):
+        QUERIES[name] = fn
+        return fn
+
+    return reg
+
+
+# ---------------------------------------------- asof_click_attribution
+_ASOF_ORDER = ("ts", "is_p", "event_id")  # total order; clicks sort
+# before purchases at the same instant, so ts >= click_ts is inclusive
+
+
+@_q("asof_click_attribution")
+def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase→click as-of attribution: each purchase is matched to
+    the latest click by the same user at or before its timestamp, plus
+    the running count of prior clicks. LEFT semantics: purchases with
+    no prior click keep NULL click_ts."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("event_type") == "purchase").cast("int").alias("is_p"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(*_ASOF_ORDER)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_click = F.col("is_p") == 0
+    return (
+        tagged.withColumn("click_ts", F.max(F.when(is_click, F.col("ts"))).over(w))
+        .withColumn("n_prior_clicks", F.count(F.when(is_click, F.lit(1))).over(w))
+        .where(F.col("is_p") == 1)
+        .select("event_id", "user_id", "ts", "click_ts", "n_prior_clicks")
+    )
+
+
+_SQL_ASOF_W = (
+    "(partition by user_id order by ts, is_p, event_id rows unbounded preceding)"
+)
+
+ORACLE["asof_click_attribution"] = f"""
+with tagged as (
+  select event_id, user_id, ts,
+         case when event_type = 'purchase' then 1 else 0 end is_p
+  from events
+  where event_type in ('click', 'purchase')),
+merged as (
+  select event_id, user_id, ts, is_p,
+         max(case when is_p = 0 then ts end) over {_SQL_ASOF_W} click_ts,
+         count(case when is_p = 0 then 1 end) over {_SQL_ASOF_W} n_prior_clicks
+  from tagged)
+select event_id, user_id, ts, click_ts, n_prior_clicks
+from merged
+where is_p = 1
+"""
+
+
+# ---------------------------------------------- range_join_price_bands
+N_BANDS = 12
+BAND_WIDTH = 50_000.0  # covers o_totalprice's full domain at any SF
+
+
+@_q("range_join_price_bands")
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join: orders fall into [lo, hi) price bands derived
+    from a generated series; per-band order count and exact price sum."""
+    bands = spark.range(N_BANDS).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * F.lit(BAND_WIDTH)).alias("lo"),
+        ((F.col("id") + 1) * F.lit(BAND_WIDTH)).alias("hi"),
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    joined = orders.join(
+        F.broadcast(bands),
+        (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+    )
+    return (
+        joined.groupBy("band_id", "lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(dec("o_totalprice")).alias("sum_price"),
+        )
+        .select("band_id", "lo", "n_orders", "sum_price")
+    )
+
+
+ORACLE["range_join_price_bands"] = f"""
+select band_id, lo, count(*) n_orders,
+       {sql_dsum(sql_dec('o_totalprice'))} sum_price
+from orders
+join (
+  select i band_id, i * {BAND_WIDTH} lo, (i + 1) * {BAND_WIDTH} hi
+  from generate_series(0, {N_BANDS - 1}) t(i)) bands
+  on o_totalprice >= lo and o_totalprice < hi
+group by band_id, lo
+"""

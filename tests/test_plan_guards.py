@@ -21,6 +21,7 @@ BNLJ_ALLOWED = {
     "sim_topk_brute",  # 50-vector query panel broadcast (self != cond)
     "sim_topk_ivf",  # 8-centroid panel broadcast for assignment
     "dedup_embedding_lsh",  # 48-hyperplane table broadcast
+    "range_join_price_bands",  # 12-row derived band table broadcast
 }
 
 # queries whose WHERE is selective on a scanned column — parquet scan
