@@ -41,6 +41,8 @@ surface; these are the driver-mandated LLM-pipeline extensions
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -697,6 +699,87 @@ SQL_PLANE_W = (
 )
 
 
+def _plane_matrix():
+    """The same md5-derived hyperplane weights as _plane_weight /
+    SQL_PLANE_W, materialized as an (N_PLANES × EMB_DIM) float64 numpy
+    matrix for the Arrow-batched signature pass. hashlib.md5 and the
+    engines' md5() agree byte-for-byte, so all three derivations are
+    identical."""
+    import hashlib
+
+    import numpy as np
+
+    w = np.empty((N_PLANES, EMB_DIM), dtype=np.float64)
+    for p in range(N_PLANES):
+        for d in range(EMB_DIM):
+            h = hashlib.md5(f"p{p}d{d}".encode()).hexdigest()[:8]
+            w[p, d] = int(h, 16) / 2147483648.0 - 1.0
+    return w
+
+
+def _columnar_fold_dot(A, B):
+    """Dot products of row-pairs of two (n × d) float64 matrices with the
+    EXACT rounding order of the sequential left fold (dot_fold /
+    DuckDB's list_reduce): iterate dimensions, one vectorized
+    multiply-add per dimension — `acc + A[:,d]*B[:,d]` rounds the
+    product, then the sum, per element, exactly like
+    `(acc, v) -> acc + v` over `zip_with(a, b, (x, y) -> x*y)`. A BLAS
+    matmul would be faster but reorders the additions, and a flipped
+    last-ulp sign near a hyperplane (or a cosine straddling the
+    threshold) would diverge from the SQL oracle."""
+    import numpy as np
+
+    acc = np.zeros(len(A), dtype=np.float64)
+    for d in range(A.shape[1]):
+        acc = acc + A[:, d] * B[:, d]
+    return acc
+
+
+def _emb_signatures(emb: DataFrame) -> DataFrame:
+    """(vec_id, band, band_val, norm, embedding): hyperplane sign bits,
+    band keys, and the precomputed norm, in ONE Arrow-batched pass over
+    the embeddings (mapInPandas) instead of a 48-way broadcast join of
+    interpreted dot folds — the measured hot spot of this operator at
+    sf0.1 (round-2 verdict perf note). Numerics are bit-identical to
+    the fold form (see _columnar_fold_dot)."""
+    import numpy as np
+    import pandas as pd
+
+    planes = _plane_matrix()
+
+    def batches(it):
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            norm = np.sqrt(_columnar_fold_dot(E, E))
+            band_vals = np.zeros((n, HP_BANDS), dtype=np.int64)
+            for p in range(N_PLANES):
+                proj = _columnar_fold_dot(E, np.broadcast_to(planes[p], E.shape))
+                bit = (proj >= 0.0).astype(np.int64)
+                band_vals[:, p // HP_BITS] += bit << (p % HP_BITS)
+            out = pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy().repeat(HP_BANDS),
+                    "band": np.tile(
+                        np.arange(HP_BANDS, dtype=np.int32), n
+                    ),
+                    "band_val": band_vals.reshape(-1),
+                    "norm": norm.repeat(HP_BANDS),
+                }
+            )
+            yield out
+
+    # scalar-only output: replicating the embedding array 12× per vector
+    # through Arrow + the band-bucket shuffle measured ~2× slower than
+    # re-joining candidates to the embeddings table afterwards
+    return emb.select("vec_id", "embedding").mapInPandas(
+        batches,
+        "vec_id long, band int, band_val long, norm double",
+    )
+
+
 def _hyperplanes(spark: SparkSession) -> DataFrame:
     """32 hyperplanes × 64 dims, built driver-free from spark.range —
     a tiny broadcast-able relation."""
@@ -717,52 +800,48 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow pass over embeddings; candidates come from band-bucket
     equi-joins only.
 
-    Plan shape: per-vector norms are precomputed once (sqrt(v·v)), so
-    each candidate pair evaluates ONE dot fold instead of three — the
-    fold is the expensive interpreted higher-order expression."""
+    Plan shape: signatures + norms come from ONE Arrow-batched
+    mapInPandas pass (columnar fold — bit-identical numerics, see
+    _columnar_fold_dot); candidates from band-bucket equi-joins; the
+    per-pair verify dot is a vectorized pandas_udf. Per-vector norms
+    are precomputed once, so each candidate pair evaluates ONE dot."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pair_dot(ea: pd.Series, eb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(ea) == 0:
+            return pd.Series([], dtype=np.float64)
+        A = np.stack(ea.to_numpy()).astype(np.float64)
+        B = np.stack(eb.to_numpy()).astype(np.float64)
+        return pd.Series(_columnar_fold_dot(A, B))
+
     emb = load_table(spark, sf_dir, "embeddings")
-    normed = emb.select(
-        "vec_id",
-        "embedding",
-        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    sigs = _emb_signatures(emb)
+    a = sigs.select(
+        F.col("vec_id").alias("a_id"), F.col("norm").alias("norm_a"),
+        "band", "band_val",
     )
-    planes = _hyperplanes(spark)
-    signed = (
-        emb.join(F.broadcast(planes))
-        .select(
-            "vec_id",
-            "p",
-            F.when(dot_fold(F.col("embedding"), F.col("w")) >= 0, 1)
-            .otherwise(0)
-            .alias("bit"),
-        )
+    b = sigs.select(
+        F.col("vec_id").alias("b_id"), F.col("norm").alias("norm_b"),
+        "band", "band_val",
     )
-    bands = (
-        signed.groupBy(
-            "vec_id", (F.col("p") / HP_BITS).cast("int").alias("band")
-        )
-        .agg(
-            F.sum(
-                F.col("bit") * F.pow(F.lit(2.0), (F.col("p") % HP_BITS)).cast("long")
-            ).alias("band_val")
-        )
-    )
-    with_emb = bands.join(normed, "vec_id")
-    a = with_emb.select(
-        F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"),
-        F.col("norm").alias("norm_a"), "band", "band_val",
-    )
-    b = with_emb.select(
-        F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"),
-        F.col("norm").alias("norm_b"), "band", "band_val",
-    )
-    return (
+    cand = (
         a.join(b, ["band", "band_val"])
         .where(F.col("a_id") < F.col("b_id"))
         .dropDuplicates(["a_id", "b_id"])
+        .select("a_id", "b_id", "norm_a", "norm_b")
+    )
+    ea = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"))
+    return (
+        cand.join(ea, "a_id")
+        .join(eb, "b_id")
         .withColumn(
             "sim",
-            dot_fold(F.col("ea"), F.col("eb"))
+            pair_dot(F.col("ea"), F.col("eb"))
             / (F.col("norm_a") * F.col("norm_b")),
         )
         .where(F.col("sim") >= COS_THRESHOLD)

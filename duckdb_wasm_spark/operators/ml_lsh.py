@@ -41,7 +41,9 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     SHINGLE features (same item universe as the md5 MinHash in
     dedup.py — raw tokens share too much vocabulary to discriminate),
     Jaccard distance < 0.8 ⇔ shingle similarity > 0.2 (seeded →
-    deterministic run to run)."""
+    deterministic run to run). 4 hash tables like ann_brp_ml: a
+    rows-only comparison point must stay cheap (round-2 verdict #1);
+    the exact-oracle MinHash coverage lives in dedup.py."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     docs = load_table(spark, sf_dir, "documents").withColumn(
@@ -51,7 +53,7 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
         inputCol="tokens", outputCol="features", numFeatures=1 << 14, binary=True
     )
     feats = tf.transform(docs)
-    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8,
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4,
                     seed=SEED)
     model = mh.fit(feats)
     pairs = model.approxSimilarityJoin(feats, feats, 0.8, distCol="jaccard_dist")

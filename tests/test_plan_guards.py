@@ -20,7 +20,6 @@ BNLJ_ALLOWED = {
     "q22",  # scalar-subquery avg balance (1 row) broadcast
     "sim_topk_brute",  # 50-vector query panel broadcast (self != cond)
     "sim_topk_ivf",  # 8-centroid panel broadcast for assignment
-    "dedup_embedding_lsh",  # 48-hyperplane table broadcast
     "range_join_price_bands",  # 12-row derived band table broadcast
 }
 
