@@ -210,3 +210,174 @@ s as (select s_nationkey sn, count(*) n_supp from supplier
 select coalesce(cn, sn) nationkey, n_cust, n_supp
 from c full outer join s on cn = sn
 """
+
+
+# ------------------------------------------------------------ extra_cube
+@_q("extra_cube")
+def extra_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (orderpriority, orderstatus): all four grouping levels
+    in one grouping-sets expansion feeding a single hash aggregate.
+    GROUPING markers (cast int both engines) disambiguate a cube NULL
+    from a data NULL."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(dec("o_totalprice")).alias("sum_price"),
+            F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+            F.grouping("o_orderstatus").cast("int").alias("g_stat"),
+        )
+        .select(
+            "o_orderpriority", "o_orderstatus", "n", "sum_price",
+            "g_prio", "g_stat",
+        )
+    )
+
+
+ORACLE["extra_cube"] = f"""
+select o_orderpriority, o_orderstatus, count(*) n,
+       {sql_dsum(sql_dec('o_totalprice'))} sum_price,
+       cast(grouping(o_orderpriority) as integer) g_prio,
+       cast(grouping(o_orderstatus) as integer) g_stat
+from orders
+group by cube (o_orderpriority, o_orderstatus)
+"""
+
+
+# --------------------------------------------------- extra_window_frames
+@_q("extra_window_frames")
+def extra_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-clause window coverage beyond rank/lag: running decimal
+    sum, ntile, first/last value over an explicit full frame, and lead
+    with a default — one (custkey-partitioned, date+key-ordered) window
+    family, single shuffle."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_custkey") % 1000 == 0
+    )
+    order_cols = [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()]
+    wo = Window.partitionBy("o_custkey").orderBy(*order_cols)
+    running = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    full = wo.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(dec("o_totalprice")).over(running).cast("double").alias(
+            "run_price"
+        ),
+        F.ntile(4).over(wo).alias("quartile"),
+        F.first("o_orderkey").over(full).alias("first_key"),
+        F.last("o_orderkey").over(full).alias("last_key"),
+        F.lead("o_orderkey", 1, -1).over(wo).alias("next_key"),
+    )
+
+
+ORACLE["extra_window_frames"] = f"""
+select o_custkey, o_orderkey, o_orderdate,
+       cast(sum({sql_dec('o_totalprice')}) over
+            (partition by o_custkey order by o_orderdate, o_orderkey
+             rows unbounded preceding) as double) run_price,
+       ntile(4) over w quartile,
+       first_value(o_orderkey) over
+           (partition by o_custkey order by o_orderdate, o_orderkey
+            rows between unbounded preceding and unbounded following)
+           first_key,
+       last_value(o_orderkey) over
+           (partition by o_custkey order by o_orderdate, o_orderkey
+            rows between unbounded preceding and unbounded following)
+           last_key,
+       coalesce(lead(o_orderkey, 1) over w, -1) next_key
+from orders
+where o_custkey % 1000 = 0
+window w as (partition by o_custkey order by o_orderdate, o_orderkey)
+"""
+
+
+# ------------------------------------------------------ extra_string_fns
+@_q("extra_string_fns")
+def extra_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar-function corpus: case mapping, trim/pad, replace,
+    split, search, slicing, levenshtein — one narrow projection."""
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_custkey") <= 200
+    )
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("up"),
+        F.lower("c_mktsegment").alias("lo"),
+        F.length("c_name").alias("name_len"),
+        F.lpad("c_name", 25, "*").alias("padded"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias(
+            "replaced"
+        ),
+        F.size(F.split("c_name", "#")).alias("n_parts"),
+        F.instr(F.col("c_name"), "#").alias("hash_at"),
+        F.reverse(F.col("c_mktsegment")).alias("rev"),
+        F.substring("c_mktsegment", 2, 3).alias("seg_mid"),
+        F.repeat(F.lit("ab"), 3).alias("rep"),
+        F.levenshtein("c_mktsegment", F.lit("BUILDING")).alias("lev"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("joined"),
+    )
+
+
+ORACLE["extra_string_fns"] = """
+select c_custkey,
+       upper(c_name) up,
+       lower(c_mktsegment) lo,
+       length(c_name) name_len,
+       lpad(c_name, 25, '*') padded,
+       replace(c_name, 'Customer', 'Cust') replaced,
+       len(string_split(c_name, '#')) n_parts,
+       instr(c_name, '#') hash_at,
+       reverse(c_mktsegment) rev,
+       substring(c_mktsegment, 2, 3) seg_mid,
+       repeat('ab', 3) rep,
+       levenshtein(c_mktsegment, 'BUILDING') lev,
+       concat_ws('|', c_mktsegment, c_name) joined
+from customer
+where c_custkey <= 200
+"""
+
+
+# -------------------------------------------------------- extra_date_fns
+@_q("extra_date_fns")
+def extra_date_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date scalar-function corpus: truncation, month arithmetic with
+    end-of-month clamping, day arithmetic, diffs, and part extraction."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") <= 400
+    )
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        d.alias("d"),
+        F.trunc(d, "month").alias("month_start"),
+        F.last_day(d).alias("month_end"),
+        F.add_months(d, 2).alias("plus_2mo"),
+        F.date_add(d, 30).alias("plus_30d"),
+        F.datediff(F.lit("1998-12-01").cast("date"), d).alias("days_to_cut"),
+        F.year(d).alias("y"),
+        F.quarter(d).alias("q"),
+        (F.dayofweek(d) - 1).alias("dow_sun0"),
+        F.dayofyear(d).alias("doy"),
+    )
+
+
+ORACLE["extra_date_fns"] = """
+select o_orderkey,
+       od d,
+       cast(date_trunc('month', od) as date) month_start,
+       last_day(od) month_end,
+       cast(od + interval 2 month as date) plus_2mo,
+       od + 30 plus_30d,
+       cast(datediff('day', od, date '1998-12-01') as integer) days_to_cut,
+       cast(year(od) as integer) y,
+       cast(quarter(od) as integer) q,
+       cast(dayofweek(od) as integer) dow_sun0,
+       cast(dayofyear(od) as integer) doy
+from (select o_orderkey, cast(o_orderdate as date) od from orders
+      where o_orderkey <= 400)
+"""
