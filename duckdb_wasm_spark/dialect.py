@@ -66,7 +66,8 @@ def map_type_name(name: str) -> str:
 @dataclass
 class Translated:
     kind: str  # query | show_tables | create_table | create_table_as |
-    #            create_view | drop | insert | copy | export | unsupported
+    #            create_view | drop | insert | update | delete | copy |
+    #            export | unsupported
     sql: str = ""
     # file tables to register before running: view_name -> (path, format)
     file_views: dict[str, tuple[str, str]] = field(default_factory=dict)
@@ -237,6 +238,17 @@ _INSERT_RE = re.compile(
     r"\s(.*)$",
     re.IGNORECASE | re.DOTALL,
 )
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+([\w.\"]+)\s*(?:WHERE\s+(.*?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UPDATE_RE = re.compile(
+    # lazy SET body + optional WHERE: the first top-level WHERE keyword
+    # ends the assignment list (a WHERE inside a string literal in an
+    # assignment is the one unsupported corner)
+    r"^\s*UPDATE\s+([\w.\"]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _COPY_RE = re.compile(
     r"^\s*COPY\s+(\([^)]*\)|[\w.\"]+)\s+TO\s+'([^']+)'\s*(?:\(|WITH\s*\()?([^)]*)\)?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -245,6 +257,35 @@ _EXPORT_RE = re.compile(
     r"^\s*EXPORT\s+DATABASE\s+'([^']+)'\s*(?:\(\s*FORMAT\s+(\w+)\s*\))?\s*;?\s*$",
     re.IGNORECASE,
 )
+
+
+def _split_top_level(text: str) -> list[str]:
+    """Split on commas at paren depth 0 and outside single quotes — the
+    SET-clause assignment separator (`a = 1, b = coalesce(x, y)`)."""
+    parts: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    in_str = False
+    for ch in text:
+        if in_str:
+            buf.append(ch)
+            if ch == "'":
+                in_str = False
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+            continue
+        buf.append(ch)
+    if buf:
+        parts.append("".join(buf))
+    return [p.strip() for p in parts if p.strip()]
 
 
 def _norm_name(name: str) -> str:
@@ -317,6 +358,34 @@ def translate(sql: str) -> Translated:
                 "if_exists": bool(m.group(2)),
                 "name": _norm_name(m.group(3)),
             },
+        )
+
+    if m := _DELETE_RE.match(sql):
+        where, views = "", {}
+        if m.group(2):
+            where, views = _rewrite_query_text(m.group(2).rstrip("; \n"))
+        return Translated(
+            "delete", sql=where, file_views=views,
+            meta={"name": _norm_name(m.group(1))},
+        )
+
+    if m := _UPDATE_RE.match(sql):
+        assigns: list[tuple[str, str]] = []
+        views: dict = {}
+        for part in _split_top_level(m.group(2)):
+            col, eq, expr = part.partition("=")
+            if not eq or not col.strip() or not expr.strip():
+                raise ValueError(f"malformed SET assignment: {part!r}")
+            rewritten, v = _rewrite_query_text(expr.strip())
+            views.update(v)
+            assigns.append((col.strip().strip('"'), rewritten))
+        where = ""
+        if m.group(3):
+            where, v = _rewrite_query_text(m.group(3).rstrip("; \n"))
+            views.update(v)
+        return Translated(
+            "update", sql=where, file_views=views,
+            meta={"name": _norm_name(m.group(1)), "assigns": assigns},
         )
 
     if m := _INSERT_RE.match(sql):

@@ -450,6 +450,59 @@ class Connection:
             self.db._insert_depth[name] = depth
             return self._empty_ok()
 
+        if t.kind in ("update", "delete"):
+            from pyspark.sql import functions as F
+
+            name = t.meta["name"]
+            if name not in self.db._tables:
+                raise SparkDBError(f"table {name!r} does not exist")
+            target = self.db._tables[name]
+            # SQL three-valued logic: a NULL predicate neither deletes
+            # nor updates the row
+            pred = (
+                F.coalesce(F.expr(t.sql), F.lit(False)) if t.sql else F.lit(True)
+            )
+            if t.kind == "delete":
+                new = target.where(~pred) if t.sql else target.limit(0)
+                new.columns  # force analysis so a bad WHERE errors here
+            else:
+                assigns = dict(t.meta["assigns"])
+                unknown = [c for c in assigns if c not in target.columns]
+                if unknown:
+                    raise SparkDBError(
+                        f"UPDATE column(s) {unknown} not in table {name!r}"
+                    )
+                new = target.select(
+                    *[
+                        F.when(pred, F.expr(assigns[f.name]).cast(f.dataType))
+                        .otherwise(F.col(f.name))
+                        .alias(f.name)
+                        if f.name in assigns
+                        else F.col(f.name)
+                        for f in target.schema
+                    ]
+                )
+                # strict ANSI typecheck, same policy as INSERT: the
+                # assignment cast must raise on overflow/malformed now,
+                # not at some later read. A count()/agg probe gets
+                # optimized into count(1) without ever evaluating the
+                # casts (projection collapse), so materialize the rows:
+                # the eager checkpoint both validates every cast and
+                # compacts the lineage (an UPDATE is O(table) anyway)
+                new = new.localCheckpoint(eager=True)
+                self.db._insert_depth[name] = 0
+                self.db._set_table(name, new)
+                return self._empty_ok()
+            # DELETE deepens the lineage like inserts do — share the
+            # same compaction counter
+            depth = self.db._insert_depth.get(name, 0) + 1
+            if depth >= 16:
+                new = new.localCheckpoint(eager=True)
+                depth = 0
+            self.db._set_table(name, new)
+            self.db._insert_depth[name] = depth
+            return self._empty_ok()
+
         if t.kind == "copy":
             from duckdb_wasm_spark import writers
 

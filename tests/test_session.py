@@ -421,3 +421,39 @@ def test_connection_close(db):
         c.fetch()
     with pytest.raises(SparkDBError):
         c.run_prepared(stmt)
+
+
+def test_update_and_delete(conn):
+    # the reference engine (full DuckDB SQL) accepts UPDATE/DELETE; the
+    # session rewrites the registered table's plan functionally
+    conn.query("CREATE TABLE ud (k INTEGER, v VARCHAR(8), n INTEGER)")
+    conn.query("INSERT INTO ud VALUES (1, 'a', 10), (2, 'b', 20), (3, NULL, 30)")
+    conn.query("UPDATE ud SET n = n + 1, v = coalesce(v, 'z') WHERE k >= 2")
+    rows = conn.query("SELECT k::INTEGER k, v, n::INTEGER n FROM ud ORDER BY k")
+    assert rows.column("v").to_pylist() == ["a", "b", "z"]
+    assert rows.column("n").to_pylist() == [10, 21, 31]
+    # NULL predicate: three-valued logic keeps the row untouched
+    conn.query("UPDATE ud SET n = 0 WHERE n / nullif(k - 1, 0) > 100")
+    assert sorted(
+        conn.query("SELECT n::INTEGER n FROM ud").column("n").to_pylist()
+    ) == [10, 21, 31]
+    conn.query("DELETE FROM ud WHERE v = 'z'")
+    rows = conn.query("SELECT k::INTEGER k FROM ud ORDER BY k")
+    assert rows.column("k").to_pylist() == [1, 2]
+    # unfiltered DELETE empties but keeps the schema
+    conn.query("DELETE FROM ud")
+    empty = conn.query("SELECT * FROM ud")
+    assert empty.num_rows == 0 and empty.column_names == ["k", "v", "n"]
+    conn.query("DROP TABLE ud")
+
+
+def test_update_strict_typecheck(conn):
+    conn.query("CREATE TABLE uds (a TINYINT)")
+    conn.query("INSERT INTO uds VALUES (1)")
+    with pytest.raises(Exception):
+        conn.query("UPDATE uds SET a = 1000")
+    with pytest.raises(SparkDBError):
+        conn.query("UPDATE uds SET nope = 1")
+    with pytest.raises(SparkDBError):
+        conn.query("DELETE FROM missing_table WHERE 1 = 1")
+    conn.query("DROP TABLE uds")
