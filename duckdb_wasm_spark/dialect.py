@@ -238,6 +238,26 @@ _INSERT_RE = re.compile(
     r"\s(.*)$",
     re.IGNORECASE | re.DOTALL,
 )
+_TRUNCATE_RE = re.compile(
+    r"^\s*TRUNCATE\s+(?:TABLE\s+)?([\w.\"]+)\s*;?\s*$", re.IGNORECASE
+)
+_DESCRIBE_RE = re.compile(
+    r"^\s*DESCRIBE\s+([\w.\"]+)\s*;?\s*$", re.IGNORECASE
+)
+_ALTER_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.\"]+)\s+(.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_ADD_RE = re.compile(r"^ADD\s+(?:COLUMN\s+)?(.+)$", re.IGNORECASE | re.DOTALL)
+_ALTER_DROP_RE = re.compile(
+    r"^DROP\s+(?:COLUMN\s+)?([\w\"]+)$", re.IGNORECASE
+)
+_ALTER_RENAME_COL_RE = re.compile(
+    r"^RENAME\s+(?:COLUMN\s+)?([\w\"]+)\s+TO\s+([\w\"]+)$", re.IGNORECASE
+)
+_ALTER_RENAME_RE = re.compile(
+    r"^RENAME\s+TO\s+([\w.\"]+)$", re.IGNORECASE
+)
 _DELETE_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+([\w.\"]+)\s*(?:WHERE\s+(.*?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -359,6 +379,32 @@ def translate(sql: str) -> Translated:
                 "name": _norm_name(m.group(3)),
             },
         )
+
+    if m := _TRUNCATE_RE.match(sql):
+        # TRUNCATE ≡ unfiltered DELETE: same execution path
+        return Translated("delete", meta={"name": _norm_name(m.group(1))})
+
+    if m := _DESCRIBE_RE.match(sql):
+        return Translated("describe", meta={"name": _norm_name(m.group(1))})
+
+    if m := _ALTER_RE.match(sql):
+        name, action = _norm_name(m.group(1)), m.group(2).strip()
+        if am := _ALTER_RENAME_COL_RE.match(action):
+            meta = {
+                "op": "rename_column",
+                "old": am.group(1).strip('"'),
+                "new": am.group(2).strip('"'),
+            }
+        elif am := _ALTER_RENAME_RE.match(action):
+            meta = {"op": "rename_table", "new": _norm_name(am.group(1))}
+        elif am := _ALTER_DROP_RE.match(action):
+            meta = {"op": "drop_column", "column": am.group(1).strip('"')}
+        elif am := _ALTER_ADD_RE.match(action):
+            meta = {"op": "add_column", "column_sql": am.group(1).strip()}
+        else:
+            raise ValueError(f"unsupported ALTER TABLE action: {action!r}")
+        meta["name"] = name
+        return Translated("alter", meta=meta)
 
     if m := _DELETE_RE.match(sql):
         where, views = "", {}

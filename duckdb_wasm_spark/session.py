@@ -264,6 +264,25 @@ class SparkDB:
         return sorted({*self._tables, *self._views})
 
 
+_DUCK_TYPE_NAMES = {
+    "tinyint": "TINYINT", "smallint": "SMALLINT", "int": "INTEGER",
+    "bigint": "BIGINT", "float": "FLOAT", "double": "DOUBLE",
+    "string": "VARCHAR", "boolean": "BOOLEAN", "date": "DATE",
+    "timestamp": "TIMESTAMP", "binary": "BLOB",
+}
+
+
+def _duck_type_name(dt) -> str:
+    """Spark type → the engine-dialect name DESCRIBE prints (DuckDB
+    spelling: VARCHAR, BLOB, FLOAT[] for arrays, DECIMAL(p,s))."""
+    s = dt.simpleString()
+    if s.startswith("array<"):
+        return _duck_type_name(dt.elementType) + "[]"
+    if s.startswith("decimal"):
+        return s.upper()
+    return _DUCK_TYPE_NAMES.get(s, s.upper())
+
+
 def _ipc_repack(batches):
     """Executor-side mapInArrow body: serialize each incoming Arrow
     batch to one IPC stream carried in a single-row binary column, so
@@ -448,6 +467,61 @@ class Connection:
                 depth = 0
             self.db._set_table(name, merged)
             self.db._insert_depth[name] = depth
+            return self._empty_ok()
+
+        if t.kind == "describe":
+            name = t.meta["name"]
+            df = self.db._tables.get(name) or self.db._views.get(name)
+            if df is None:
+                raise SparkDBError(f"table {name!r} does not exist")
+            rows = [
+                (f.name, _duck_type_name(f.dataType), "YES" if f.nullable else "NO")
+                for f in df.schema
+            ]
+            return spark.createDataFrame(
+                rows, "column_name string, column_type string, null string"
+            )
+
+        if t.kind == "alter":
+            from pyspark.sql import functions as F
+
+            name, op = t.meta["name"], t.meta["op"]
+            if name not in self.db._tables:
+                raise SparkDBError(f"table {name!r} does not exist")
+            target = self.db._tables[name]
+            if op == "rename_table":
+                new_name = t.meta["new"]
+                if new_name in self.db._tables or new_name in self.db._views:
+                    raise SparkDBError(f"{new_name!r} already exists")
+                self.db._tables.pop(name)
+                spark.catalog.dropTempView(name)
+                self.db._set_table(new_name, target)
+                return self._empty_ok()
+            if op == "add_column":
+                ddl = columns_from_ddl(t.meta["column_sql"])
+                field = spark.createDataFrame([], ddl).schema[0]
+                if field.name in target.columns:
+                    raise SparkDBError(
+                        f"column {field.name!r} already exists in {name!r}"
+                    )
+                new = target.withColumn(
+                    field.name, F.lit(None).cast(field.dataType)
+                )
+            elif op == "drop_column":
+                col = t.meta["column"]
+                if col not in target.columns:
+                    raise SparkDBError(f"column {col!r} not in table {name!r}")
+                new = target.drop(col)
+            else:  # rename_column
+                old, newc = t.meta["old"], t.meta["new"]
+                if old not in target.columns:
+                    raise SparkDBError(f"column {old!r} not in table {name!r}")
+                if newc in target.columns:
+                    raise SparkDBError(
+                        f"column {newc!r} already exists in {name!r}"
+                    )
+                new = target.withColumnRenamed(old, newc)
+            self.db._set_table(name, new)
             return self._empty_ok()
 
         if t.kind in ("update", "delete"):

@@ -457,3 +457,29 @@ def test_update_strict_typecheck(conn):
     with pytest.raises(SparkDBError):
         conn.query("DELETE FROM missing_table WHERE 1 = 1")
     conn.query("DROP TABLE uds")
+
+
+def test_truncate_describe_alter(conn):
+    conn.query("CREATE TABLE tda (a INTEGER, b VARCHAR(8))")
+    conn.query("INSERT INTO tda VALUES (1, 'x'), (2, 'y')")
+    # DESCRIBE: DuckDB-spelled types
+    d = conn.query("DESCRIBE tda")
+    assert d.column("column_name").to_pylist() == ["a", "b"]
+    assert d.column("column_type").to_pylist() == ["INTEGER", "VARCHAR"]
+    # ALTER: add (null-filled), rename column, drop, rename table
+    conn.query("ALTER TABLE tda ADD COLUMN c DOUBLE")
+    assert conn.query("SELECT c FROM tda").column("c").to_pylist() == [None, None]
+    conn.query("ALTER TABLE tda RENAME COLUMN c TO z")
+    conn.query("ALTER TABLE tda DROP COLUMN z")
+    assert conn.query("SELECT * FROM tda").column_names == ["a", "b"]
+    conn.query("ALTER TABLE tda RENAME TO tda2")
+    assert conn.query("SELECT count(*) n FROM tda2").column("n").to_pylist() == [2]
+    with pytest.raises(SparkDBError):
+        conn.query("ALTER TABLE tda2 DROP COLUMN nope")
+    with pytest.raises(SparkDBError):
+        conn.query("ALTER TABLE tda2 ADD COLUMN a INTEGER")
+    # TRUNCATE empties, keeps schema
+    conn.query("TRUNCATE tda2")
+    t = conn.query("SELECT * FROM tda2")
+    assert t.num_rows == 0 and t.column_names == ["a", "b"]
+    conn.query("DROP TABLE tda2")
