@@ -124,3 +124,44 @@ def run_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+def stream_dedup_keys(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Streaming exact dedup: watermarked
+    ``dropDuplicatesWithinWatermark`` over the (user_id, event_type)
+    key — the streaming form of the batch exact-dedup operator. The
+    watermark delay bounds the dedup state (keys older than the delay
+    are evicted — the property that makes streaming dedup viable on an
+    unbounded 100 TB feed); the delay here exceeds the staged data's
+    span, so the kept KEY SET equals the batch distinct exactly.
+    Returns (streamed keys, batch expected keys)."""
+    src_dir, schema = _staged_stream_source(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .select("user_id", "event_type", "ts")
+        .withWatermark("ts", "60 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    name = f"dedup_{os.getpid()}_{abs(hash(src_dir)) % 10000}"
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table(name)
+    expected = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    return got, expected

@@ -43,3 +43,15 @@ def test_stateful_running_counts(spark, sf_dir):
         .collect()
     }
     assert final == batch
+
+
+def test_stream_dedup_equals_batch_distinct(spark, sf_dir):
+    # streaming dropDuplicatesWithinWatermark must keep exactly the
+    # batch-distinct key set (watermark delay > data span; which ROW
+    # survives per key is batch-order-dependent, the key set is not)
+    from duckdb_wasm_spark.streaming import live
+
+    got, expected = live.stream_dedup_keys(spark, sf_dir)
+    g = {(r.user_id, r.event_type) for r in got.collect()}
+    e = {(r.user_id, r.event_type) for r in expected.collect()}
+    assert g == e and len(g) == got.count()
