@@ -381,3 +381,99 @@ select o_orderkey,
 from (select o_orderkey, cast(o_orderdate as date) od from orders
       where o_orderkey <= 400)
 """
+
+
+# ------------------------------------------------------- extra_quantiles
+@_q("extra_quantiles")
+def extra_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles (Spark `percentile` ≡ DuckDB
+    `quantile_cont`: both index q·(n−1) into the sorted values and
+    linearly interpolate — verified bit-equal on this corpus).
+
+    Scale: exact percentile sorts each group's values; the scale path
+    for wide groups is approx_percentile (t-digest sketch, no sort) —
+    not registered because its sketch is engine-specific."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", 0.5).alias("med_qty"),
+            F.percentile("l_quantity", 0.9).alias("p90_qty"),
+            F.percentile("l_extendedprice", 0.25).alias("p25_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+ORACLE["extra_quantiles"] = """
+select l_returnflag,
+       quantile_cont(l_quantity, 0.5) med_qty,
+       quantile_cont(l_quantity, 0.9) p90_qty,
+       quantile_cont(l_extendedprice, 0.25) p25_price,
+       count(*) n
+from lineitem
+group by l_returnflag
+"""
+
+
+# ------------------------------------------------------- extra_regex_fns
+@_q("extra_regex_fns")
+def extra_regex_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar corpus: extract, global replace, and match-flag.
+    Patterns stay in the Java∩RE2 common subset (no backrefs or
+    lookaround), where the engines agree."""
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_custkey") <= 200
+    )
+    return cust.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"(\d+)", 1).alias("digits"),
+        F.regexp_replace("c_name", r"0+", "#").alias("zero_runs"),
+        F.col("c_name").rlike(r"Customer#0*1\d$").cast("int").alias(
+            "ends_teenish"
+        ),
+    )
+
+
+ORACLE["extra_regex_fns"] = r"""
+select c_custkey,
+       regexp_extract(c_name, '(\d+)', 1) digits,
+       regexp_replace(c_name, '0+', '#', 'g') zero_runs,
+       cast(regexp_matches(c_name, 'Customer#0*1\d$') as integer)
+           ends_teenish
+from customer
+where c_custkey <= 200
+"""
+
+
+# ------------------------------------------------------- extra_array_fns
+@_q("extra_array_fns")
+def extra_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation + functions: collect per-region nation names
+    (sorted — collect order is partition-dependent, the sorted list is
+    not), then join/index/membership. String-joined output so the
+    value hash is representation-independent across engines."""
+    nation = load_table(spark, sf_dir, "nation")
+    sorted_names = F.array_sort(F.collect_list("n_name"))
+    return (
+        nation.groupBy("n_regionkey")
+        .agg(
+            F.array_join(sorted_names, ",").alias("names_csv"),
+            F.size(sorted_names).cast("int").alias("n_nations"),
+            F.element_at(sorted_names, 1).alias("first_name"),
+            F.array_contains(F.collect_list("n_name"), "NATION_7")
+            .cast("int")
+            .alias("has_7"),
+        )
+    )
+
+
+ORACLE["extra_array_fns"] = """
+select n_regionkey,
+       array_to_string(list_sort(list(n_name)), ',') names_csv,
+       cast(len(list(n_name)) as integer) n_nations,
+       list_sort(list(n_name))[1] first_name,
+       cast(list_contains(list(n_name), 'NATION_7') as integer) has_7
+from nation
+group by n_regionkey
+"""
