@@ -132,7 +132,13 @@ def dedup_ngram_jaccard(
     definition the oracle states; candidates lost to the cap can only
     REMOVE result pairs whose overlap rode solely on stop-grams."""
     docs = load_table(spark, sf_dir, "documents")
-    grams = _gram_sets(docs)
+    # |set| rides along the exploded grams (the trigram array is already
+    # distinct), so no separate per-doc size aggregate and no size
+    # re-joins after the candidate count — two shuffles and one
+    # recomputation of the shingle pipeline eliminated (round 3)
+    grams = _gram_arrays(docs).select(
+        "doc_id", F.size("grams").alias("n"), F.explode("grams").alias("gram")
+    )
     if max_df is not None:
         # one-pass df filter: count-over-window by gram instead of a
         # groupBy + semi-join (which re-shuffles the exploded grams
@@ -150,21 +156,20 @@ def dedup_ngram_jaccard(
             .where(F.col("_df") <= max_df)
             .drop("_df")
         )
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = grams.select(F.col("doc_id").alias("doc_a"), "gram")
-    b = grams.select(F.col("doc_id").alias("doc_b"), "gram")
+    a = grams.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), "gram"
+    )
+    b = grams.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), "gram"
+    )
     inter = (
         a.join(b, "gram")
         .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("n_common").cast("double")
             / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
