@@ -477,3 +477,68 @@ select n_regionkey,
 from nation
 group by n_regionkey
 """
+
+
+# -------------------------------------------------------- extra_json_fns
+@_q("extra_json_fns")
+def extra_json_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction over the events.props JSON column
+    (JSONPath `$.k`), feeding typed aggregation — path extraction and
+    the cast both stay JVM-side (get_json_object)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return (
+        ev.select("event_type", k.alias("k_str"), k.cast("int").alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k_str").alias("min_k_str"),
+            F.max("k_str").alias("max_k_str"),
+        )
+    )
+
+
+ORACLE["extra_json_fns"] = """
+select event_type, count(*) n,
+       cast(sum(cast(json_extract_string(props, '$.k') as integer))
+            as bigint) sum_k,
+       min(json_extract_string(props, '$.k')) min_k_str,
+       max(json_extract_string(props, '$.k')) max_k_str
+from events
+group by event_type
+"""
+
+
+# ----------------------------------------------------------- extra_pivot
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@_q("extra_pivot")
+def extra_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event counts spread into one column per event
+    type (explicit value list — Spark then skips the extra distinct
+    scan, and the output schema is static as the oracle requires)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    pivoted = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves absent combinations NULL; the conditional-aggregation
+    # oracle counts them as 0. n_-prefixed aliases: a bare `view` column
+    # name is a reserved word on the oracle side
+    return pivoted.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
+    )
+
+
+ORACLE["extra_pivot"] = f"""
+select user_id,
+       {', '.join(f"count(case when event_type = '{t}' then 1 end) n_{t}"
+                  for t in _EVENT_TYPES)}
+from events
+where user_id < 50
+group by user_id
+"""
