@@ -230,3 +230,61 @@ from (
         from documents))
 where cum_tokens <= {TOKEN_BUDGET}
 """
+
+
+# ---------------------------------------------------------- sample_split
+SPLIT_PCT = (80, 10, 10)  # train / val / test
+
+
+@_q("sample_split")
+def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified train/val/test assignment: each doc's
+    md5-derived bucket (0-99) maps to a split, so membership is a pure
+    function of doc_id — stable across runs, engines, and cluster
+    sizes (the property a reproducible pretraining mix needs). Output
+    is the per-(lang, split) doc/token rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split"), F.col("doc_id").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 100
+    )
+    split = (
+        F.when(bucket < SPLIT_PCT[0], "train")
+        .when(bucket < SPLIT_PCT[0] + SPLIT_PCT[1], "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select("lang", split.alias("split"), F.size(toks()).alias("n_tok"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+
+
+ORACLE["sample_split"] = f"""
+with assigned as (
+  select lang,
+         case
+           when b < {SPLIT_PCT[0]} then 'train'
+           when b < {SPLIT_PCT[0] + SPLIT_PCT[1]} then 'val'
+           else 'test'
+         end split,
+         len({sql_toks('text')}) n_tok
+  from (select lang, text,
+               ('0x' || substr(md5('split' || cast(doc_id as varchar)),
+                               1, 4))::int % 100 b
+        from documents))
+select lang, split, count(*) n_docs, sum(n_tok) n_tokens
+from assigned
+group by lang, split
+"""

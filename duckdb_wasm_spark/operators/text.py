@@ -245,3 +245,36 @@ select doc_id,
        cast(length(text) as double) / len({sql_toks('text')}) chars_per_token
 from documents
 """
+
+
+# ------------------------------------------------------- text_vocab_topk
+VOCAB_K = 100
+
+
+@_q("text_vocab_topk")
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: the K most frequent tokens with document
+    frequency — the first step of any tokenizer/vocab build. Token
+    counting is a map-side-combining hash aggregate over the exploded
+    tokens; the top-K is TakeOrderedAndProject (no global sort
+    materialization). Ties break on the token so the cut is total."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(toks()).alias("tok"))
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col("doc_id")).alias("df"),
+        )
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(VOCAB_K)
+    )
+
+
+ORACLE["text_vocab_topk"] = f"""
+select tok, count(*) n, count(distinct doc_id) df
+from (select doc_id, unnest({sql_toks('text')}) tok from documents)
+group by tok
+order by n desc, tok asc
+limit {VOCAB_K}
+"""
