@@ -143,3 +143,52 @@ join (
   on o_totalprice >= lo and o_totalprice < hi
 group by band_id, lo
 """
+
+
+# --------------------------------------------------- generic asof_join
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    tie_break: list[str] | None = None,
+) -> DataFrame:
+    """Reusable backward as-of join: every `left` row gains the
+    `right_cols` values of the latest `right` row with
+    ``right_ts <= left_ts`` within the `on` key (NULLs when no such
+    row — LEFT semantics). The same union+window merge as the
+    registered attribution query: ONE shuffle by `on`, cost linear per
+    key, no candidate explosion however skewed the key.
+
+    tie_break: extra `right` columns making the right-side order total
+    when several right rows share a timestamp (without it, which of
+    the tied rows wins is partition-order-dependent). Ties between a
+    left and right row at the same instant match (inclusive bound).
+    `right_cols` must not collide with `left` column names."""
+    right_cols = right_cols or []
+    tie_break = tie_break or []
+    l_tag = left.withColumn("_ats", F.col(left_ts)).withColumn(
+        "_side", F.lit(1)
+    )
+    r_tag = right.select(
+        *on,
+        F.col(right_ts).alias("_ats"),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_tb_{c}") for c in tie_break],
+        F.struct(*[F.col(c) for c in right_cols]).alias("_rv"),
+    )
+    merged = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("_ats", "_side", *[f"_tb_{c}" for c in tie_break])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = merged.withColumn(
+        "_m", F.last("_rv", ignorenulls=True).over(w)
+    ).where(F.col("_side") == 1)
+    return matched.select(
+        *left.columns,
+        *[F.col(f"_m.{c}").alias(c) for c in right_cols],
+    )

@@ -527,6 +527,10 @@ class Connection:
         if t.kind in ("update", "delete"):
             from pyspark.sql import functions as F
 
+            if args:
+                raise SparkDBError(
+                    "`?` parameters are not supported in UPDATE/DELETE"
+                )
             name = t.meta["name"]
             if name not in self.db._tables:
                 raise SparkDBError(f"table {name!r} does not exist")
