@@ -169,3 +169,127 @@ select doc_id, n_bytes, cast(byte_sum as bigint) byte_sum,
        checksum
 from b
 """
+
+
+# --------------------------------------------------------------- resize
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize (floor-index convention: source pixel
+    (i·h)//out_h, (j·w)//out_w) — the deterministic downscale a
+    thumbnail/preview pipeline runs after decode."""
+    h, w = img.shape[0], img.shape[1]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return img[ys][:, xs, :]
+
+
+THUMB = 8  # 8×8×3 thumbnails
+
+
+@_q("multimodal_thumbnail")
+def multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → nearest-neighbor resize → thumbnail stats, the full
+    image-pipeline shape (with fake_decode standing in for the codec).
+    The oracle recomputes the identical tiled-byte indexing and floor
+    resize arithmetic in SQL over the source text's codepoints."""
+    assets = with_assets(load_table(spark, sf_dir, "documents"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        k = THUMB * THUMB * 3
+        for pdf in it:
+            ids, sums = [], []
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                img = fake_decode(payload, meta["width"], meta["height"])
+                thumb = resize_nearest(img, THUMB, THUMB)
+                ids.append(doc_id)
+                sums.append(int(thumb.sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "thumb_sum": pd.Series(sums, dtype="int64"),
+                    "thumb_mean": pd.Series(
+                        [s / k for s in sums], dtype="float64"
+                    ),
+                }
+            )
+
+    return assets.select("doc_id", "payload", "meta").mapInPandas(
+        batches, "doc_id long, thumb_sum long, thumb_mean double"
+    )
+
+
+ORACLE["multimodal_thumbnail"] = f"""
+with dims as (
+  select doc_id, text,
+         cast(16 + doc_id % 64 as int) w,
+         cast(16 + (doc_id * 7) % 64 as int) h,
+         octet_length(encode(text)) n
+  from documents),
+thumbs as (
+  select doc_id,
+         list_sum(list_transform(range(0, {THUMB * THUMB * 3}), k ->
+           unicode(substr(text,
+             1 + (((((k // {THUMB * 3}) * h) // {THUMB}) * w
+                   + (((k // 3) % {THUMB}) * w) // {THUMB}) * 3
+                  + k % 3) % n,
+             1)))) s
+  from dims)
+select doc_id, cast(s as bigint) thumb_sum,
+       cast(s as double) / {THUMB * THUMB * 3} thumb_mean
+from thumbs
+"""
+
+
+# --------------------------------------------------------- frame sampling
+FRAME_BYTES = 192  # 8×8 RGB frames
+FRAME_STRIDE = 2  # keep every 2nd frame
+
+
+@_q("multimodal_frames")
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over a binary 'video' payload: slice the byte
+    stream into fixed-size frames, keep every FRAME_STRIDE-th one, emit
+    per-frame stats — the strided applier a video pipeline runs before
+    per-frame featurization (one output row per sampled frame, so the
+    table explodes by n_frames/stride, all partition-local)."""
+    assets = with_assets(load_table(spark, sf_dir, "documents"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, frames, sums = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = np.frombuffer(payload, dtype=np.uint8)
+                n_frames = len(buf) // FRAME_BYTES
+                for f in range(0, n_frames, FRAME_STRIDE):
+                    ids.append(doc_id)
+                    frames.append(f)
+                    sums.append(
+                        int(buf[f * FRAME_BYTES:(f + 1) * FRAME_BYTES].sum())
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame": pd.Series(frames, dtype="int32"),
+                    "frame_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return assets.select("doc_id", "payload").mapInPandas(
+        batches, "doc_id long, frame int, frame_sum long"
+    )
+
+
+ORACLE["multimodal_frames"] = f"""
+with docs as (
+  select doc_id, text, octet_length(encode(text)) n from documents),
+frames as (
+  select doc_id, text, unnest(range(0, n // {FRAME_BYTES})) f
+  from docs)
+select doc_id, cast(f as int) frame,
+       cast(list_sum(list_transform(range(0, {FRAME_BYTES}), i ->
+         unicode(substr(text, 1 + f * {FRAME_BYTES} + i, 1)))) as bigint)
+         frame_sum
+from frames
+where f % {FRAME_STRIDE} = 0
+"""
