@@ -192,3 +192,31 @@ def asof_join(
         *left.columns,
         *[F.col(f"_m.{c}").alias(c) for c in right_cols],
     )
+
+
+# -------------------------------------------------- generic range_join
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    extra_on: list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Reusable point-in-interval join: each `points` row matches the
+    `intervals` rows with ``lo <= point < hi`` (optionally also equal
+    on `extra_on` keys). The interval side is broadcast — the right
+    plan when intervals are few (bands, calendars, config ranges): the
+    big side streams with zero shuffle. For two LARGE sides, pre-bucket
+    both on coarse range buckets and equi-join the bucket id instead —
+    a broadcast non-equi join does not scale past a small right side,
+    so this helper insists on broadcasting it."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"range_join supports inner/left, got {how!r}")
+    cond = (F.col(point_col) >= F.col(lo_col)) & (
+        F.col(point_col) < F.col(hi_col)
+    )
+    for k in extra_on or []:
+        cond = cond & (points[k] == intervals[k])
+    return points.join(F.broadcast(intervals), cond, how)

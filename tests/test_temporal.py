@@ -69,3 +69,26 @@ def test_asof_join_single_shuffle(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in plan and "Join" not in plan
+
+
+def test_range_join_semantics(spark):
+    pts = spark.createDataFrame(
+        [(1, 5.0), (2, 10.0), (3, 25.0), (4, -1.0)], "pid int, v double"
+    )
+    iv = spark.createDataFrame(
+        [(0, 0.0, 10.0), (1, 10.0, 20.0)], "band int, lo double, hi double"
+    )
+    from duckdb_wasm_spark.operators.temporal import range_join
+
+    inner = {
+        (r.pid, r.band) for r in range_join(pts, iv, "v").collect()
+    }
+    assert inner == {(1, 0), (2, 1)}  # hi-exclusive; out-of-range drop
+    left = range_join(pts, iv, "v", how="left")
+    assert left.count() == 4  # unmatched points survive with NULL band
+    plan = left._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan  # tiny side broadcast
+    import pytest
+
+    with pytest.raises(ValueError):
+        range_join(pts, iv, "v", how="full")
