@@ -185,3 +185,55 @@ select user_id, min(ts) session_start, count(*) n
 from numbered
 group by user_id, session_id
 """
+
+
+# ------------------------------------------------------- events_rolling
+ROLL_SECONDS = 600  # rolling 10-minute lookback
+
+
+@_q("events_rolling")
+def events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row rolling 10-minute lookback per user (RANGE frame over
+    event time): how many events and how much value this user produced
+    in the 10 minutes up to and including each event — the per-event
+    feature a rate limiter or fraud scorer computes. RANGE (value
+    range) frames, the window-frame class ROWS frames can't express:
+    the frame holds every row within 600s, however many there are.
+
+    Both engines order by integer epoch seconds so frame membership is
+    exact integer arithmetic (a raw timestamp order would make the
+    bound type engine-specific). One shuffle by user_id; the frame is
+    bounded by time, so state per row is bounded at any scale. Ties on
+    the same epoch second: RANGE puts peers in the same frame in both
+    engines — order within the second doesn't change membership."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 40)
+    epoch = F.col("ts").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-ROLL_SECONDS, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_10m"),
+        F.sum(dec("value")).over(w).cast("double").alias("sum_10m"),
+    )
+
+
+ORACLE["events_rolling"] = f"""
+select user_id, event_id,
+       count(*) over w n_10m,
+       cast(sum({sql_dec('value')}) over w as double) sum_10m
+from events
+where user_id < 40
+window w as (partition by user_id
+             order by cast(floor(epoch(ts)) as bigint)
+             range between {ROLL_SECONDS} preceding and current row)
+"""
+# floor(), not a bare ::bigint cast: DuckDB's double→bigint cast ROUNDS
+# the fractional seconds while Spark's timestamp→long cast truncates —
+# a half-second event would land in different epoch seconds and flip
+# frame membership at exact 600s boundaries
