@@ -542,3 +542,39 @@ from events
 where user_id < 50
 group by user_id
 """
+
+
+# -------------------------------------------------- extra_recursive_walk
+_RECURSIVE_WALK_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT n_regionkey region, n_nationkey src,
+         lead(n_nationkey) OVER (PARTITION BY n_regionkey
+                                 ORDER BY n_nationkey) dst
+  FROM nation),
+heads AS (
+  SELECT n_regionkey region, min(n_nationkey) head FROM nation GROUP BY 1),
+walk(region, nationkey, depth) AS (
+  SELECT region, head, 0 FROM heads
+  UNION ALL
+  SELECT w.region, e.dst, w.depth + 1
+  FROM walk w JOIN edges e ON e.region = w.region AND e.src = w.nationkey
+  WHERE e.dst IS NOT NULL)
+SELECT region, nationkey, depth FROM walk
+"""
+
+
+@_q("extra_recursive_walk")
+def extra_recursive_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 UnionLoop): walk each region's nation
+    chain via precomputed successor edges, one depth level per
+    iteration. The IDENTICAL SQL text is the oracle — the engines'
+    recursive-CTE semantics are compared directly. The correlated work
+    lives OUTSIDE the recursion (a lead() window builds the successor
+    edges once); the recursive step is then a plain equi-join, the
+    shape Spark's recursion supports and the shape that scales (each
+    iteration shuffles only the frontier)."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(_RECURSIVE_WALK_SQL)
+
+
+ORACLE["extra_recursive_walk"] = _RECURSIVE_WALK_SQL
