@@ -204,11 +204,82 @@ def _rewrite_strftime(sql: str) -> str:
     return _STRFTIME_RE.sub(repl, sql)
 
 
+def _find_top_level_kw(sql: str, kw: str, start: int = 0) -> int | None:
+    """Index of the first occurrence of keyword `kw` at paren depth 0
+    and outside single-quoted strings (word-boundary, case-insensitive);
+    None if absent."""
+    depth = 0
+    in_str = False
+    n, k = len(sql), len(kw)
+    i = start
+    low = sql.lower()
+    kw = kw.lower()
+    while i < n:
+        ch = sql[i]
+        if in_str:
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and low.startswith(kw, i):
+            before_ok = i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")
+            j = i + k
+            after_ok = j >= n or not (sql[j].isalnum() or sql[j] == "_")
+            if before_ok and after_ok:
+                return i
+        i += 1
+    return None
+
+
+def _rewrite_qualify(sql: str) -> str:
+    """DuckDB QUALIFY → standard SQL: project the predicate as a helper
+    column, filter on it outside, and drop it with `* EXCEPT`. Handles
+    the top-level `... QUALIFY <cond> [ORDER BY ...] [LIMIT ...]` form
+    (QUALIFY inside subqueries/CTE bodies is not rewritten; SELECT
+    DISTINCT + QUALIFY is rejected — the rewrite would dedupe after
+    the filter on the augmented row, changing semantics)."""
+    qi = _find_top_level_kw(sql, "qualify")
+    if qi is None:
+        return sql
+    head = sql[:qi].rstrip()
+    rest = sql[qi + len("qualify"):]
+    cuts = [
+        c
+        for c in (
+            _find_top_level_kw(rest, "order"),
+            _find_top_level_kw(rest, "limit"),
+        )
+        if c is not None
+    ]
+    cut = min(cuts) if cuts else len(rest)
+    cond = rest[:cut].strip().rstrip(";").strip()
+    tail = rest[cut:].strip().rstrip(";").strip()
+    si = _find_top_level_kw(head, "select")
+    fi = _find_top_level_kw(head, "from", (si or 0) + 6)
+    if si is None or fi is None:
+        raise ValueError("cannot rewrite QUALIFY: no top-level SELECT/FROM")
+    select_list = head[si + 6:fi]
+    if _find_top_level_kw(select_list, "distinct") is not None:
+        raise ValueError("QUALIFY with SELECT DISTINCT is not supported")
+    head2 = (
+        head[:fi] + f", ({cond}) AS __qualify__ " + head[fi:]
+    )
+    return (
+        f"SELECT * EXCEPT (__qualify__) FROM ({head2}) __qualify_t "
+        f"WHERE __qualify__ {tail}"
+    )
+
+
 def _rewrite_query_text(sql: str) -> tuple[str, dict[str, tuple[str, str]]]:
     sql = _rewrite_casts(sql)
     sql = _rewrite_generate_series(sql)
     sql = _rewrite_substring(sql)
     sql = _rewrite_strftime(sql)
+    sql = _rewrite_qualify(sql)
     return _rewrite_file_tables(sql)
 
 

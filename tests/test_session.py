@@ -483,3 +483,28 @@ def test_truncate_describe_alter(conn):
     t = conn.query("SELECT * FROM tda2")
     assert t.num_rows == 0 and t.column_names == ["a", "b"]
     conn.query("DROP TABLE tda2")
+
+
+def test_qualify_rewrite(conn):
+    # DuckDB QUALIFY sugar → projected predicate + * EXCEPT filter
+    conn.query("CREATE TABLE q (k INTEGER, v INTEGER)")
+    conn.query("INSERT INTO q VALUES (1, 10), (1, 20), (2, 5), (2, 7)")
+    t = conn.query(
+        "SELECT k, v FROM q "
+        "QUALIFY row_number() OVER (PARTITION BY k ORDER BY v DESC) = 1 "
+        "ORDER BY k"
+    )
+    assert t.column_names == ["k", "v"]
+    assert t.column("v").to_pylist() == [20, 7]
+    # with WHERE + LIMIT tail
+    t2 = conn.query(
+        "SELECT k, v FROM q WHERE v > 5 "
+        "QUALIFY rank() OVER (ORDER BY v DESC) <= 2 ORDER BY v DESC LIMIT 1"
+    )
+    assert t2.column("v").to_pylist() == [20]
+    with pytest.raises(Exception):
+        conn.query(
+            "SELECT DISTINCT k FROM q "
+            "QUALIFY row_number() OVER (ORDER BY k) = 1"
+        )
+    conn.query("DROP TABLE q")
