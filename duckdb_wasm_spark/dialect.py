@@ -274,12 +274,17 @@ def _rewrite_qualify(sql: str) -> str:
     )
 
 
+# DuckDB star sugar: `* EXCLUDE (a, b)` ≡ Spark's `* EXCEPT (a, b)`
+_EXCLUDE_RE = re.compile(r"(\*\s+)EXCLUDE(\s*\()", re.IGNORECASE)
+
+
 def _rewrite_query_text(sql: str) -> tuple[str, dict[str, tuple[str, str]]]:
     sql = _rewrite_casts(sql)
     sql = _rewrite_generate_series(sql)
     sql = _rewrite_substring(sql)
     sql = _rewrite_strftime(sql)
     sql = _rewrite_qualify(sql)
+    sql = _EXCLUDE_RE.sub(r"\1EXCEPT\2", sql)
     return _rewrite_file_tables(sql)
 
 

@@ -508,3 +508,11 @@ def test_qualify_rewrite(conn):
             "QUALIFY row_number() OVER (ORDER BY k) = 1"
         )
     conn.query("DROP TABLE q")
+
+
+def test_exclude_rewrite(conn):
+    conn.query("CREATE TABLE ex (a INTEGER, b INTEGER, c INTEGER)")
+    conn.query("INSERT INTO ex VALUES (1, 2, 3)")
+    t = conn.query("SELECT * EXCLUDE (b) FROM ex")
+    assert t.column_names == ["a", "c"]
+    conn.query("DROP TABLE ex")
