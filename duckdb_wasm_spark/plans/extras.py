@@ -578,3 +578,43 @@ def extra_recursive_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["extra_recursive_walk"] = _RECURSIVE_WALK_SQL
+
+
+# -------------------------------------------------- extra_bool_argmax
+@_q("extra_bool_argmax")
+def extra_bool_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (bool_and/bool_or) and argmin/argmax
+    (max_by/min_by ≡ arg_max/arg_min). The ordering key encodes
+    (price cents, orderkey) into one bigint — this engine's arg_max
+    takes only scalar keys, and a composite integer key makes the
+    pick total (price ties broken by key) so both engines select the
+    identical row."""
+    orders = load_table(spark, sf_dir, "orders")
+    key = (
+        F.round(F.col("o_totalprice") * 100).cast("long") * F.lit(10_000_000)
+        + F.col("o_orderkey")
+    )
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.bool_and(F.col("o_totalprice") > 100000).alias("all_big"),
+            F.bool_or(F.col("o_orderstatus") == "F").alias("any_f"),
+            F.max_by("o_orderkey", key).alias("top_key"),
+            F.min_by("o_orderkey", key).alias("bot_key"),
+        )
+    )
+
+
+ORACLE["extra_bool_argmax"] = """
+select o_orderpriority,
+       bool_and(o_totalprice > 100000) all_big,
+       bool_or(o_orderstatus = 'F') any_f,
+       arg_max(o_orderkey,
+               cast(round(o_totalprice * 100) as bigint) * 10000000
+               + o_orderkey) top_key,
+       arg_min(o_orderkey,
+               cast(round(o_totalprice * 100) as bigint) * 10000000
+               + o_orderkey) bot_key
+from orders
+group by o_orderpriority
+"""
