@@ -618,3 +618,27 @@ select o_orderpriority,
 from orders
 group by o_orderpriority
 """
+
+
+# ---------------------------------------------------- extra_listagg
+@_q("extra_listagg")
+def extra_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: ANSI listagg(...) WITHIN GROUP ≡
+    DuckDB string_agg(... order by ...). The explicit order makes the
+    concatenation deterministic (an unordered string_agg is
+    partition-order-dependent in both engines)."""
+    sup = load_table(spark, sf_dir, "supplier").where(F.col("s_suppkey") <= 40)
+    sup.createOrReplaceTempView("sup_small")
+    return spark.sql(
+        "select s_nationkey, "
+        "listagg(s_name, '|') within group (order by s_name) s_names "
+        "from sup_small group by s_nationkey"
+    )
+
+
+ORACLE["extra_listagg"] = """
+select s_nationkey, string_agg(s_name, '|' order by s_name) s_names
+from supplier
+where s_suppkey <= 40
+group by s_nationkey
+"""
