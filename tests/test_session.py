@@ -516,3 +516,18 @@ def test_exclude_rewrite(conn):
     t = conn.query("SELECT * EXCLUDE (b) FROM ex")
     assert t.column_names == ["a", "c"]
     conn.query("DROP TABLE ex")
+
+
+def test_qualify_with_cte(conn):
+    # the rewrite wraps the whole head (including WITH) in a subquery;
+    # Spark accepts CTEs inside subqueries, so this composes
+    conn.query("CREATE TABLE qc2 (k INTEGER, v INTEGER)")
+    conn.query("INSERT INTO qc2 VALUES (1, 10), (1, 20), (2, 5)")
+    t = conn.query(
+        "WITH big AS (SELECT k, v FROM qc2 WHERE v > 4) "
+        "SELECT k, v FROM big "
+        "QUALIFY row_number() OVER (PARTITION BY k ORDER BY v DESC) = 1 "
+        "ORDER BY k"
+    )
+    assert t.column("v").to_pylist() == [20, 5]
+    conn.query("DROP TABLE qc2")
