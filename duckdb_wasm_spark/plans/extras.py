@@ -642,3 +642,26 @@ from supplier
 where s_suppkey <= 40
 group by s_nationkey
 """
+
+
+# ---------------------------------------------- extra_grouping_sets
+_GSETS_SQL = """
+select o_orderpriority, o_orderstatus, count(*) n,
+       cast(sum(cast(o_totalprice as decimal(15,2))) as double) sum_price,
+       cast(grouping(o_orderpriority) as integer) g_prio,
+       cast(grouping(o_orderstatus) as integer) g_stat
+from orders
+group by grouping sets ((o_orderpriority), (o_orderstatus), ())
+"""
+
+
+@_q("extra_grouping_sets")
+def extra_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form ROLLUP/CUBE desugar
+    to): per-priority, per-status, and grand-total levels in one hash
+    aggregate — identical SQL text on both engines."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_GSETS_SQL)
+
+
+ORACLE["extra_grouping_sets"] = _GSETS_SQL
