@@ -665,3 +665,56 @@ def extra_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["extra_grouping_sets"] = _GSETS_SQL
+
+
+# --------------------------------------------------------- extra_corr
+@_q("extra_corr")
+def extra_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Pearson correlation (quantity vs extendedprice per
+    returnflag) from exact decimal second moments: the built-in corr()
+    accumulates in floating point (partition-order-dependent), so both
+    engines instead compute the five decimal sums exactly and apply
+    the identical closed-form double expression once per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q, p = dec("l_quantity"), dec("l_extendedprice")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q).cast("double").alias("sx"),
+        F.sum(p).cast("double").alias("sy"),
+        F.sum(q * p).cast("double").alias("sxy"),
+        F.sum(q * q).cast("double").alias("sxx"),
+        F.sum(p * p).cast("double").alias("syy"),
+    )
+    corr = (agg["n"] * agg["sxy"] - agg["sx"] * agg["sy"]) / (
+        F.sqrt(agg["n"] * agg["sxx"] - agg["sx"] * agg["sx"])
+        * F.sqrt(agg["n"] * agg["syy"] - agg["sy"] * agg["sy"])
+    )
+    # round(…,12): the five sums are exact decimals, but casting a
+    # >2^53 decimal to double is not bit-identical across engines
+    # (int128→double vs BigDecimal→double round differently in the
+    # last ulp); 12 decimals is far past statistical meaning
+    return agg.select(
+        "l_returnflag", F.round(corr, 12).alias("corr_qty_price")
+    )
+
+
+ORACLE["extra_corr"] = f"""
+with m as (
+  select l_returnflag,
+         cast(count(*) as double) n,
+         cast(sum({sql_dec('l_quantity')}) as double) sx,
+         cast(sum({sql_dec('l_extendedprice')}) as double) sy,
+         cast(sum({sql_dec('l_quantity')} * {sql_dec('l_extendedprice')})
+              as double) sxy,
+         cast(sum({sql_dec('l_quantity')} * {sql_dec('l_quantity')})
+              as double) sxx,
+         cast(sum({sql_dec('l_extendedprice')} * {sql_dec('l_extendedprice')})
+              as double) syy
+  from lineitem
+  group by l_returnflag)
+select l_returnflag,
+       round((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 12)
+         corr_qty_price
+from m
+"""
