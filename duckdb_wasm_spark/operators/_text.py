@@ -55,6 +55,23 @@ def sql_trigrams(t: str) -> str:
     )
 
 
+# ------------------------------------------------------------- bigrams
+def bigrams(t: Column) -> Column:
+    """NON-distinct 2-token shingles (Spark) — occurrence counts matter
+    for repetition statistics, so duplicates are kept. Same shifted-slice
+    construction as trigrams() (constant evaluations of ``t`` per row)."""
+    m = F.greatest(F.size(t) - 1, F.lit(0))
+    first = F.slice(t, 1, m)
+    second = F.slice(t, 2, m)
+    return F.zip_with(first, second, lambda x, y: F.concat(x, F.lit(" "), y))
+
+
+def sql_bigrams(t: str) -> str:
+    """Same NON-distinct bigram list in DuckDB (range upper bound is
+    exclusive, so range(1, len) enumerates the len-1 bigram starts)."""
+    return f"list_transform(range(1, greatest(len({t}), 1)), i -> {t}[i] || ' ' || {t}[i+1])"
+
+
 # ------------------------------------------------------- hashed tokens
 def md5_of(col: Column) -> Column:
     return F.md5(col)

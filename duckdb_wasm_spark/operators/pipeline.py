@@ -271,6 +271,67 @@ def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------ corpus_mix_weights
+MIX_ALPHA = 0.7  # temperature exponent: upweights low-resource sources
+
+
+@_q("corpus_mix_weights")
+def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture weights: per-source token totals,
+    raw corpus share, and the sampling weight w_s ∝ tokens_s^α (α=0.7) —
+    the standard multilingual/multi-source rebalancing rule (upweights
+    low-resource sources relative to proportional sampling).
+
+    Determinism: token totals are exact long sums; the only float math is
+    pow(tokens, α) per row plus a sum over the handful of post-aggregate
+    source rows, and the weight is rounded to 12 decimals — far coarser
+    than the ~1-ulp pow/reassociation divergence between engines (the
+    policy set by the trig corpus / extra_corr).
+
+    Scale: one partial+final hash aggregate by source over the scan; the
+    normalizing window runs over the tiny aggregated frame (rows =
+    distinct sources), not the corpus."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    agg = (
+        docs.select("source", F.size(toks()).alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+    w = Window.orderBy("source").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    powered = F.pow(F.col("n_tokens").cast("double"), F.lit(MIX_ALPHA))
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (
+            F.col("n_tokens").cast("double")
+            / F.sum("n_tokens").over(w).cast("double")
+        ).alias("token_share"),
+        F.round(powered / F.sum(powered).over(w), 12).alias("mix_weight_t07"),
+    )
+
+
+ORACLE["corpus_mix_weights"] = f"""
+with s as (
+  select source, count(*) n_docs, sum(len({sql_toks('text')})) n_tokens
+  from documents group by source)
+select source, n_docs, n_tokens,
+       cast(n_tokens as double) / cast(sum(n_tokens) over () as double)
+         token_share,
+       round(pow(cast(n_tokens as double), {MIX_ALPHA})
+             / sum(pow(cast(n_tokens as double), {MIX_ALPHA})) over (), 12)
+         mix_weight_t07
+from s
+"""
+
+
 ORACLE["sample_split"] = f"""
 with assigned as (
   select lang,

@@ -26,6 +26,8 @@ from pyspark.sql import functions as F
 
 from duckdb_wasm_spark.operators._text import (
     STOPWORDS,
+    bigrams,
+    sql_bigrams,
     sql_str_list,
     sql_toks,
     sql_trigrams,
@@ -277,4 +279,79 @@ from (select doc_id, unnest({sql_toks('text')}) tok from documents)
 group by tok
 order by n desc, tok asc
 limit {VOCAB_K}
+"""
+
+
+# ------------------------------------------------------ text_repetition
+@_q("text_repetition")
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: the share of bigram
+    occurrences taken by the single most frequent bigram, and the
+    duplicate-trigram fraction (1 − distinct/total). High values flag
+    boilerplate / looping generations for pretraining filtering.
+
+    Plan shape: the trigram signal is a pure narrow projection (counts
+    from shifted slices, no shuffle). The top-bigram count needs per-gram
+    occurrence counts, so it explodes NON-distinct bigrams and runs two
+    map-side-combining hash aggregates keyed by doc_id (+gram) — cost is
+    linear in token count, shuffle keyed on the high-cardinality
+    (doc_id, gram) pair so there is no skew hazard at 100 TB. Docs with
+    <2 tokens have no bigrams: left join, NULL fractions (same in the
+    oracle)."""
+    docs = load_table(spark, sf_dir, "documents").withColumn("_t", toks())
+    t = F.col("_t")
+    narrow = docs.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.greatest(F.size(t) - 1, F.lit(0)).alias("n_bigrams"),
+        F.greatest(F.size(t) - 2, F.lit(0)).alias("n_trigrams"),
+        F.size(trigrams(t)).alias("n_distinct_trigrams"),
+    )
+    top = (
+        docs.select("doc_id", F.explode(bigrams(t)).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_bigram_n"))
+    )
+    return narrow.join(top, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "n_bigrams",
+        "n_trigrams",
+        "n_distinct_trigrams",
+        "top_bigram_n",
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.col("top_bigram_n").cast("double") / F.col("n_bigrams"),
+        ).alias("top_bigram_frac"),
+        F.when(
+            F.col("n_trigrams") > 0,
+            F.lit(1.0)
+            - F.col("n_distinct_trigrams").cast("double") / F.col("n_trigrams"),
+        ).alias("dup_trigram_frac"),
+    )
+
+
+ORACLE["text_repetition"] = f"""
+with d as (
+  select doc_id, {sql_toks('text')} t from documents),
+n as (
+  select doc_id, len(t) n_tokens,
+         greatest(len(t) - 1, 0) n_bigrams,
+         greatest(len(t) - 2, 0) n_trigrams,
+         len({sql_trigrams('t')}) n_distinct_trigrams
+  from d),
+g as (select doc_id, unnest({sql_bigrams('t')}) gram from d),
+c as (select doc_id, gram, count(*) cnt from g group by doc_id, gram),
+top as (select doc_id, max(cnt) top_bigram_n from c group by doc_id)
+select n.doc_id, n_tokens, n_bigrams, n_trigrams, n_distinct_trigrams,
+       top_bigram_n,
+       case when n_bigrams > 0
+            then cast(top_bigram_n as double) / n_bigrams end top_bigram_frac,
+       case when n_trigrams > 0
+            then cast(1.0 as double)
+                 - cast(n_distinct_trigrams as double) / n_trigrams
+            end dup_trigram_frac
+from n left join top using (doc_id)
 """
