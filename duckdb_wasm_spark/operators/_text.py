@@ -45,6 +45,28 @@ def trigrams(t: Column) -> Column:
     return F.array_distinct(grams)
 
 
+def ngrams(t: Column, n: int) -> Column:
+    """Distinct n-token shingles for arbitrary n (Spark) — same
+    shifted-slice construction as trigrams() (constant evaluations of
+    ``t`` per row, no per-element lambda over the source expression)."""
+    m = F.greatest(F.size(t) - (n - 1), F.lit(0))
+    parts = [F.slice(t, i + 1, m) for i in range(n)]
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = F.zip_with(acc, p, lambda x, y: F.concat(x, F.lit(" "), y))
+    return F.array_distinct(acc)
+
+
+def sql_ngrams(t: str, n: int) -> str:
+    """Same distinct n-gram SET in DuckDB (order differs; consumers are
+    order-insensitive)."""
+    gram = " || ' ' || ".join(f"{t}[i+{j}]" if j else f"{t}[i]" for j in range(n))
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({t}) - {n - 2}, 1)), i -> {gram}))"
+    )
+
+
 def sql_trigrams(t: str) -> str:
     """Same shingle SET in DuckDB. list_distinct reorders relative to
     Spark's array_distinct, which is fine: every consumer is

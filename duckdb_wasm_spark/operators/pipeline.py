@@ -18,7 +18,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from duckdb_wasm_spark.operators._text import STOPWORDS, sql_str_list, sql_toks, toks
+from duckdb_wasm_spark.operators._text import (
+    STOPWORDS,
+    ngrams,
+    sql_ngrams,
+    sql_str_list,
+    sql_toks,
+    toks,
+)
 from duckdb_wasm_spark.tables import load_table
 
 QUERIES: dict = {}
@@ -269,6 +276,68 @@ def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").alias("n_tokens"),
         )
     )
+
+
+# ---------------------------------------------------- decontaminate_ngram
+DECON_N = 5  # shingle width (tokens)
+DECON_MIN_SHARED = 3  # distinct shared shingles to call contamination
+DECON_EVAL_MOD = 20  # held-out split: doc_id % DECON_EVAL_MOD == 0
+
+
+@_q("decontaminate_ngram")
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing ≥
+    DECON_MIN_SHARED distinct 5-gram shingles with any held-out
+    ("benchmark") document — the standard n-gram-overlap contamination
+    check run before pretraining. The held-out split is the deterministic
+    doc_id % DECON_EVAL_MOD == 0 slice so both engines derive it
+    identically.
+
+    Scale: inverted-index equi-join on the shingle — cost follows
+    collisions, never n². The benchmark side is tiny relative to the
+    corpus (that is the point of the check), so it is broadcast: the
+    train-side scan never shuffles. Per-pair overlap counts are a
+    map-side-combining hash aggregate on the high-cardinality
+    (train_id, eval_id) key."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = docs.select(
+        "doc_id", F.explode(ngrams(toks(), DECON_N)).alias("gram")
+    )
+    ev = shingled.where(
+        F.col("doc_id") % DECON_EVAL_MOD == 0
+    ).withColumnRenamed("doc_id", "eval_id")
+    train = shingled.where(
+        F.col("doc_id") % DECON_EVAL_MOD != 0
+    ).withColumnRenamed("doc_id", "train_id")
+    pairs = (
+        train.join(F.broadcast(ev), "gram")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= DECON_MIN_SHARED)
+    )
+    return pairs.groupBy("train_id").agg(
+        F.count(F.lit(1)).alias("n_eval_matches"),
+        F.max("n_shared").alias("max_shared"),
+    )
+
+
+ORACLE["decontaminate_ngram"] = f"""
+with shingled as (
+  select doc_id, unnest({sql_ngrams(sql_toks('text'), DECON_N)}) gram
+  from documents),
+ev as (select doc_id eval_id, gram from shingled
+       where doc_id % {DECON_EVAL_MOD} = 0),
+train as (select doc_id train_id, gram from shingled
+          where doc_id % {DECON_EVAL_MOD} != 0),
+pairs as (
+  select train_id, eval_id, count(*) n_shared
+  from train join ev using (gram)
+  group by train_id, eval_id
+  having count(*) >= {DECON_MIN_SHARED})
+select train_id, count(*) n_eval_matches, max(n_shared) max_shared
+from pairs
+group by train_id
+"""
 
 
 # ------------------------------------------------------ corpus_mix_weights

@@ -174,6 +174,108 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- embed_centroid_outliers
+OUTLIER_TOP_K = 10  # furthest vectors reported per label
+_FP_SCALE = 1 << 20  # fixed-point accumulation unit (2^-20 resolution)
+
+
+@_q("embed_centroid_outliers")
+def embed_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier detection: per-label centroid, then the
+    OUTLIER_TOP_K vectors furthest (euclidean) from their own centroid —
+    the standard label-noise / anomaly sweep over a training corpus.
+
+    Determinism (the interesting part): a distributed double mean is
+    partition-order-dependent, so the centroid is accumulated in EXACT
+    fixed point — each float component is scaled by 2^20 (exponent
+    shift, exact in double) and floored to a bigint; integer sums are
+    associative, so the mean is bit-identical on any cluster and in the
+    DuckDB oracle. The per-vector distance is then the usual
+    order-preserving left fold.
+
+    Scale: one posexplode + hash aggregate on (label, pos) — 640 output
+    rows regardless of corpus size; centroid arrays broadcast back; the
+    distance pass is a narrow map; top-k is one window per label."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label",
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select(
+        "label",
+        "pos",
+        F.floor(F.col("v").cast("double") * _FP_SCALE).alias("sv"),
+    )
+    cent = (
+        comp.groupBy("label", "pos")
+        .agg(F.sum("sv").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "label",
+            "pos",
+            (
+                F.col("s").cast("double")
+                / F.col("n").cast("double")
+                / F.lit(float(_FP_SCALE))
+            ).alias("c"),
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda x: x["c"],
+            ).alias("cent")
+        )
+    )
+    sq = lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)  # noqa: E731
+    dists = emb.join(F.broadcast(cent), "label").select(
+        "label",
+        "vec_id",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("embedding"), F.col("cent"), sq),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            )
+        ).alias("dist"),
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("dist").desc(), F.col("vec_id").asc()
+    )
+    return (
+        dists.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= OUTLIER_TOP_K)
+        .select("label", "vec_id", "rank", "dist")
+    )
+
+
+ORACLE["embed_centroid_outliers"] = f"""
+with comp as (
+  select label, pos - 1 pos,
+         cast(floor(cast(v as double) * {_FP_SCALE}) as bigint) sv
+  from (select label, unnest(embedding) v,
+               generate_subscripts(embedding, 1) pos
+        from embeddings)),
+cmean as (
+  select label, pos,
+         cast(sum(sv) as double) / cast(count(*) as double)
+           / {float(_FP_SCALE)} c
+  from comp group by label, pos),
+cent as (
+  select label, list(c order by pos) cent from cmean group by label),
+dists as (
+  select e.label, e.vec_id,
+         sqrt(list_reduce(list_transform(list_zip(e.embedding, cent.cent),
+              p -> (cast(p[1] as double) - p[2])
+                   * (cast(p[1] as double) - p[2])),
+              (a, v) -> a + v)) dist
+  from embeddings e join cent using (label)),
+ranked as (
+  select *, row_number() over (partition by label
+                               order by dist desc, vec_id asc) rank
+  from dists)
+select label, vec_id, rank, dist from ranked where rank <= {OUTLIER_TOP_K}
+"""
+
+
 ORACLE["sim_topk_ivf"] = f"""
 with normed as (
   select vec_id, embedding,
