@@ -86,3 +86,49 @@ def test_clusters_consistent_with_pairs(spark, sf_dir):
         members.setdefault(lab, []).append(doc)
     for lab, docs in members.items():
         assert lab == min(docs)
+
+
+def test_ngram_helpers_edge_lengths(spark):
+    """Docs shorter than the shingle width must yield empty gram lists
+    (→ NULL repetition fractions downstream), and the Spark and DuckDB
+    gram builders must produce the same SET for every edge length."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from duckdb_wasm_spark.operators._text import (
+        bigrams,
+        ngrams,
+        sql_ngrams,
+        sql_toks,
+        toks,
+        trigrams,
+    )
+
+    texts = ["", "a", "a b", "a b c", "a a a a a", "x y x y x y"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["i", "text"]
+    )
+    rows = {
+        r.i: r
+        for r in df.select(
+            "i",
+            F.size(bigrams(toks())).alias("nb"),
+            F.size(trigrams(toks())).alias("n3"),
+            F.size(ngrams(toks(), 5)).alias("n5"),
+            F.array_sort(ngrams(toks(), 5)).alias("g5"),
+        ).collect()
+    }
+    # non-distinct bigram counts: max(n-1, 0)
+    assert [rows[i].nb for i in range(6)] == [0, 0, 1, 2, 4, 5]
+    # distinct trigrams: "a a a a a" collapses to one
+    assert [rows[i].n3 for i in range(6)] == [0, 0, 0, 1, 1, 2]
+    assert [rows[i].n5 for i in range(6)] == [0, 0, 0, 0, 1, 2]
+
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        got = con.execute(
+            f"select list_sort({sql_ngrams(sql_toks('t'), 5)}) "
+            f"from (select ? t)",
+            [t],
+        ).fetchone()[0]
+        assert got == rows[i].g5, f"text={t!r}"
