@@ -220,3 +220,130 @@ def range_join(
     for k in extra_on or []:
         cond = cond & (points[k] == intervals[k])
     return points.join(F.broadcast(intervals), cond, how)
+
+
+# ------------------------------------------------------- events_retention
+@_q("events_retention")
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users cohorted by first-activity day,
+    counted on each later active day offset — the standard engagement
+    rollup every analytics stack ships (and the canonical input to a
+    retention curve).
+
+    Scale: first-day and distinct-active-day both shuffle once on
+    user_id (high cardinality, no skew hazard); the join is
+    co-partitioned on the same key, and the final rollup is a
+    partial+final hash agg on the tiny (cohort_date, offset) key. All
+    outputs are dates and counts — nothing float, nothing
+    order-dependent."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_date")
+    )
+    active = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    return (
+        active.join(firsts, "user_id")
+        .groupBy(
+            "cohort_date",
+            F.datediff("d", F.col("cohort_date")).alias("offset_days"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
+
+
+ORACLE["events_retention"] = """
+with firsts as (
+  select user_id, min(cast(ts as date)) cohort_date
+  from events group by user_id),
+active as (
+  select distinct user_id, cast(ts as date) d from events)
+select cohort_date,
+       cast(date_diff('day', cohort_date, d) as int) offset_days,
+       count(*) n_active_users
+from active join firsts using (user_id)
+group by cohort_date, offset_days
+"""
+
+
+# ---------------------------------------------------------- events_funnel
+_FUNNEL = ("signup", "view", "purchase")  # strictly ordered steps
+
+
+@_q("events_funnel")
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict sequential funnel: users who signed up, then viewed AFTER
+    the signup, then purchased AFTER that view — per-step user counts
+    plus conversion from step 1. "Strict" means each step's timestamp
+    must exceed the previous step's FIRST occurrence (the standard
+    ordered-funnel definition; unordered co-occurrence would overcount).
+
+    Scale: three filtered min-aggregates chained by user_id equi-joins —
+    every shuffle is on the same high-cardinality user key (AQE can
+    reuse the exchange), no window over the raw stream, counts only."""
+    ev = load_table(spark, sf_dir, "events")
+    s1 = (
+        ev.where(F.col("event_type") == _FUNNEL[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == _FUNNEL[1])
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == _FUNNEL[2])
+        .join(s2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    # fully declarative (no driver-side .count() loop): per-step counts
+    # union into a 3-row frame; the step-1 scalar joins back broadcast
+    steps = None
+    for i, (step_df, name) in enumerate(zip((s1, s2, s3), _FUNNEL)):
+        c = step_df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i + 1).alias("step"),
+            F.lit(name).alias("event_type"),
+            "n_users",
+        )
+        steps = c if steps is None else steps.unionByName(c)
+    first = steps.where(F.col("step") == 1).select(
+        F.col("n_users").alias("n_first")
+    )
+    return (
+        steps.crossJoin(F.broadcast(first))
+        .select(
+            "step",
+            "event_type",
+            "n_users",
+            (F.col("n_users").cast("double") / F.col("n_first")).alias(
+                "conv_from_first"
+            ),
+        )
+    )
+
+
+ORACLE["events_funnel"] = f"""
+with s1 as (
+  select user_id, min(ts) t1 from events
+  where event_type = '{_FUNNEL[0]}' group by user_id),
+s2 as (
+  select e.user_id, min(ts) t2 from events e join s1 using (user_id)
+  where event_type = '{_FUNNEL[1]}' and ts > t1 group by e.user_id),
+s3 as (
+  select e.user_id, min(ts) t3 from events e join s2 using (user_id)
+  where event_type = '{_FUNNEL[2]}' and ts > t2 group by e.user_id),
+counts as (
+  select 1 step, '{_FUNNEL[0]}' event_type, (select count(*) from s1) n_users
+  union all
+  select 2, '{_FUNNEL[1]}', (select count(*) from s2)
+  union all
+  select 3, '{_FUNNEL[2]}', (select count(*) from s3))
+select step, event_type, n_users,
+       cast(n_users as double)
+         / (select n_users from counts where step = 1) conv_from_first
+from counts
+"""
