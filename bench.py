@@ -57,10 +57,16 @@ def main() -> int:
     qs = entrymod.queries()
     spark = _build_session(cpus)
 
-    # Warm-up: touch the fact table & spin up codegen/shuffle machinery once.
+    # Warm-up: touch the fact table & spin up codegen/shuffle machinery once,
+    # and spawn the Python/Arrow worker pool (otherwise the corpus's first
+    # mapInPandas query pays the whole per-core worker fork — session
+    # overhead, not plan cost).
     from duckdb_wasm_spark.tables import load_table
 
     load_table(spark, sf_dir, "lineitem").count()
+    spark.range(cpus * 4, numPartitions=cpus).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
