@@ -301,7 +301,9 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("t3"))
     )
     # fully declarative (no driver-side .count() loop): per-step counts
-    # union into a 3-row frame; the step-1 scalar joins back broadcast
+    # union into a 3-row frame; the step-1 scalar is pulled alongside via
+    # an unpartitioned window (3 rows total — single-partition window is
+    # free here, and it keeps the plan BNLJ-free for the plan guards)
     steps = None
     for i, (step_df, name) in enumerate(zip((s1, s2, s3), _FUNNEL)):
         c = step_df.agg(F.count(F.lit(1)).alias("n_users")).select(
@@ -310,19 +312,17 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
         steps = c if steps is None else steps.unionByName(c)
-    first = steps.where(F.col("step") == 1).select(
-        F.col("n_users").alias("n_first")
-    )
-    return (
-        steps.crossJoin(F.broadcast(first))
-        .select(
-            "step",
-            "event_type",
-            "n_users",
-            (F.col("n_users").cast("double") / F.col("n_first")).alias(
-                "conv_from_first"
-            ),
-        )
+    w = Window.partitionBy(F.lit(1))
+    n_first = F.max(
+        F.when(F.col("step") == 1, F.col("n_users"))
+    ).over(w)
+    return steps.select(
+        "step",
+        "event_type",
+        "n_users",
+        (F.col("n_users").cast("double") / n_first).alias(
+            "conv_from_first"
+        ),
     )
 
 
