@@ -83,15 +83,20 @@ def main() -> int:
                 print(f"[bench] {name} FAILED: {exc}", file=sys.stderr)
                 best = -1.0
                 break
-        timings[name] = round(best, 4)
+        timings[name] = round(best, 3)
 
     ok = {k: v for k, v in timings.items() if v >= 0}
-    total = round(sum(ok.values()), 4)
+    total = round(sum(ok.values()), 3)
+    # Field order matters: the driver captures the TAIL of stdout, and the
+    # per-query dict is the only unbounded part of this line — emit it
+    # FIRST so the scalar headline fields (metric/value/n_failed) always
+    # survive truncation (round-3 verdict finding #3: BENCH_r03 lost
+    # "value" because "queries" grew past the capture window).
     out = {
+        "queries": timings,
         "metric": "query_corpus_total_wall",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": _sf_from_dir(sf_dir),
         "n_queries": len(timings),
         "n_failed": len(timings) - len(ok),
