@@ -48,20 +48,79 @@ def _registries():
     return modules
 
 
+# Emission priority for the driver's bounded correctness walk (~50
+# rows/round, insertion order).  Round-3 verdict finding #2: the long-
+# green TPC-H/micro/extras queries sat first and starved every LLM-
+# pipeline operator out of the window for two rounds running.  Order is
+# therefore: (a) queries the driver has NEVER gated, (b) queries whose
+# implementation changed after their last green row, then (c) the
+# long-stable corpus — TPC-H/micro/extras — and finally the rows-only
+# (no-oracle) ML comparison points.  Revisit each round: move anything
+# newly green out of (a)/(b) and anything rewritten back into (b).
+_GATE_PRIORITY = [
+    # (a) never driver-gated (no CORRECTNESS row in any round)
+    "pipeline_clean_corpus",
+    "corpus_stats",
+    "sample_balanced",
+    "sample_token_budget",
+    "sample_split",
+    "decontaminate_ngram",
+    "corpus_mix_weights",
+    "asof_click_attribution",
+    "range_join_price_bands",
+    "events_retention",
+    "events_funnel",
+    "events_tumbling",
+    "events_sliding",
+    "events_session",
+    "events_daily_pruned",
+    "events_rolling",
+    "dedup_ngram_jaccard_capped",
+    "dedup_clusters",
+    "embed_centroid_outliers",
+    "text_vocab_topk",
+    "text_repetition",
+    "multimodal_thumbnail",
+    "multimodal_frames",
+    "ref_q7_sqlite",
+    "ref_q8_sqlite",
+    # (b) changed since their last green row (r3/r4 rewrites)
+    "dedup_ngram_jaccard",
+    "dedup_embedding_lsh",
+    # (b') last green in r02 — one round stale, re-certify before the
+    # long-green r03 corpus below
+    "text_stats",
+    "text_langid",
+    "text_fingerprint",
+    "text_tokens",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "sim_topk_brute",
+    "sim_topk_ivf",
+    "multimodal_meta",
+    "multimodal_features",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Ordered so every oracle-backed query precedes the rows-only
-    (no-oracle) ones: the driver walks this dict in insertion order
-    with a global time budget, so an expensive no-oracle ML query in
-    the middle must never starve oracle-gated entries behind it
-    (round-2 verdict finding #1)."""
+    Emission order = _GATE_PRIORITY first, then the remaining
+    oracle-backed queries in registry order, then rows-only
+    (no-oracle) queries last — the driver walks this dict in insertion
+    order under a bounded correctness window, so the order IS the
+    gating policy (round-2 finding #1, round-3 finding #2)."""
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
     for m in _registries():
         merged.update(m.QUERIES)
         oracles.update(m.ORACLE)
-    out = {k: v for k, v in merged.items() if k in oracles}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for k in _GATE_PRIORITY:
+        if k in merged and k in oracles:
+            out[k] = merged[k]
+    out.update({k: v for k, v in merged.items() if k in oracles})
     out.update({k: v for k, v in merged.items() if k not in oracles})
     return out
 

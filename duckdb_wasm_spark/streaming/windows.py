@@ -209,7 +209,13 @@ def events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 40)
-    epoch = F.col("ts").cast("long")
+    # ts is TIMESTAMP_NTZ (naive parquet timestamps) — not castable to
+    # long, and unix_timestamp() would re-interpret it in the session
+    # timezone. timestampdiff against a fixed NTZ epoch literal is pure
+    # tz-free integer arithmetic, matching DuckDB's epoch() on naive ts.
+    epoch = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+    )
     w = (
         Window.partitionBy("user_id")
         .orderBy(epoch)
