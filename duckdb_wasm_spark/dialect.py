@@ -205,22 +205,37 @@ def _rewrite_strftime(sql: str) -> str:
 
 
 def _find_top_level_kw(sql: str, kw: str, start: int = 0) -> int | None:
-    """Index of the first occurrence of keyword `kw` at paren depth 0
-    and outside single-quoted strings (word-boundary, case-insensitive);
-    None if absent."""
+    """Index of the first occurrence of keyword `kw` at paren depth 0,
+    outside single-quoted strings, double-quoted identifiers, and
+    `--`/`/* */` comments (word-boundary, case-insensitive); None if
+    absent. Round-3 ADVICE: an identifier like \"order\" or a commented
+    keyword must not terminate a QUALIFY tail / SET list early."""
     depth = 0
-    in_str = False
     n, k = len(sql), len(kw)
     i = start
     low = sql.lower()
     kw = kw.lower()
     while i < n:
         ch = sql[i]
-        if in_str:
-            if ch == "'":
-                in_str = False
-        elif ch == "'":
-            in_str = True
+        if ch == "'":  # skip string literal ('' is an escaped quote)
+            i += 1
+            while i < n:
+                if sql[i] == "'":
+                    if i + 1 < n and sql[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif ch == '"':  # skip quoted identifier
+            i += 1
+            while i < n and sql[i] != '"':
+                i += 1
+        elif ch == "-" and low.startswith("--", i):
+            nl = sql.find("\n", i)
+            i = n - 1 if nl < 0 else nl
+        elif ch == "/" and low.startswith("/*", i):
+            end = low.find("*/", i + 2)
+            i = n - 1 if end < 0 else end + 1
         elif ch == "(":
             depth += 1
         elif ch == ")":
@@ -276,6 +291,21 @@ def _rewrite_qualify(sql: str) -> str:
 
 # DuckDB star sugar: `* EXCLUDE (a, b)` ≡ Spark's `* EXCEPT (a, b)`
 _EXCLUDE_RE = re.compile(r"(\*\s+)EXCLUDE(\s*\()", re.IGNORECASE)
+_QUOTED_SPAN_RE = re.compile(r"'(?:[^']|'')*'|\"[^\"]*\"")
+
+
+def _sub_outside_quotes(pattern: re.Pattern, repl: str, sql: str) -> str:
+    """Apply pattern.sub only to the segments of `sql` that lie outside
+    single-quoted literals and double-quoted identifiers, so a literal
+    like '* EXCLUDE (' is never rewritten (round-3 ADVICE)."""
+    out: list[str] = []
+    pos = 0
+    for m in _QUOTED_SPAN_RE.finditer(sql):
+        out.append(pattern.sub(repl, sql[pos:m.start()]))
+        out.append(m.group(0))
+        pos = m.end()
+    out.append(pattern.sub(repl, sql[pos:]))
+    return "".join(out)
 
 
 def _rewrite_query_text(sql: str) -> tuple[str, dict[str, tuple[str, str]]]:
@@ -284,7 +314,7 @@ def _rewrite_query_text(sql: str) -> tuple[str, dict[str, tuple[str, str]]]:
     sql = _rewrite_substring(sql)
     sql = _rewrite_strftime(sql)
     sql = _rewrite_qualify(sql)
-    sql = _EXCLUDE_RE.sub(r"\1EXCEPT\2", sql)
+    sql = _sub_outside_quotes(_EXCLUDE_RE, r"\1EXCEPT\2", sql)
     return _rewrite_file_tables(sql)
 
 
@@ -334,17 +364,28 @@ _ALTER_RENAME_COL_RE = re.compile(
 _ALTER_RENAME_RE = re.compile(
     r"^RENAME\s+TO\s+([\w.\"]+)$", re.IGNORECASE
 )
+# UPDATE/DELETE heads capture table + raw tail; the WHERE boundary is
+# then located with _find_top_level_kw (paren/quote/comment-aware), so a
+# WHERE inside a SET-expression subquery or string literal never
+# mis-splits the statement (round-3 ADVICE: the old lazy regexes split
+# at the FIRST ' WHERE ' anywhere)
 _DELETE_RE = re.compile(
-    r"^\s*DELETE\s+FROM\s+([\w.\"]+)\s*(?:WHERE\s+(.*?))?\s*;?\s*$",
+    r"^\s*DELETE\s+FROM\s+([\w.\"]+)\s*(.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _UPDATE_RE = re.compile(
-    # lazy SET body + optional WHERE: the first top-level WHERE keyword
-    # ends the assignment list (a WHERE inside a string literal in an
-    # assignment is the one unsupported corner)
-    r"^\s*UPDATE\s+([\w.\"]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
+    r"^\s*UPDATE\s+([\w.\"]+)\s+SET\s+(.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def _split_where_tail(tail: str) -> tuple[str, str | None]:
+    """Split `tail` at its first TOP-LEVEL WHERE keyword → (body,
+    where-condition-or-None)."""
+    wi = _find_top_level_kw(tail, "where")
+    if wi is None:
+        return tail.strip(), None
+    return tail[:wi].strip(), tail[wi + len("where"):].strip()
 _COPY_RE = re.compile(
     r"^\s*COPY\s+(\([^)]*\)|[\w.\"]+)\s+TO\s+'([^']+)'\s*(?:\(|WITH\s*\()?([^)]*)\)?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -483,18 +524,24 @@ def translate(sql: str) -> Translated:
         return Translated("alter", meta=meta)
 
     if m := _DELETE_RE.match(sql):
+        body, where_cond = _split_where_tail(m.group(2))
+        if body:
+            raise ValueError(
+                f"unsupported DELETE clause before WHERE: {body!r}"
+            )
         where, views = "", {}
-        if m.group(2):
-            where, views = _rewrite_query_text(m.group(2).rstrip("; \n"))
+        if where_cond:
+            where, views = _rewrite_query_text(where_cond)
         return Translated(
             "delete", sql=where, file_views=views,
             meta={"name": _norm_name(m.group(1))},
         )
 
     if m := _UPDATE_RE.match(sql):
+        set_body, where_cond = _split_where_tail(m.group(2))
         assigns: list[tuple[str, str]] = []
         views: dict = {}
-        for part in _split_top_level(m.group(2)):
+        for part in _split_top_level(set_body):
             col, eq, expr = part.partition("=")
             if not eq or not col.strip() or not expr.strip():
                 raise ValueError(f"malformed SET assignment: {part!r}")
@@ -502,8 +549,8 @@ def translate(sql: str) -> Translated:
             views.update(v)
             assigns.append((col.strip().strip('"'), rewritten))
         where = ""
-        if m.group(3):
-            where, v = _rewrite_query_text(m.group(3).rstrip("; \n"))
+        if where_cond:
+            where, v = _rewrite_query_text(where_cond)
             views.update(v)
         return Translated(
             "update", sql=where, file_views=views,
@@ -549,5 +596,8 @@ def columns_from_ddl(columns_sql: str) -> str:
         if len(toks) != 2:
             raise ValueError(f"cannot parse column def: {part!r}")
         name, typ = toks
+        if name.startswith('"') and name.endswith('"'):
+            # SQL double-quoted identifier → Spark DDL backtick form
+            name = f"`{name[1:-1]}`"
         out.append(f"{name} {map_type_name(typ)}")
     return ", ".join(out)

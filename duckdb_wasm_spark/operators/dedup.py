@@ -132,14 +132,29 @@ def dedup_ngram_jaccard(
     definition the oracle states; candidates lost to the cap can only
     REMOVE result pairs whose overlap rode solely on stop-grams."""
     docs = load_table(spark, sf_dir, "documents")
-    # |set| rides along the exploded grams (the trigram array is already
-    # distinct), so no separate per-doc size aggregate and no size
-    # re-joins after the candidate count — two shuffles and one
-    # recomputation of the shingle pipeline eliminated (round 3)
-    grams = _gram_arrays(docs).select(
-        "doc_id", F.size("grams").alias("n"), F.explode("grams").alias("gram")
-    )
-    if max_df is not None:
+    if max_df is None:
+        # |set| rides along the exploded grams (the trigram array is
+        # already distinct), so no separate per-doc size aggregate and
+        # no size re-joins after the candidate count — two shuffles and
+        # one recomputation of the shingle pipeline eliminated (round 3)
+        grams = _gram_arrays(docs).select(
+            "doc_id",
+            F.size("grams").alias("n"),
+            F.explode("grams").alias("gram"),
+        )
+        a = grams.select(
+            F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), "gram"
+        )
+        b = grams.select(
+            F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), "gram"
+        )
+        inter = (
+            a.join(b, "gram")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b", "n_a", "n_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    else:
         # one-pass df filter: count-over-window by gram instead of a
         # groupBy + semi-join (which re-shuffles the exploded grams
         # twice); the window leaves grams hash-partitioned by gram, the
@@ -147,8 +162,19 @@ def dedup_ngram_jaccard(
         # drops that exchange too (measured 2x at sf0.1). A stop-gram's
         # rows land on one sort partition only to be counted and
         # dropped — spill-safe, and gone before the join.
+        #
+        # Set sizes CANNOT ride along here: the measure is Jaccard over
+        # the CAPPED shingle sets (the registered capped oracle sizes
+        # post-filter sets), so |set| must be counted AFTER the df
+        # filter — a pre-filter F.size("grams") silently switches the
+        # denominator to uncapped sizes whenever the cap binds
+        # (round-3 ADVICE, high). Sizes come from a partial-combining
+        # groupBy (one tiny row per doc after map-side combine) joined
+        # onto the pair frame — the exploded grams still cross the wire
+        # once per join branch, never re-shuffled by doc_id.
         from pyspark.sql.window import Window
 
+        grams = _gram_sets(docs)
         grams = (
             grams.withColumn(
                 "_df", F.count(F.lit(1)).over(Window.partitionBy("gram"))
@@ -156,18 +182,27 @@ def dedup_ngram_jaccard(
             .where(F.col("_df") <= max_df)
             .drop("_df")
         )
-    a = grams.select(
-        F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), "gram"
-    )
-    b = grams.select(
-        F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), "gram"
-    )
-    inter = (
-        a.join(b, "gram")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+        sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        a = grams.select(F.col("doc_id").alias("doc_a"), "gram")
+        b = grams.select(F.col("doc_id").alias("doc_b"), "gram")
+        inter = (
+            a.join(b, "gram")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+            .join(
+                sizes.select(
+                    F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")
+                ),
+                "doc_a",
+            )
+            .join(
+                sizes.select(
+                    F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")
+                ),
+                "doc_b",
+            )
+        )
     return (
         inter.withColumn(
             "jaccard",
@@ -219,10 +254,16 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ngram_jaccard(spark, sf_dir, max_df=NGRAM_MAX_DF)
 
 
-ORACLE["dedup_ngram_jaccard_capped"] = f"""
+def capped_oracle_sql(max_df: int) -> str:
+    """Capped-Jaccard oracle with the df cap as a parameter — the
+    registered query binds NGRAM_MAX_DF; tests bind a tiny cap so the
+    filter actually fires at sf0.001 (max trigram df there is ~9, far
+    below the production cap, so only a small cap exercises the
+    post-filter set-size semantics)."""
+    return f"""
 with grams0 as ({_SQL_GRAM_SETS}),
 rare as (select gram from grams0 group by gram
-         having count(*) <= {NGRAM_MAX_DF}),
+         having count(*) <= {max_df}),
 grams as (select g0.doc_id, g0.gram from grams0 g0 join rare using (gram)),
 sizes as (select doc_id, count(*) n from grams group by 1),
 inter as (
@@ -237,6 +278,9 @@ join sizes sb on doc_b = sb.doc_id
 where cast(n_common as double) / (sa.n + sb.n - n_common)
       >= {JACCARD_THRESHOLD}
 """
+
+
+ORACLE["dedup_ngram_jaccard_capped"] = capped_oracle_sql(NGRAM_MAX_DF)
 
 
 # --------------------------------------------------------- dedup_minhash
@@ -405,6 +449,88 @@ ORACLE["dedup_minhash"] = _minhash_sql()
 CC_MAX_ITERS = 15
 
 
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_iters: int = CC_MAX_ITERS,
+    raise_on_nonconverged: bool = True,
+) -> DataFrame:
+    """Distributed connected components: (doc_id) nodes + symmetric
+    (src, dst) edges → (doc_id, cluster_id = min reachable doc_id).
+
+    Each round does min-label propagation over edges (one edge join +
+    one min-aggregate) THEN a pointer-jump (label ← label-of-label, one
+    self-join) — the path-compression half of the large-star/small-star
+    family, so an L-hop chain converges in O(log L) rounds instead of
+    O(L) (round-3 verdict #7: a 20-hop chain used to exhaust
+    CC_MAX_ITERS and silently return partial labels). Labels are
+    monotone non-increasing and bounded by the component minimum, so
+    the label sum strictly decreases until fixpoint — one scalar action
+    per round is the convergence test. Every round localCheckpoints so
+    lineage stays flat and each round's shuffles are O(edges), not
+    O(edges · round).
+
+    If max_iters rounds pass without reaching the fixpoint the result
+    is NOT a partition into components — raise (default) rather than
+    hand partially-merged clusters to a dedup pipeline that would then
+    delete the wrong documents.
+    """
+    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    labels = labels.localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("src"),
+                    F.col("cluster_id").alias("src_label"),
+                ),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.min("src_label").alias("nbr_label"))
+        )
+        propagated = (
+            labels.join(nbr_min, labels["doc_id"] == nbr_min["dst"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_label"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+        )
+        jump = propagated.select(
+            F.col("doc_id").alias("j_doc"),
+            F.col("cluster_id").alias("j_label"),
+        )
+        labels = (
+            propagated.join(
+                jump, propagated["cluster_id"] == jump["j_doc"], "left"
+            )
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("j_label"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("cluster_id")).first()[0]
+        if cur_sum == prev_sum:
+            return labels
+        prev_sum = cur_sum
+    if raise_on_nonconverged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "— component diameter exceeds the iteration budget; raise "
+            "max_iters (rounds needed ≈ log2(diameter) with pointer "
+            "jumping)"
+        )
+    return labels
+
+
 @_q("dedup_clusters")
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the MinHash near-dup pairs, with
@@ -413,15 +539,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup edges) and is_keeper marks the one document per cluster
     that survives; singletons keep themselves.
 
-    Spark side: iterative min-label propagation — each round every node
-    takes min(own label, neighbors' labels) via one edge join + one
-    min-aggregate, localCheckpoint-ed so lineage stays flat; converges
-    in ≤ cluster-diameter rounds (near-dup clusters are shallow). The
-    monotone label sum is the convergence test (strictly decreases
-    until fixpoint — one scalar action per round). At 100 TB the same
-    loop holds (edges shuffle by src, labels by doc_id); if diameters
-    ever grow past ~15, swap in the large-star/small-star variant
-    of the same propagation.
+    Spark side: connected_components() — min-label propagation with
+    pointer jumping (see its docstring); converges in O(log diameter)
+    rounds and RAISES if the budget runs out rather than returning
+    partially-merged clusters. At 100 TB the same loop holds (edges
+    shuffle by src, labels by doc_id).
 
     Oracle: recursive-CTE transitive closure over the identical pair
     SQL, min(reachable) per doc — exponentially more work than the
@@ -439,38 +561,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .toDF("src", "dst")
         .localCheckpoint(eager=True)
     )
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
-    labels = labels.localCheckpoint(eager=True)
-    prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
-    for _ in range(CC_MAX_ITERS):
-        nbr_min = (
-            edges.join(
-                labels.select(
-                    F.col("doc_id").alias("src"),
-                    F.col("cluster_id").alias("src_label"),
-                ),
-                "src",
-            )
-            .groupBy("dst")
-            .agg(F.min("src_label").alias("nbr_label"))
-        )
-        labels = (
-            labels.join(
-                nbr_min, labels["doc_id"] == nbr_min["dst"], "left"
-            )
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("nbr_label"), F.col("cluster_id")),
-                ).alias("cluster_id"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        cur_sum = labels.agg(F.sum("cluster_id")).first()[0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+    labels = connected_components(docs, edges)
     return labels.select(
         "doc_id",
         "cluster_id",

@@ -85,10 +85,17 @@ class SparkDB:
         # unrelated work after this database handle is done)
         self._conf_snapshot = {
             k: self._conf_get(spark, k)
-            for k in ("spark.sql.ansi.enabled", "spark.sql.session.timeZone")
+            for k in (
+                "spark.sql.ansi.enabled",
+                "spark.sql.session.timeZone",
+                "spark.sql.ansi.doubleQuotedIdentifiers",
+            )
         }
         spark.conf.set("spark.sql.ansi.enabled", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # DuckDB treats "x" as an identifier, not a string literal —
+        # ANSI-mode Spark matches with this flag (requires ansi.enabled)
+        spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
         self.spark = spark
         # file registry: name -> local path (ref webdb.cc:579-627)
         self._files: dict[str, str] = {}
@@ -454,8 +461,13 @@ class Connection:
             )
             # strict insert typecheck: ANSI casts raise on overflow
             # (bindings.test.ts:86-142). Evaluate the INCREMENT only —
-            # O(insert), not O(table)
-            casted.count()
+            # O(insert), not O(table). Must MATERIALIZE, not count():
+            # count() projection-collapses to count(1) and prunes the
+            # cast expressions for INSERT ... SELECT, silently accepting
+            # overflow (round-3 ADVICE, medium) — same reason the UPDATE
+            # branch checkpoints. The checkpoint also keeps the union
+            # below referencing evaluated rows, not re-run source SQL.
+            casted = casted.localCheckpoint(eager=True)
             merged = target.unionByName(casted)
             # bound the union-plan depth: after K inserts the lineage is
             # a K-deep union — compact it so the Nth insert never

@@ -34,6 +34,11 @@ def _staged_stream_source(
     """Stage the events table as N parquet files so the file stream
     source delivers several micro-batches."""
     ev = load_table(spark, sf_dir, "events")
+    # watermarks require TIMESTAMP (with zone): the naive-parquet ts
+    # column arrives as TIMESTAMP_NTZ, which EventTimeWatermark rejects.
+    # Cast at the staging boundary — session tz is UTC, so the mapping
+    # is the identity a naive event log means.
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     out = tempfile.mkdtemp(prefix="events_stream_")
     ev.repartition(n_files).write.mode("overwrite").parquet(out)
     return out, ev.schema

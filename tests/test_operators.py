@@ -71,6 +71,44 @@ def test_ngram_jaccard_df_cap_is_sound(spark, sf_dir):
         assert len(capped) / len(full) >= 0.5, "cap removed most true pairs"
 
 
+def test_connected_components_long_chain(spark):
+    """Round-3 verdict #7: a 20-hop chain must either converge (pointer
+    jumping makes that O(log L) rounds) or fail loudly — never silently
+    return partially-merged labels."""
+    n = 21  # nodes 0..20 in one chain, plus an isolated node 100
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(n)] + [(100,)], "doc_id long"
+    )
+    chain = [(i, i + 1) for i in range(n - 1)]
+    sym = chain + [(b, a) for a, b in chain]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(nodes, edges).collect()
+    }
+    assert got == {**{i: 0 for i in range(n)}, 100: 100}
+    # insufficient budget → loud failure, not partial labels
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(nodes, edges, max_iters=2)
+    # opt-out returns the partial result for diagnostic use
+    partial = dedup.connected_components(
+        nodes, edges, max_iters=2, raise_on_nonconverged=False
+    )
+    assert partial.count() == n + 1
+
+
+def test_ngram_jaccard_capped_binding_cap_parity(spark, sf_dir, oracle):
+    """Exact oracle parity with a cap that BINDS (max_df=3; max trigram
+    df at sf0.001 is ~9, so the registered NGRAM_MAX_DF=100 never fires
+    here). Regression for round-3 ADVICE (high): the Spark side sized
+    sets BEFORE the df filter while the oracle sizes the post-filter
+    capped sets — divergence only visible when the cap removes grams."""
+    df = dedup.dedup_ngram_jaccard(spark, sf_dir, max_df=3)
+    assert_parity(
+        df, dedup.capped_oracle_sql(3), oracle, "ngram_capped_df3"
+    )
+
+
 def test_clusters_consistent_with_pairs(spark, sf_dir):
     """Every near-dup pair must land in one cluster, the cluster label
     must be the min member, and exactly one keeper exists per cluster."""

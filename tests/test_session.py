@@ -78,6 +78,21 @@ def test_insert_strict_typecheck(conn):
     conn.query("DROP TABLE narrow")
 
 
+def test_insert_select_strict_typecheck(conn):
+    # round-3 ADVICE (medium): INSERT ... SELECT must typecheck as
+    # eagerly as VALUES — a count() probe projection-collapses and
+    # prunes the casts, so the overflow only surfaced on a later read
+    conn.query("CREATE TABLE src AS SELECT 1000::INTEGER AS a")
+    conn.query("CREATE TABLE narrow2 (a TINYINT)")
+    with pytest.raises(Exception):
+        conn.query("INSERT INTO narrow2 SELECT a FROM src")
+    # the failed insert must not have corrupted the target
+    n = conn.query("SELECT count(*)::INTEGER AS n FROM narrow2")
+    assert n.column("n").to_pylist() == [0]
+    conn.query("DROP TABLE narrow2")
+    conn.query("DROP TABLE src")
+
+
 def test_insert_with_column_list(conn):
     # reference accepts INSERT INTO t (a, b) VALUES ... (ADVICE r2);
     # named columns map positionally, unnamed ones fill with NULL
@@ -445,6 +460,52 @@ def test_update_and_delete(conn):
     empty = conn.query("SELECT * FROM ud")
     assert empty.num_rows == 0 and empty.column_names == ["k", "v", "n"]
     conn.query("DROP TABLE ud")
+
+
+def test_update_where_inside_set_subquery(conn):
+    # round-3 ADVICE (low): a WHERE inside a SET-expression subquery or
+    # string literal must not be mistaken for the statement's WHERE —
+    # the boundary is now located paren/quote-aware
+    conn.query("CREATE TABLE usq (id INTEGER, a INTEGER)")
+    conn.query("INSERT INTO usq VALUES (1, 0), (2, 0)")
+    conn.query("CREATE TABLE uref (x INTEGER, y INTEGER)")
+    conn.query("INSERT INTO uref VALUES (7, 1), (9, 1), (5, 2)")
+    conn.query(
+        "UPDATE usq SET a = (SELECT max(x) FROM uref WHERE y = 1) "
+        "WHERE id = 2"
+    )
+    rows = conn.query("SELECT id::INTEGER id, a::INTEGER a FROM usq ORDER BY id")
+    assert rows.column("a").to_pylist() == [0, 9]
+    # WHERE inside a string literal in an assignment
+    conn.query("CREATE TABLE ustr (id INTEGER, s VARCHAR(32))")
+    conn.query("INSERT INTO ustr VALUES (1, ''), (2, '')")
+    conn.query("UPDATE ustr SET s = 'no where here' WHERE id = 1")
+    rows = conn.query("SELECT s FROM ustr ORDER BY id")
+    assert rows.column("s").to_pylist() == ["no where here", ""]
+    for t in ("usq", "uref", "ustr"):
+        conn.query(f"DROP TABLE {t}")
+
+
+def test_qualify_quoted_identifier_and_literal_exclude(conn):
+    # round-3 ADVICE (low): the top-level keyword scanner must skip
+    # double-quoted identifiers ("order" must not end a QUALIFY tail)
+    # and the EXCLUDE star-sugar rewrite must not fire inside literals
+    conn.query('CREATE TABLE qq (k INTEGER, "order" INTEGER)')
+    conn.query("INSERT INTO qq VALUES (1, 10), (1, 20), (2, 5)")
+    rows = conn.query(
+        'SELECT k::INTEGER k, "order"::INTEGER o FROM qq '
+        'QUALIFY row_number() OVER (PARTITION BY k ORDER BY "order" DESC) = 1 '
+        "ORDER BY k"
+    )
+    assert rows.column("o").to_pylist() == [20, 5]
+    lit = conn.query("SELECT '* EXCLUDE (a)' AS s")
+    assert lit.column("s").to_pylist() == ["* EXCLUDE (a)"]
+    # -- comment containing a keyword must not terminate the scan
+    rows = conn.query(
+        "SELECT k::INTEGER k FROM qq -- where order limit\nGROUP BY k ORDER BY k"
+    )
+    assert rows.column("k").to_pylist() == [1, 2]
+    conn.query("DROP TABLE qq")
 
 
 def test_update_strict_typecheck(conn):
