@@ -82,6 +82,8 @@ _GATE_PRIORITY = [
     "text_repetition",
     "multimodal_thumbnail",
     "multimodal_frames",
+    "text_tfidf_topk",
+    "sample_pack_sequences",
     "ref_q7_sqlite",
     "ref_q8_sqlite",
     # (b) changed since their last green row (r3/r4 rewrites)

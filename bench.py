@@ -88,7 +88,7 @@ def main() -> int:
     ok = {k: v for k, v in timings.items() if v >= 0}
     total = round(sum(ok.values()), 3)
     # Field order matters: the driver captures the TAIL of stdout, and the
-    # per-query dict is the only unbounded part of this line — emit it
+    # per-query dicts are the only unbounded part of this line — emit them
     # FIRST so the scalar headline fields (metric/value/n_failed) always
     # survive truncation (round-3 verdict finding #3: BENCH_r03 lost
     # "value" because "queries" grew past the capture window).
@@ -102,6 +102,70 @@ def main() -> int:
         "n_failed": len(timings) - len(ok),
         "cpus": cpus,
     }
+
+    # Optional DuckDB side-by-side (round-3 verdict task #5): with
+    # SPARK_GRAFT_DUCKDB=1, time every oracle_sql() on the same parquet
+    # with the same thread count + best-of-N methodology, and write the
+    # full comparison to ORACLE_BENCH.json (the committed artifact the
+    # SURVEY §8 ratio claim is audited against).
+    if os.environ.get("SPARK_GRAFT_DUCKDB") == "1":
+        import duckdb
+
+        from duckdb_wasm_spark.tables import TABLES
+
+        con = duckdb.connect()
+        con.execute(f"set threads = {cpus}")
+        for t in TABLES:
+            con.execute(
+                f"create view {t} as "
+                f"select * from read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        osql = entrymod.oracle_sql()
+        duck: dict[str, float] = {}
+        for name in qs:
+            if name not in osql:
+                continue
+            best = None
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                try:
+                    con.execute(osql[name]).fetchall()
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+                except Exception as exc:
+                    print(f"[bench] duckdb {name} FAILED: {exc}", file=sys.stderr)
+                    best = -1.0
+                    break
+            duck[name] = round(best, 3)
+        duck_ok = {k: v for k, v in duck.items() if v >= 0}
+        spark_comparable = round(
+            sum(v for k, v in ok.items() if k in duck_ok), 3
+        )
+        duck_total = round(sum(duck_ok.values()), 3)
+        side = {
+            "sf": _sf_from_dir(sf_dir),
+            "cpus": cpus,
+            "runs": runs,
+            "n_comparable": len(duck_ok),
+            "spark_total_sec": spark_comparable,
+            "duckdb_total_sec": duck_total,
+            "ratio_spark_over_duckdb": round(
+                spark_comparable / duck_total, 3
+            ) if duck_total else None,
+            "per_query": {
+                k: {"spark": timings.get(k), "duckdb": duck[k]} for k in duck
+            },
+        }
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "ORACLE_BENCH.json"), "w"
+        ) as f:
+            json.dump(side, f, indent=1, sort_keys=True)
+        # headline scalars ride the stdout tail too
+        out = {"duckdb_queries": duck, **out,
+               "duckdb_value": duck_total,
+               "spark_comparable_value": spark_comparable}
+
     print(json.dumps(out), flush=True)
     spark.stop()
     return 0

@@ -418,3 +418,83 @@ select lang, split, count(*) n_docs, sum(n_tok) n_tokens
 from assigned
 group by lang, split
 """
+
+
+# ------------------------------------------------- sample_pack_sequences
+SEQ_LEN = 2048  # training sequence length in tokens
+
+
+@_q("sample_pack_sequences")
+def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequence packing: lay each language's documents out in
+    deterministic hash order and cut the token stream into SEQ_LEN-token
+    training sequences; a document belongs to the sequence its first
+    token lands in. Output is the per-sequence manifest (doc count,
+    token total, fill ratio) a batch loader would consume.
+
+    This is the streaming-concat packing used for pretraining batches
+    (documents are concatenated then split every SEQ_LEN tokens), not
+    bin-packing — the assignment is a pure function of the running
+    cumsum, so it is one lang-partitioned window pass + one hash
+    aggregate in BOTH engines, deterministic, and oracle-checkable.
+    Scale: identical shape to sample_token_budget — one shuffle by
+    lang for the window (salt the window key if one language dominates
+    at 100 TB), one shuffle for the (lang, seq_id) aggregate."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(toks()).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(*_hash_order())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = docs.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(SEQ_LEN)
+        ).alias("seq_id"),
+    )
+    return (
+        placed.groupBy("lang", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .select(
+            "lang",
+            "seq_id",
+            "n_docs",
+            "seq_tokens",
+            "first_doc",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.col("seq_tokens").cast("double") / F.lit(SEQ_LEN),
+                ),
+                12,
+            ).alias("fill_ratio"),
+        )
+    )
+
+
+ORACLE["sample_pack_sequences"] = f"""
+with placed as (
+  select doc_id, lang, n_tokens,
+         cast(floor((sum(n_tokens) over (partition by lang
+                                         order by {_SQL_HASH_ORDER}
+                                         rows unbounded preceding)
+                     - n_tokens) / {SEQ_LEN}.0) as bigint) seq_id
+  from (select doc_id, lang, len({sql_toks('text')}) n_tokens
+        from documents))
+select lang, seq_id, count(*) n_docs, sum(n_tokens) seq_tokens,
+       min(doc_id) first_doc,
+       round(least(1.0, cast(sum(n_tokens) as double) / {SEQ_LEN}), 12)
+         fill_ratio
+from placed
+group by lang, seq_id
+"""

@@ -355,3 +355,86 @@ select n.doc_id, n_tokens, n_bigrams, n_trigrams, n_distinct_trigrams,
             end dup_trigram_frac
 from n left join top using (doc_id)
 """
+
+
+# -------------------------------------------------------- text_tfidf_topk
+TFIDF_TOPK = 3
+
+
+@_q("text_tfidf_topk")
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-K tokens by TF-IDF — the classic keyword /
+    salient-term extractor a curation pipeline runs before clustering
+    or topic labeling.
+
+    score = (tf_cnt / doc_len) · ln(N / df), computed from four integer
+    counts with one double expression applied identically in both
+    engines, rounded past the libm-ulp zone (same policy as
+    extra_corr); ranking orders by the ROUNDED score so the cut is
+    identical too, ties broken on the token.
+
+    Plan (100 TB): explode → one (doc_id, tok) hash aggregate with
+    doc_len riding along (no re-join for lengths); df comes from a
+    tok-keyed partial-combining aggregate joined back on tok — the
+    inverted-index shape, same as dedup; N is a 1-row broadcast scalar
+    (BNLJ-allowlisted); top-K per doc is one doc-partitioned window."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks_ = docs.select(
+        "doc_id",
+        F.size(toks()).alias("doc_len"),
+        F.explode(toks()).alias("tok"),
+    )
+    counts = toks_.groupBy("doc_id", "doc_len", "tok").agg(
+        F.count(F.lit(1)).alias("tf_cnt")
+    )
+    dfs = counts.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        counts.join(dfs, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                (F.col("tf_cnt").cast("double") / F.col("doc_len"))
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                12,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TFIDF_TOPK)
+        .select("doc_id", "rk", "tok", "tfidf")
+    )
+
+
+ORACLE["text_tfidf_topk"] = f"""
+with toks as (
+  select doc_id, len({sql_toks('text')}) doc_len,
+         unnest({sql_toks('text')}) tok
+  from documents),
+counts as (
+  select doc_id, doc_len, tok, count(*) tf_cnt
+  from toks group by 1, 2, 3),
+dfs as (select tok, count(*) df from counts group by 1),
+n as (select count(*) n_docs from documents),
+scored as (
+  select doc_id, tok,
+         round((cast(tf_cnt as double) / doc_len)
+               * ln(cast(n_docs as double) / df), 12) tfidf
+  from counts join dfs using (tok) cross join n),
+ranked as (
+  select doc_id, tok, tfidf,
+         row_number() over (partition by doc_id
+                            order by tfidf desc, tok asc) rk
+  from scored)
+select doc_id, rk, tok, tfidf
+from ranked
+where rk <= {TFIDF_TOPK}
+"""

@@ -299,8 +299,12 @@ window w as (partition by o_custkey order by o_orderdate, o_orderkey)
 # ------------------------------------------------------ extra_string_fns
 @_q("extra_string_fns")
 def extra_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String scalar-function corpus: case mapping, trim/pad, replace,
-    split, search, slicing, levenshtein — one narrow projection."""
+    """String + regex scalar-function corpus: case mapping, trim/pad,
+    replace, split, search, slicing, levenshtein, regex extract /
+    global replace / match-flag — one narrow projection (regex columns
+    folded in from the former extra_regex_fns: same table, same filter,
+    so one registered query carries both corpora; the single-purpose
+    originals remain pytest-gated in ALL_QUERIES)."""
     cust = load_table(spark, sf_dir, "customer").where(
         F.col("c_custkey") <= 200
     )
@@ -320,10 +324,15 @@ def extra_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.repeat(F.lit("ab"), 3).alias("rep"),
         F.levenshtein("c_mktsegment", F.lit("BUILDING")).alias("lev"),
         F.concat_ws("|", "c_mktsegment", "c_name").alias("joined"),
+        F.regexp_extract("c_name", r"(\d+)", 1).alias("digits"),
+        F.regexp_replace("c_name", r"0+", "#").alias("zero_runs"),
+        F.col("c_name").rlike(r"Customer#0*1\d$").cast("int").alias(
+            "ends_teenish"
+        ),
     )
 
 
-ORACLE["extra_string_fns"] = """
+ORACLE["extra_string_fns"] = r"""
 select c_custkey,
        upper(c_name) up,
        lower(c_mktsegment) lo,
@@ -336,7 +345,11 @@ select c_custkey,
        substring(c_mktsegment, 2, 3) seg_mid,
        repeat('ab', 3) rep,
        levenshtein(c_mktsegment, 'BUILDING') lev,
-       concat_ws('|', c_mktsegment, c_name) joined
+       concat_ws('|', c_mktsegment, c_name) joined,
+       regexp_extract(c_name, '(\d+)', 1) digits,
+       regexp_replace(c_name, '0+', '#', 'g') zero_runs,
+       cast(regexp_matches(c_name, 'Customer#0*1\d$') as integer)
+           ends_teenish
 from customer
 where c_custkey <= 200
 """
@@ -718,3 +731,362 @@ select l_returnflag,
          corr_qty_price
 from m
 """
+
+
+# =====================================================================
+# Consolidated coverage queries (round-4, verdict task #3): the driver's
+# correctness window is ~50 rows/round, so the 21 single-purpose queries
+# above are folded into the combined queries below wherever they share a
+# table and grain. The singles stay in ALL_QUERIES as the pytest parity
+# corpus (coverage unchanged); only the combined set is emitted to the
+# driver registry.
+# =====================================================================
+
+
+# ---------------------------------------------------- extra_windows
+@_q("extra_windows")
+def extra_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three window classes in ONE custkey-partitioned window
+    family (single shuffle): ranking (row_number), analytic (lag
+    delta, lead with default), frames (running decimal sum, ntile,
+    first/last over an explicit full frame). Combines the former
+    extra_window_rank / extra_window_lag / extra_window_frames."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_custkey") % 1000 == 0
+    )
+    order_cols = [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()]
+    wo = Window.partitionBy("o_custkey").orderBy(*order_cols)
+    running = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    full = wo.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.row_number().over(wo).alias("rn"),
+        (dec("o_totalprice") - F.lag(dec("o_totalprice")).over(wo))
+        .cast("double")
+        .alias("price_delta"),
+        F.sum(dec("o_totalprice")).over(running).cast("double").alias(
+            "run_price"
+        ),
+        F.ntile(4).over(wo).alias("quartile"),
+        F.first("o_orderkey").over(full).alias("first_key"),
+        F.last("o_orderkey").over(full).alias("last_key"),
+        F.lead("o_orderkey", 1, -1).over(wo).alias("next_key"),
+    )
+
+
+ORACLE["extra_windows"] = f"""
+select o_custkey, o_orderkey, o_orderdate,
+       row_number() over w rn,
+       cast({sql_dec('o_totalprice')}
+            - lag({sql_dec('o_totalprice')}) over w as double) price_delta,
+       cast(sum({sql_dec('o_totalprice')}) over
+            (partition by o_custkey order by o_orderdate, o_orderkey
+             rows unbounded preceding) as double) run_price,
+       ntile(4) over w quartile,
+       first_value(o_orderkey) over
+           (partition by o_custkey order by o_orderdate, o_orderkey
+            rows between unbounded preceding and unbounded following)
+           first_key,
+       last_value(o_orderkey) over
+           (partition by o_custkey order by o_orderdate, o_orderkey
+            rows between unbounded preceding and unbounded following)
+           last_key,
+       coalesce(lead(o_orderkey, 1) over w, -1) next_key
+from orders
+where o_custkey % 1000 = 0
+window w as (partition by o_custkey order by o_orderdate, o_orderkey)
+"""
+
+
+# ---------------------------------------------------- extra_set_ops
+@_q("extra_set_ops")
+def extra_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL + INTERSECT + EXCEPT ALL over the same customer/
+    supplier nation keys, tagged and stacked into one result (combines
+    the former extra_union_all / extra_intersect / extra_except)."""
+    t = load_tables(spark, sf_dir, "customer", "supplier")
+    c = t["customer"].select(F.col("c_nationkey").alias("nationkey"))
+    s = t["supplier"].select(F.col("s_nationkey").alias("nationkey"))
+    u = (
+        c.unionAll(s)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("union_all").alias("op"), "nationkey", "n")
+    )
+    ch = t["customer"].where(F.col("c_acctbal") > 5000).select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    sh = t["supplier"].where(F.col("s_acctbal") > 5000).select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    i = ch.intersect(sh).select(
+        F.lit("intersect").alias("op"),
+        "nationkey",
+        F.lit(1).cast("long").alias("n"),
+    )
+    e = (
+        c.exceptAll(s)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "nationkey", "n")
+    )
+    return u.unionByName(i).unionByName(e)
+
+
+ORACLE["extra_set_ops"] = """
+select 'union_all' op, nationkey, count(*) n from (
+  select c_nationkey nationkey from customer
+  union all
+  select s_nationkey from supplier)
+group by 2
+union all
+select 'intersect', nationkey, cast(1 as bigint) from (
+  select c_nationkey nationkey from customer where c_acctbal > 5000
+  intersect
+  select s_nationkey from supplier where s_acctbal > 5000)
+union all
+select 'except_all', nationkey, count(*) from (
+  select c_nationkey nationkey from customer
+  except all
+  select s_nationkey from supplier)
+group by 2
+"""
+
+
+# ---------------------------------------------------- extra_grouping
+_GROUPING_COMBINED_SQL = """
+select 'rollup' src, o_orderpriority, o_orderstatus, count(*) n,
+       cast(sum(cast(o_totalprice as decimal(15,2))) as double) sum_price,
+       cast(grouping(o_orderpriority) as integer) g_prio,
+       cast(grouping(o_orderstatus) as integer) g_stat,
+       bool_and(o_totalprice > 100000) all_big,
+       bool_or(o_orderstatus = 'F') any_f,
+       max_by(o_orderkey,
+              cast(round(o_totalprice * 100) as bigint) * 10000000
+              + o_orderkey) top_key,
+       min_by(o_orderkey,
+              cast(round(o_totalprice * 100) as bigint) * 10000000
+              + o_orderkey) bot_key
+from orders
+group by rollup (o_orderpriority, o_orderstatus)
+union all
+select 'cube', o_orderpriority, o_orderstatus, count(*),
+       cast(sum(cast(o_totalprice as decimal(15,2))) as double),
+       cast(grouping(o_orderpriority) as integer),
+       cast(grouping(o_orderstatus) as integer),
+       bool_and(o_totalprice > 100000),
+       bool_or(o_orderstatus = 'F'),
+       max_by(o_orderkey,
+              cast(round(o_totalprice * 100) as bigint) * 10000000
+              + o_orderkey),
+       min_by(o_orderkey,
+              cast(round(o_totalprice * 100) as bigint) * 10000000
+              + o_orderkey)
+from orders
+group by cube (o_orderpriority, o_orderstatus)
+union all
+select 'gsets', o_orderpriority, o_orderstatus, count(*),
+       cast(sum(cast(o_totalprice as decimal(15,2))) as double),
+       cast(grouping(o_orderpriority) as integer),
+       cast(grouping(o_orderstatus) as integer),
+       bool_and(o_totalprice > 100000),
+       bool_or(o_orderstatus = 'F'),
+       max_by(o_orderkey,
+              cast(round(o_totalprice * 100) as bigint) * 10000000
+              + o_orderkey),
+       min_by(o_orderkey,
+              cast(round(o_totalprice * 100) as bigint) * 10000000
+              + o_orderkey)
+from orders
+group by grouping sets ((o_orderpriority), (o_orderstatus), ())
+"""
+
+
+@_q("extra_grouping")
+def extra_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP + CUBE + explicit GROUPING SETS over orders, each level
+    tagged, with GROUPING markers, boolean aggregates, and
+    deterministic argmin/argmax per group — IDENTICAL SQL text on both
+    engines (max_by/min_by, bool_and/bool_or, grouping() are shared
+    names). Combines the former extra_rollup / extra_cube /
+    extra_grouping_sets / extra_bool_argmax; each branch is one
+    grouping-sets expansion feeding one hash aggregate."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_GROUPING_COMBINED_SQL)
+
+
+ORACLE["extra_grouping"] = _GROUPING_COMBINED_SQL
+
+
+# ------------------------------------------------------- extra_stats
+@_q("extra_stats")
+def extra_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles + deterministic Pearson correlation
+    per returnflag in ONE lineitem hash aggregate (combines the former
+    extra_quantiles / extra_corr; see those docstrings for the
+    engine-equivalence arguments — quantile interpolation verified
+    bit-equal, corr from exact decimal moments + one closed-form
+    double expression, rounded past the representable-ulp zone)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q, p = dec("l_quantity"), dec("l_extendedprice")
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("med_qty"),
+        F.percentile("l_quantity", 0.9).alias("p90_qty"),
+        F.percentile("l_extendedprice", 0.25).alias("p25_price"),
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.sum(q).cast("double").alias("sx"),
+        F.sum(p).cast("double").alias("sy"),
+        F.sum(q * p).cast("double").alias("sxy"),
+        F.sum(q * q).cast("double").alias("sxx"),
+        F.sum(p * p).cast("double").alias("syy"),
+    )
+    corr = (agg["nd"] * agg["sxy"] - agg["sx"] * agg["sy"]) / (
+        F.sqrt(agg["nd"] * agg["sxx"] - agg["sx"] * agg["sx"])
+        * F.sqrt(agg["nd"] * agg["syy"] - agg["sy"] * agg["sy"])
+    )
+    return agg.select(
+        "l_returnflag",
+        "med_qty",
+        "p90_qty",
+        "p25_price",
+        "n",
+        F.round(corr, 12).alias("corr_qty_price"),
+    )
+
+
+ORACLE["extra_stats"] = f"""
+with m as (
+  select l_returnflag,
+         quantile_cont(l_quantity, 0.5) med_qty,
+         quantile_cont(l_quantity, 0.9) p90_qty,
+         quantile_cont(l_extendedprice, 0.25) p25_price,
+         count(*) n,
+         cast(count(*) as double) nd,
+         cast(sum({sql_dec('l_quantity')}) as double) sx,
+         cast(sum({sql_dec('l_extendedprice')}) as double) sy,
+         cast(sum({sql_dec('l_quantity')} * {sql_dec('l_extendedprice')})
+              as double) sxy,
+         cast(sum({sql_dec('l_quantity')} * {sql_dec('l_quantity')})
+              as double) sxx,
+         cast(sum({sql_dec('l_extendedprice')} * {sql_dec('l_extendedprice')})
+              as double) syy
+  from lineitem
+  group by l_returnflag)
+select l_returnflag, med_qty, p90_qty, p25_price, n,
+       round((nd * sxy - sx * sy)
+             / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy)), 12)
+         corr_qty_price
+from m
+"""
+
+
+# ------------------------------------------------- extra_string_aggs
+@_q("extra_string_aggs")
+def extra_string_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (ANSI listagg WITHIN GROUP) plus the
+    array-aggregation corpus (sorted collect, join, size, index,
+    membership) over one supplier grouping — combines the former
+    extra_listagg / extra_array_fns function coverage at a single
+    grain. The sorted list makes every output order-independent."""
+    sup = load_table(spark, sf_dir, "supplier").where(F.col("s_suppkey") <= 40)
+    sup.createOrReplaceTempView("sup_small")
+    return spark.sql(
+        "select s_nationkey, "
+        "listagg(s_name, '|') within group (order by s_name) s_names, "
+        "array_join(array_sort(collect_list(s_name)), ',') names_csv, "
+        "cast(size(collect_list(s_name)) as int) n_sup, "
+        "element_at(array_sort(collect_list(s_name)), 1) first_name, "
+        "cast(array_contains(collect_list(s_name), 'Supplier#000000007') "
+        "     as int) has_7 "
+        "from sup_small group by s_nationkey"
+    )
+
+
+ORACLE["extra_string_aggs"] = """
+select s_nationkey,
+       string_agg(s_name, '|' order by s_name) s_names,
+       array_to_string(list_sort(list(s_name)), ',') names_csv,
+       cast(len(list(s_name)) as integer) n_sup,
+       list_sort(list(s_name))[1] first_name,
+       cast(list_contains(list(s_name), 'Supplier#000000007') as integer)
+           has_7
+from supplier
+where s_suppkey <= 40
+group by s_nationkey
+"""
+
+
+# ------------------------------------------------- extra_pivot_json
+@_q("extra_pivot_json")
+def extra_pivot_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (explicit value list, static schema) + JSON-path
+    extraction feeding typed aggregation, per user — combines the
+    former extra_pivot / extra_json_fns. Two aggregates on the same
+    user_id key joined back: co-partitioned, so the join adds no
+    exchange beyond the aggregation shuffles."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    pivoted = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    k = F.get_json_object("props", "$.k")
+    j = (
+        ev.select("user_id", k.alias("k_str"), k.cast("int").alias("k"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k_str").alias("min_k_str"),
+            F.max("k_str").alias("max_k_str"),
+        )
+    )
+    return pivoted.join(j, "user_id").select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
+        "sum_k",
+        "min_k_str",
+        "max_k_str",
+    )
+
+
+ORACLE["extra_pivot_json"] = f"""
+select user_id,
+       {', '.join(f"count(case when event_type = '{t}' then 1 end) n_{t}"
+                  for t in _EVENT_TYPES)},
+       cast(sum(cast(json_extract_string(props, '$.k') as integer))
+            as bigint) sum_k,
+       min(json_extract_string(props, '$.k')) min_k_str,
+       max(json_extract_string(props, '$.k')) max_k_str
+from events
+where user_id < 50
+group by user_id
+"""
+
+
+# =====================================================================
+# Registry split: ALL_QUERIES/ALL_ORACLE carry every query above (the
+# pytest parity corpus — tests/test_extras.py walks this); QUERIES/
+# ORACLE export only the driver-registered consolidated set.
+# =====================================================================
+ALL_QUERIES: dict = dict(QUERIES)
+ALL_ORACLE: dict[str, str] = dict(ORACLE)
+
+_REGISTERED = (
+    "extra_windows",        # rank + lag + frames
+    "extra_set_ops",        # union all + intersect + except all
+    "extra_grouping",       # rollup + cube + grouping sets + bool/argmax
+    "extra_string_fns",     # string + regex corpus
+    "extra_date_fns",
+    "extra_stats",          # quantiles + corr
+    "extra_string_aggs",    # listagg + array corpus
+    "extra_pivot_json",     # pivot + JSON extraction
+    "extra_full_outer",
+    "extra_recursive_walk",
+)
+QUERIES = {k: ALL_QUERIES[k] for k in _REGISTERED}
+ORACLE = {k: ALL_ORACLE[k] for k in _REGISTERED}

@@ -1,5 +1,7 @@
 """Stretch operator classes (windows / set ops / rollup / full outer):
-oracle parity."""
+oracle parity. Walks ALL_QUERIES — the full parity corpus including the
+single-purpose originals that the driver registry consolidates away
+(round-4 verdict task #3: registry ≤ window, coverage unchanged)."""
 
 import pytest
 
@@ -7,9 +9,19 @@ from duckdb_wasm_spark.plans import extras
 from duckdb_wasm_spark.testing import assert_parity
 
 
-@pytest.mark.parametrize("name", sorted(extras.QUERIES))
+@pytest.mark.parametrize("name", sorted(extras.ALL_QUERIES))
 def test_extras_parity(name, spark, sf_dir, oracle):
-    assert name in extras.ORACLE
+    assert name in extras.ALL_ORACLE
     assert_parity(
-        extras.QUERIES[name](spark, sf_dir), extras.ORACLE[name], oracle, name
+        extras.ALL_QUERIES[name](spark, sf_dir),
+        extras.ALL_ORACLE[name],
+        oracle,
+        name,
     )
+
+
+def test_registered_subset_of_all():
+    # the driver-facing registry must stay a subset of the tested corpus
+    assert set(extras.QUERIES) <= set(extras.ALL_QUERIES)
+    assert set(extras.ORACLE) <= set(extras.ALL_ORACLE)
+    assert set(extras.QUERIES) == set(extras.ORACLE)

@@ -21,6 +21,7 @@ BNLJ_ALLOWED = {
     "sim_topk_brute",  # 50-vector query panel broadcast (self != cond)
     "sim_topk_ivf",  # 8-centroid panel broadcast for assignment
     "range_join_price_bands",  # 12-row derived band table broadcast
+    "text_tfidf_topk",  # 1-row corpus-size scalar broadcast for idf
 }
 
 # queries whose WHERE is selective on a scanned column — parquet scan
