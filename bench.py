@@ -48,14 +48,57 @@ def _build_session(cpus: int):
     )
 
 
+def _stage_layout(spark, sf_dir: str, cpus: int) -> str:
+    """Rewrite each table once into a cpus-way multi-file layout.
+
+    The generator's parquet files carry ONE row group per table, and a
+    row group is the indivisible unit of parallel read in both engines —
+    so every scan of the original layout is effectively single-threaded
+    no matter how many cores the session has. That is an artifact of the
+    tiny test files, not of the queries: at the 100 TB design point a
+    table is thousands of files × row groups and scan parallelism is the
+    norm. Staging restores the representative layout for a one-time
+    cost reported in the JSON (excluded from per-query timings, like
+    the JVM warm-up); BOTH engines then read the SAME staged files, so
+    the DuckDB side-by-side stays apples-to-apples.
+
+    Measured tradeoff at sf0.1/32 cpus (see ORACLE_BENCH*.json): the
+    staged layout speeds individual heavy scans ~3x in Spark but adds
+    32-way task-scheduling overhead to every small query, a wash over
+    this corpus (57.8s vs 57.0s), while DuckDB's near-zero per-row-
+    group cost cuts its total 69.0s -> 27.0s. Default is therefore OFF
+    (SPARK_GRAFT_STAGE=1 opts in) — the raw layout is also what the
+    driver's round-over-round BENCH comparisons assume."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="bench_layout_")
+    from duckdb_wasm_spark.tables import TABLES
+
+    for t in TABLES:
+        (
+            spark.read.parquet(f"{sf_dir}/{t}.parquet")
+            .repartition(cpus)
+            .write.parquet(f"{out}/{t}.parquet")
+        )
+    return out
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1").rstrip("/")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_from_dir(sf_dir)
 
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
     spark = _build_session(cpus)
+
+    stage = os.environ.get("SPARK_GRAFT_STAGE", "0") == "1"
+    stage_sec = 0.0
+    if stage:
+        t0 = time.perf_counter()
+        sf_dir = _stage_layout(spark, sf_dir, cpus)
+        stage_sec = round(time.perf_counter() - t0, 3)
 
     # Warm-up: touch the fact table & spin up codegen/shuffle machinery once,
     # and spawn the Python/Arrow worker pool (otherwise the corpus's first
@@ -97,10 +140,12 @@ def main() -> int:
         "metric": "query_corpus_total_wall",
         "value": total,
         "unit": "sec",
-        "sf": _sf_from_dir(sf_dir),
+        "sf": sf,
         "n_queries": len(timings),
         "n_failed": len(timings) - len(ok),
         "cpus": cpus,
+        "staged_layout": stage,
+        "stage_sec": stage_sec,
     }
 
     # Optional DuckDB side-by-side (round-3 verdict task #5): with
@@ -115,10 +160,13 @@ def main() -> int:
 
         con = duckdb.connect()
         con.execute(f"set threads = {cpus}")
+        # staged tables are DIRECTORIES of part files; original
+        # layout is a single file per table
+        glob = "/*.parquet" if stage else ""
         for t in TABLES:
             con.execute(
                 f"create view {t} as "
-                f"select * from read_parquet('{sf_dir}/{t}.parquet')"
+                f"select * from read_parquet('{sf_dir}/{t}.parquet{glob}')"
             )
         osql = entrymod.oracle_sql()
         duck: dict[str, float] = {}
@@ -143,7 +191,7 @@ def main() -> int:
         )
         duck_total = round(sum(duck_ok.values()), 3)
         side = {
-            "sf": _sf_from_dir(sf_dir),
+            "sf": sf,
             "cpus": cpus,
             "runs": runs,
             "n_comparable": len(duck_ok),
@@ -156,9 +204,12 @@ def main() -> int:
                 k: {"spark": timings.get(k), "duckdb": duck[k]} for k in duck
             },
         }
+        side["staged_layout"] = stage
+        side["stage_sec"] = stage_sec
+        artifact = "ORACLE_BENCH_STAGED.json" if stage else "ORACLE_BENCH.json"
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "ORACLE_BENCH.json"), "w"
+                         artifact), "w"
         ) as f:
             json.dump(side, f, indent=1, sort_keys=True)
         # headline scalars ride the stdout tail too
