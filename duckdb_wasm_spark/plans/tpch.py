@@ -747,7 +747,18 @@ where l_partkey = p_partkey
 def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top supplier (tpch/15.sql): revenue view + uncorrelated scalar MAX.
     MAX over identical doubles is order-independent → exact equality join
-    is safe."""
+    is safe.
+
+    The revenue view has two consumers (the scalar MAX and the supplier
+    join), and Catalyst does not fuse them (ReusedExchange needs
+    identical physical subtrees, which the extra aggregate breaks) — so
+    the lineitem scan+filter+agg runs twice. Measured round 4: a
+    localCheckpoint of the supplier-grained aggregate makes it
+    single-pass but is NET SLOWER here (0.92s vs 0.68s best-of-3 at
+    sf0.1 — block-manager materialization costs more than re-scanning a
+    filtered 600k-row parquet). At warehouse scale the checkpoint (or a
+    cached CTE) wins; at bench scale the declarative double-scan is
+    kept because it measures faster."""
     t = load_tables(spark, sf_dir, "supplier", "lineitem")
     rev = (
         t["lineitem"]

@@ -170,3 +170,48 @@ def stream_dedup_keys(
         .distinct()
     )
     return got, expected
+
+
+def stream_session_counts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Run the 10-minute-gap session count as a real watermarked stream
+    (session_window is the stateful streaming session operator; batch
+    events_session runs the same operator in batch mode). The watermark
+    delay exceeds the staged data's span so no session is dropped and
+    the final memory sink equals the batch result exactly.
+    Returns (streamed_result, batch_expected)."""
+    src_dir, schema = _staged_stream_source(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .withWatermark("ts", "365 days")
+        .groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "n"
+        )
+    )
+    name = f"session_{os.getpid()}_{abs(hash(src_dir)) % 10000}"
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table(name)
+    expected = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "n"
+        )
+    )
+    return got, expected

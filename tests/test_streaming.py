@@ -55,3 +55,15 @@ def test_stream_dedup_equals_batch_distinct(spark, sf_dir):
     g = {(r.user_id, r.event_type) for r in got.collect()}
     e = {(r.user_id, r.event_type) for r in expected.collect()}
     assert g == e and len(g) == got.count()
+
+
+def test_stream_session_equals_batch(spark, sf_dir):
+    """session_window as a real watermarked stream must converge to the
+    batch session result once all files are processed (the watermark
+    exceeds the data span, so no session is evicted early)."""
+    from duckdb_wasm_spark.streaming.live import stream_session_counts
+
+    got, expected = stream_session_counts(spark, sf_dir)
+    g = {tuple(r) for r in got.collect()}
+    e = {tuple(r) for r in expected.collect()}
+    assert g == e and len(e) > 0
