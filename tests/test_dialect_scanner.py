@@ -1,0 +1,58 @@
+"""Property tests for the paren/quote/comment-aware SQL scanner — the
+round-4 ADVICE fixes (double-quoted identifiers, -- and /* */ comments,
+quote-aware EXCLUDE rewrite, top-level WHERE splitting) hold for
+GENERATED statements, not just the hand-picked regression cases."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from duckdb_wasm_spark.dialect import (
+    _EXCLUDE_RE,
+    _find_top_level_kw,
+    _split_top_level,
+    _split_where_tail,
+    _sub_outside_quotes,
+)
+
+# segments that must HIDE a keyword from the scanner
+_hidden = st.one_of(
+    st.from_regex(r"'[a-z ]{0,10}where[a-z ]{0,10}'", fullmatch=True),
+    st.from_regex(r'"[a-z ]{0,10}where[a-z ]{0,10}"', fullmatch=True),
+    st.from_regex(r"-- [a-z ]{0,10}where[a-z ]{0,10}\n", fullmatch=True),
+    st.from_regex(r"/\* [a-z ]{0,8}where[a-z ]{0,8} \*/", fullmatch=True),
+    st.from_regex(r"\(select 1 where [a-z]{1,8} = 2\)", fullmatch=True),
+)
+_plain = st.from_regex(r"[a-z]{1,8} = [0-9]{1,4}", fullmatch=True)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.one_of(_hidden, _plain), min_size=0, max_size=5))
+def test_hidden_keywords_never_found(segments):
+    sql = "select a, " + ", ".join(segments) if segments else "select a"
+    assert _find_top_level_kw(sql, "where") is None
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.one_of(_hidden, _plain), min_size=0, max_size=4),
+    st.from_regex(r"[a-z]{1,8} = [0-9]{1,4}", fullmatch=True),
+)
+def test_top_level_where_found_after_hidden(segments, cond):
+    head = "x = 1, " + ", ".join(segments) if segments else "x = 1"
+    sql = head + " where " + cond
+    body, where = _split_where_tail(sql)
+    assert where == cond
+    assert body == head.strip()
+    # and the SET-list splitter agrees on the body's commas
+    parts = _split_top_level(body)
+    assert parts[0].strip() == "x = 1"
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.from_regex(r"[a-z ]{0,12}", fullmatch=True))
+def test_exclude_rewrite_skips_literals(filler):
+    lit = f"'* EXCLUDE ({filler})'"
+    sql = f"select * EXCLUDE (a), {lit} as s from t"
+    out = _sub_outside_quotes(_EXCLUDE_RE, r"\1EXCEPT\2", sql)
+    assert lit in out  # literal untouched
+    assert out.startswith("select * EXCEPT (a)")  # real sugar rewritten

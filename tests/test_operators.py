@@ -57,6 +57,24 @@ def test_entry_registry_exposes_operators():
             assert name in ("dedup_minhash_ml", "ann_brp_ml")
 
 
+def test_entry_gate_priority_order():
+    """The driver walks queries() in insertion order under a bounded
+    correctness window (~50 rows/round) — the emission order IS the
+    gating policy (round-3 verdict #2). Every _GATE_PRIORITY name must
+    exist, be oracle-backed, and lead the registry; rows-only queries
+    must come last."""
+    import __spark_entry__ as e
+
+    qs, osql = e.queries(), e.oracle_sql()
+    names = list(qs)
+    prio = e._GATE_PRIORITY
+    assert names[: len(prio)] == prio, "priority names must lead queries()"
+    for n in prio:
+        assert n in osql, f"{n} in _GATE_PRIORITY but has no oracle"
+    rows_only = [n for n in names if n not in osql]
+    assert names[-len(rows_only):] == rows_only, "rows-only must be last"
+
+
 def test_ngram_jaccard_df_cap_is_sound(spark, sf_dir):
     """The max_df skew guard may only shrink the candidate set — every
     pair it emits must also appear in the uncapped exact result."""
