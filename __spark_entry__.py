@@ -84,6 +84,7 @@ _GATE_PRIORITY = [
     "multimodal_frames",
     "text_tfidf_topk",
     "sample_pack_sequences",
+    "dedup_embedding_clusters",
     "ref_q7_sqlite",
     "ref_q8_sqlite",
     # (b) changed since their last green row (r3/r4 rewrites)

@@ -956,9 +956,11 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _emb_lsh_sql() -> str:
+def _emb_lsh_sql_parts() -> tuple[str, str]:
+    """(ctes, final_select) so the clusters oracle can reuse the pair
+    pipeline inside its own recursive CTE."""
     w = SQL_PLANE_W.format(p="p", d="d")
-    return f"""
+    ctes = f"""
 with planes as (
   select p, list_transform(range(0, {EMB_DIM}), d -> {w}) w
   from (select unnest(range(0, {N_PLANES})) p)),
@@ -979,11 +981,75 @@ cand as (
   select distinct a.vec_id a_id, b.vec_id b_id,
          a.embedding ea, b.embedding eb, a.nrm norm_a, b.nrm norm_b
   from we a join we b
-    on a.band = b.band and a.band_val = b.band_val and a.vec_id < b.vec_id)
+    on a.band = b.band and a.band_val = b.band_val and a.vec_id < b.vec_id)"""
+    final = f"""
 select a_id, b_id, {sql_dot('ea', 'eb')} / (norm_a * norm_b) sim
 from cand
 where {sql_dot('ea', 'eb')} / (norm_a * norm_b) >= {COS_THRESHOLD}
 """
+    return ctes, final
+
+
+def _emb_lsh_sql() -> str:
+    ctes, final = _emb_lsh_sql_parts()
+    return ctes + final
 
 
 ORACLE["dedup_embedding_lsh"] = _emb_lsh_sql()
+
+
+# ---------------------------------------------- dedup_embedding_clusters
+@_q("dedup_embedding_clusters")
+def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup clustering: connected components over the
+    hyperplane-LSH cosine near-dup pairs — every vector gets a
+    cluster_id (min vec_id reachable through near-dup edges) and
+    is_keeper marks the surviving representative; singletons keep
+    themselves. Second consumer of the hardened connected_components
+    loop (pointer jumping, loud non-convergence — see its docstring),
+    composing it with a different candidate generator than the MinHash
+    clusters. Oracle: recursive-CTE closure over the identical pair
+    SQL."""
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id")
+    )
+    pairs = dedup_embedding_lsh(spark, sf_dir).select("a_id", "b_id")
+    edges = (
+        pairs.union(
+            pairs.select(
+                F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id")
+            )
+        )
+        .toDF("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    labels = connected_components(vecs, edges)
+    return labels.select(
+        F.col("doc_id").alias("vec_id"),
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+    )
+
+
+def _emb_clusters_sql() -> str:
+    ctes, pair_select = _emb_lsh_sql_parts()
+    ctes = ctes.lstrip()
+    assert ctes.startswith("with ")
+    return f"""
+with recursive {ctes[len("with "):]},
+pairs as ({pair_select}),
+edges as (
+  select a_id src, b_id dst from pairs
+  union
+  select b_id src, a_id dst from pairs),
+reach(a, b) as (
+  select vec_id, vec_id from embeddings
+  union
+  select r.a, e.dst from reach r join edges e on r.b = e.src)
+select a vec_id, min(b) cluster_id, a = min(b) is_keeper
+from reach
+group by a
+"""
+
+
+ORACLE["dedup_embedding_clusters"] = _emb_clusters_sql()
