@@ -85,6 +85,8 @@ _GATE_PRIORITY = [
     "text_tfidf_topk",
     "sample_pack_sequences",
     "dedup_embedding_clusters",
+    "text_pii_scan",
+    "text_gopher_flags",
     "ref_q7_sqlite",
     "ref_q8_sqlite",
     # (b) changed since their last green row (r3/r4 rewrites)

@@ -441,3 +441,134 @@ select doc_id, rk, tok, tfidf
 from ranked
 where rk <= {TFIDF_TOPK}
 """
+
+
+# ---------------------------------------------------------- text_pii_scan
+# Java-regex ∩ RE2 common subset (no lookaround/backrefs) so both
+# engines match identical spans
+_PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_PII_PHONE = r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+_PII_IPV4 = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+@_q("text_pii_scan")
+def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII pre-redaction scan: per-document counts of email / phone /
+    IPv4 regex matches plus a redacted text length — the detection pass
+    a training-data pipeline runs before masking. Pure narrow
+    projection, zero shuffle; patterns live in the Java∩RE2 subset so
+    both engines count identical spans (the actual masking is the same
+    regexp_replace the redacted-length column already exercises)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_EMAIL), 0))
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_PHONE), 0))
+        .alias("n_phones"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_IPV4), 0))
+        .alias("n_ipv4"),
+        F.length(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+                _PII_PHONE,
+                "<PHONE>",
+            )
+        ).alias("redacted_len"),
+    )
+
+
+ORACLE["text_pii_scan"] = f"""
+select doc_id,
+       len(regexp_extract_all(text, '{_PII_EMAIL}')) n_emails,
+       len(regexp_extract_all(text, '{_PII_PHONE}')) n_phones,
+       len(regexp_extract_all(text, '{_PII_IPV4}')) n_ipv4,
+       length(regexp_replace(
+           regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g')) redacted_len
+from documents
+"""
+
+
+# ------------------------------------------------------ text_gopher_flags
+GOPHER_MIN_TOKENS = 10
+GOPHER_MAX_TOKENS = 10_000
+GOPHER_WORD_LEN_LO = 2.0
+GOPHER_WORD_LEN_HI = 12.0
+GOPHER_MAX_SYMBOL_RATIO = 0.25
+GOPHER_MIN_ALPHA_RATIO = 0.6
+
+
+@_q("text_gopher_flags")
+def text_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document-level filter rules as boolean flags plus
+    the final keep verdict: token-count bounds, mean word length in
+    range, symbol-to-token ratio, alphabetic-token fraction. The flag
+    columns let a pipeline audit WHICH rule rejected each document (the
+    standard way these rule suites are tuned); `keep` is their AND.
+    One narrow projection, zero shuffle, built-ins only."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = toks()
+    d = docs.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.aggregate(
+            F.transform(t, lambda x: F.length(x)), F.lit(0), lambda a, v: a + v
+        ).alias("char_sum"),
+        F.size(
+            F.filter(t, lambda x: x.rlike("^[a-z]+$"))
+        ).alias("n_alpha"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[#$%^*=~|]"), 0))
+        .alias("n_symbols"),
+    )
+    mean_len = F.col("char_sum").cast("double") / F.col("n_tokens")
+    sym_ratio = F.col("n_symbols").cast("double") / F.col("n_tokens")
+    alpha_ratio = F.col("n_alpha").cast("double") / F.col("n_tokens")
+    flags = {
+        "ok_count": (F.col("n_tokens") >= GOPHER_MIN_TOKENS)
+        & (F.col("n_tokens") <= GOPHER_MAX_TOKENS),
+        "ok_word_len": (mean_len >= GOPHER_WORD_LEN_LO)
+        & (mean_len <= GOPHER_WORD_LEN_HI),
+        "ok_symbols": sym_ratio <= GOPHER_MAX_SYMBOL_RATIO,
+        "ok_alpha": alpha_ratio >= GOPHER_MIN_ALPHA_RATIO,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    return d.select(
+        "doc_id",
+        *[c.alias(name) for name, c in flags.items()],
+        keep.alias("keep"),
+    )
+
+
+ORACLE["text_gopher_flags"] = f"""
+with d as (
+  select doc_id,
+         len({sql_toks('text')}) n_tokens,
+         list_sum(list_transform({sql_toks('text')}, x -> length(x)))
+           char_sum,
+         len(list_filter({sql_toks('text')},
+                         x -> regexp_matches(x, '^[a-z]+$'))) n_alpha,
+         len(regexp_extract_all(text, '[#$%^*=~|]')) n_symbols
+  from documents)
+select doc_id,
+       n_tokens >= {GOPHER_MIN_TOKENS}
+         and n_tokens <= {GOPHER_MAX_TOKENS} ok_count,
+       cast(char_sum as double) / n_tokens >= {GOPHER_WORD_LEN_LO}
+         and cast(char_sum as double) / n_tokens <= {GOPHER_WORD_LEN_HI}
+         ok_word_len,
+       cast(n_symbols as double) / n_tokens <= {GOPHER_MAX_SYMBOL_RATIO}
+         ok_symbols,
+       cast(n_alpha as double) / n_tokens >= {GOPHER_MIN_ALPHA_RATIO}
+         ok_alpha,
+       (n_tokens >= {GOPHER_MIN_TOKENS}
+         and n_tokens <= {GOPHER_MAX_TOKENS})
+         and (cast(char_sum as double) / n_tokens >= {GOPHER_WORD_LEN_LO}
+              and cast(char_sum as double) / n_tokens <= {GOPHER_WORD_LEN_HI})
+         and (cast(n_symbols as double) / n_tokens
+              <= {GOPHER_MAX_SYMBOL_RATIO})
+         and (cast(n_alpha as double) / n_tokens >= {GOPHER_MIN_ALPHA_RATIO})
+         keep
+from d
+"""
