@@ -87,6 +87,7 @@ _GATE_PRIORITY = [
     "dedup_embedding_clusters",
     "text_pii_scan",
     "text_gopher_flags",
+    "text_lm_score",
     "ref_q7_sqlite",
     "ref_q8_sqlite",
     # (b) changed since their last green row (r3/r4 rewrites)

@@ -572,3 +572,112 @@ select doc_id,
          keep
 from d
 """
+
+
+# ------------------------------------------------------- text_lm_score
+LM_ALPHA = 0.4  # add-alpha smoothing for unseen continuations
+
+
+@_q("text_lm_score")
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-trained bigram-LM fluency score per document — the
+    cheap KenLM-style proxy pipelines use to rank text quality: the
+    mean smoothed continuation probability P(w2|w1) over the
+    document's bigrams, with add-alpha smoothing over the corpus
+    vocabulary. (Mean probability, not mean log-probability: ln()
+    differs by an ulp between the JVM and libm, which flips
+    round-half boundaries — every operation here is an IEEE
+    correctly-rounded +,*,/ on integer-derived doubles, so the score
+    is bit-identical across engines with no transcendental in sight;
+    the ordering it induces is the same fluency ranking.)
+
+    Determinism: each bigram's probability-mass contribution k·p is
+    rounded to 12 decimals (tie risk is measure-zero on a raw double)
+    and summed EXACTLY as decimal(28,12) (a plain double sum would be
+    partition-order-dependent); the sum's scaled value fits in 53 bits
+    so the decimal→double conversion is exact, and the final division
+    is one correctly-rounded IEEE op — no post-division rounding,
+    which WOULD tie-break differently per engine (a 12-scale decimal
+    over a small n lands exactly on .5 boundaries ~1/n of the time).
+
+    Plan (100 TB): one explode into a (doc, prefix, bigram) hash
+    aggregate; corpus-wide bigram/prefix counts are count-over-window
+    passes on the SAME pipeline (no second tokenizer run — the tfidf
+    lesson); vocab size is a 1-row broadcast scalar
+    (BNLJ-allowlisted)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    bg = docs.select(
+        "doc_id", F.explode(bigrams(toks())).alias("bigram")
+    ).withColumn("w1", F.split(F.col("bigram"), " ").getItem(0))
+    per_doc = bg.groupBy("doc_id", "w1", "bigram").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    c_bigram = F.sum("k").over(Window.partitionBy("bigram"))
+    c_prefix = F.sum("k").over(Window.partitionBy("w1"))
+    vocab = docs.select(
+        F.explode(toks()).alias("tok")
+    ).agg(F.count_distinct("tok").alias("v"))
+    scored = (
+        per_doc.withColumn("cb", c_bigram)
+        .withColumn("cp", c_prefix)
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "k",
+            F.round(
+                F.col("k").cast("double")
+                * (
+                    (F.col("cb").cast("double") + F.lit(LM_ALPHA))
+                    / (
+                        F.col("cp").cast("double")
+                        + F.lit(LM_ALPHA) * F.col("v")
+                    )
+                ),
+                12,
+            ).alias("kp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_bigrams"),
+            # NO final round: sum is an exact decimal(28,12) whose scaled
+            # value fits in 53 bits (exact as double in both engines), and
+            # one IEEE division is correctly rounded — identical doubles.
+            # Rounding HERE would tie-break differently per engine: a
+            # 12-scale decimal divided by a small n lands exactly on
+            # .5×10^-12 boundaries with probability ~1/n.
+            (
+                F.sum(F.col("kp").cast("decimal(28,12)")).cast("double")
+                / F.sum("k")
+            ).alias("avg_prob"),
+        )
+    )
+
+
+ORACLE["text_lm_score"] = f"""
+with bg as (
+  select doc_id, unnest({sql_bigrams(sql_toks('text'))}) bigram
+  from documents),
+b2 as (
+  select doc_id, bigram, string_split(bigram, ' ')[1] w1 from bg),
+per_doc as (
+  select doc_id, w1, bigram, count(*) k from b2 group by 1, 2, 3),
+cb as (select bigram, sum(k) cb from per_doc group by 1),
+cp as (select w1, sum(k) cp from per_doc group by 1),
+vocab as (
+  select count(distinct tok) v
+  from (select unnest({sql_toks('text')}) tok from documents)),
+scored as (
+  select doc_id, k,
+         round(cast(k as double)
+               * ((cast(cb as double) + {LM_ALPHA})
+                  / (cast(cp as double) + {LM_ALPHA} * v)), 12) kp
+  from per_doc join cb using (bigram) join cp using (w1) cross join vocab)
+select doc_id, sum(k) n_bigrams,
+       cast(sum(cast(kp as decimal(28,12))) as double) / sum(k) avg_prob
+from scored
+group by doc_id
+"""

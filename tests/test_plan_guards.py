@@ -22,6 +22,7 @@ BNLJ_ALLOWED = {
     "sim_topk_ivf",  # 8-centroid panel broadcast for assignment
     "range_join_price_bands",  # 12-row derived band table broadcast
     "text_tfidf_topk",  # 1-row corpus-size scalar broadcast for idf
+    "text_lm_score",  # 1-row vocab-size scalar broadcast for smoothing
 }
 
 # queries whose WHERE is selective on a scanned column — parquet scan
