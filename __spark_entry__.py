@@ -88,6 +88,7 @@ _GATE_PRIORITY = [
     "text_pii_scan",
     "text_gopher_flags",
     "text_lm_score",
+    "events_anomaly",
     "ref_q7_sqlite",
     "ref_q8_sqlite",
     # (b) changed since their last green row (r3/r4 rewrites)

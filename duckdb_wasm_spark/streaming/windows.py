@@ -252,3 +252,100 @@ window w as (partition by user_id
 # the fractional seconds while Spark's timestamp→long cast truncates —
 # a half-second event would land in different epoch seconds and flip
 # frame membership at exact 600s boundaries
+
+
+# --------------------------------------------------------- events_anomaly
+ANOM_TRAIL = 24  # trailing hourly buckets in the baseline
+ANOM_MIN_BUCKETS = 12  # need at least this much history to score
+ANOM_Z = 2.0
+
+
+@_q("events_anomaly")
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour event-count anomaly flags per event type: z-score of
+    each hour's count against the trailing ANOM_TRAIL hourly buckets
+    (excluding the current hour), flagged at |z| > 2 — the monitoring
+    query an event pipeline alerts on, and in streaming form the same
+    windowed aggregate + stateful baseline.
+
+    Determinism without decimals: counts are integers, the window
+    sums are exact longs, and mean/variance/z use only IEEE
+    correctly-rounded ops (+,-,*,/,sqrt — no transcendental), so the
+    doubles are bit-identical across engines. Hours with fewer than
+    ANOM_MIN_BUCKETS of history or zero variance score NULL.
+
+    Plan (100 TB): one (hour, type) hash aggregate, then one window
+    shuffled by event_type ordered by hour — baseline state is 24 longs
+    per type, constant memory at any scale."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(-ANOM_TRAIL, -1)
+    )
+    d = hourly.select(
+        "hour_start",
+        "event_type",
+        "n",
+        F.count(F.lit(1)).over(w).alias("n_hist"),
+        F.sum("n").over(w).alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("s2"),
+    )
+    nh = F.col("n_hist").cast("double")
+    mean = F.col("s1").cast("double") / nh
+    var = (
+        nh * F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double")
+    ) / (nh * nh)
+    z = F.when(
+        (F.col("n_hist") >= ANOM_MIN_BUCKETS) & (var > 0),
+        (F.col("n").cast("double") - mean) / F.sqrt(var),
+    )
+    return d.select(
+        "hour_start",
+        "event_type",
+        "n",
+        z.alias("z"),
+        # coalesce: unscored hours are "not anomalous", and a non-null
+        # boolean column normalizes identically in both engines
+        F.coalesce(F.abs(z) > ANOM_Z, F.lit(False)).alias("is_anomaly"),
+    )
+
+
+ORACLE["events_anomaly"] = f"""
+with hourly as (
+  select date_trunc('hour', ts) hour_start, event_type, count(*) n
+  from events group by 1, 2),
+d as (
+  select hour_start, event_type, n,
+         count(*) over w n_hist,
+         sum(n) over w s1,
+         sum(n * n) over w s2
+  from hourly
+  window w as (partition by event_type order by hour_start
+               rows between {ANOM_TRAIL} preceding and 1 preceding)),
+z as (
+  select hour_start, event_type, n,
+         case when n_hist >= {ANOM_MIN_BUCKETS}
+               and (n_hist * cast(s2 as double)
+                    - cast(s1 as double) * cast(s1 as double))
+                   / (cast(n_hist as double) * n_hist) > 0
+              then (cast(n as double) - cast(s1 as double) / n_hist)
+                   / sqrt((n_hist * cast(s2 as double)
+                           - cast(s1 as double) * cast(s1 as double))
+                          / (cast(n_hist as double) * n_hist))
+         end z
+  from d)
+select hour_start, event_type, n, z,
+       coalesce(abs(z) > {ANOM_Z}, false) is_anomaly
+from z
+"""
