@@ -89,6 +89,7 @@ _GATE_PRIORITY = [
     "text_gopher_flags",
     "text_lm_score",
     "events_anomaly",
+    "embed_quantize_int8",
     "ref_q7_sqlite",
     "ref_q8_sqlite",
     # (b) changed since their last green row (r3/r4 rewrites)

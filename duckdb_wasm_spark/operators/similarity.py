@@ -306,3 +306,78 @@ ranked as (
 select query_id, cell, neighbor_id, rank, sim from ranked
 where rank <= {TOP_K}
 """
+
+
+# --------------------------------------------------- embed_quantize_int8
+@_q("embed_quantize_int8")
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column —
+    the 4× compression pass an embedding store runs before indexing:
+    scale = max|x|/127, q_i = round(x_i/scale), plus the max absolute
+    reconstruction error. Quantized values ship as a CSV string (a
+    bare int array column would hash differently between engines'
+    result normalizers; the string is representation-stable).
+
+    Determinism: float elements cast to double (exact), then only
+    IEEE correctly-rounded ops (no transcendental); round-half ties on
+    x/scale are measure-zero for data-derived doubles and the max
+    element hits exactly ±127 (not a tie). Zero vectors quantize to
+    all-zeros with scale 0 and error 0. One narrow zero-shuffle
+    projection."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    scale = (
+        F.array_max(F.transform(e, lambda v: F.abs(v))) / F.lit(127.0)
+    ).alias("scale")
+    q = F.when(
+        F.col("scale") > 0,
+        F.transform(
+            F.col("e"),
+            lambda v: F.round(v / F.col("scale"), 0).cast("int"),
+        ),
+    ).otherwise(F.transform(F.col("e"), lambda v: F.lit(0)))
+    err = F.when(
+        F.col("scale") > 0,
+        F.array_max(
+            F.transform(
+                F.col("e"),
+                lambda v: F.abs(
+                    v - F.round(v / F.col("scale"), 0) * F.col("scale")
+                ),
+            )
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        emb.select("vec_id", e.alias("e"), scale)
+        .select(
+            "vec_id",
+            "scale",
+            F.array_join(q, ",").alias("q_csv"),
+            err.alias("max_err"),
+        )
+    )
+
+
+ORACLE["embed_quantize_int8"] = """
+with d as (
+  select vec_id,
+         list_transform(embedding, v -> cast(v as double)) e,
+         list_max(list_transform(embedding,
+                                 v -> abs(cast(v as double)))) / 127.0 scale
+  from embeddings)
+select vec_id, scale,
+       case when scale > 0
+            then list_aggregate(
+                   list_transform(e, v -> cast(cast(round(v / scale, 0)
+                                                    as int) as varchar)),
+                   'string_agg', ',')
+            else list_aggregate(
+                   list_transform(e, v -> '0'), 'string_agg', ',')
+       end q_csv,
+       case when scale > 0
+            then list_max(list_transform(
+                   e, v -> abs(v - round(v / scale, 0) * scale)))
+            else 0.0
+       end max_err
+from d
+"""
