@@ -57,6 +57,12 @@ def _registries():
 # long-stable corpus — TPC-H/micro/extras — and finally the rows-only
 # (no-oracle) ML comparison points.  Revisit each round: move anything
 # newly green out of (a)/(b) and anything rewritten back into (b).
+#
+# ROUND-5 ROTATION: if CORRECTNESS_r04 shows the names below green,
+# REPLACE this list with the queries r04's window did NOT reach —
+# q4..q22, micro_*, the 10 consolidated extra_* queries — plus
+# anything rewritten in round 5; the r04-green LLM operators then fall
+# through to tier (c).  (r04's window = these ~47 + q1..q3.)
 _GATE_PRIORITY = [
     # (a) never driver-gated (no CORRECTNESS row in any round)
     "pipeline_clean_corpus",
