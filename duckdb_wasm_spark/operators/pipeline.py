@@ -153,7 +153,7 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["corpus_stats"] = f"""
 with scored as ({_SQL_SCORED})
-select lang, count(*) n_docs, sum(n_tokens) n_tokens,
+select lang, count(*) n_docs, cast(sum(n_tokens) as bigint) n_tokens,
        cast(sum(n_tokens) as double) / count(*) mean_tokens,
        min(quality) min_quality,
        max(quality) max_quality
@@ -242,9 +242,10 @@ ORACLE["sample_token_budget"] = f"""
 select doc_id, lang, n_tokens, cum_tokens
 from (
   select doc_id, lang, n_tokens,
-         sum(n_tokens) over (partition by lang
-                             order by {_SQL_HASH_ORDER}
-                             rows unbounded preceding) cum_tokens
+         cast(sum(n_tokens) over (partition by lang
+                                  order by {_SQL_HASH_ORDER}
+                                  rows unbounded preceding) as bigint)
+           cum_tokens
   from (select doc_id, lang, len({sql_toks('text')}) n_tokens
         from documents))
 where cum_tokens <= {TOKEN_BUDGET}
@@ -401,7 +402,8 @@ def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["corpus_mix_weights"] = f"""
 with s as (
-  select source, count(*) n_docs, sum(len({sql_toks('text')})) n_tokens
+  select source, count(*) n_docs,
+         cast(sum(len({sql_toks('text')})) as bigint) n_tokens
   from documents group by source)
 select source, n_docs, n_tokens,
        cast(n_tokens as double) / cast(sum(n_tokens) over () as double)
@@ -426,7 +428,7 @@ with assigned as (
                ('0x' || substr(md5('split' || cast(doc_id as varchar)),
                                1, 4))::int % 100 b
         from documents))
-select lang, split, count(*) n_docs, sum(n_tok) n_tokens
+select lang, split, count(*) n_docs, cast(sum(n_tok) as bigint) n_tokens
 from assigned
 group by lang, split
 """
@@ -503,7 +505,8 @@ with placed as (
                      - n_tokens) / {SEQ_LEN}.0) as bigint) seq_id
   from (select doc_id, lang, len({sql_toks('text')}) n_tokens
         from documents))
-select lang, seq_id, count(*) n_docs, sum(n_tokens) seq_tokens,
+select lang, seq_id, count(*) n_docs,
+       cast(sum(n_tokens) as bigint) seq_tokens,
        min(doc_id) first_doc,
        round(least(1.0, cast(sum(n_tokens) as double) / {SEQ_LEN}), 12)
          fill_ratio

@@ -683,7 +683,7 @@ scored as (
                * ((cast(cb as double) + {LM_ALPHA})
                   / (cast(cp as double) + {LM_ALPHA} * v)), 12) kp
   from per_doc join cb using (bigram) join cp using (w1) cross join vocab)
-select doc_id, sum(k) n_bigrams,
+select doc_id, cast(sum(k) as bigint) n_bigrams,
        cast(sum(cast(kp as decimal(28,12))) as double) / sum(k) avg_prob
 from scored
 group by doc_id

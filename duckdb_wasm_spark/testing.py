@@ -41,6 +41,29 @@ def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf
 
 
+def _family(col: pd.Series) -> str:
+    """Collapse a pandas dtype to the family the driver's typed hash
+    distinguishes: integer widths merge, date/datetime merge (Spark
+    DateType arrives as object-of-datetime.date, DuckDB DATE as
+    datetime64 — both driver-green), but int vs float stays distinct
+    (the HUGEINT→float64 failure class)."""
+    import datetime
+
+    k = col.dtype.kind
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "M":
+        return "datetime"
+    if k == "O":
+        first = next((v for v in col if v is not None), None)
+        if isinstance(first, (datetime.date, datetime.datetime)):
+            return "datetime"
+        return "object"
+    return {"b": "bool", "m": "timedelta"}.get(k, k)
+
+
 def assert_parity(sdf, sql: str, con: duckdb.DuckDBPyConnection, name: str = "?"):
     sp_raw = sdf.toPandas()
     du_raw = con.execute(sql).df()
@@ -50,6 +73,25 @@ def assert_parity(sdf, sql: str, con: duckdb.DuckDBPyConnection, name: str = "?"
         f"{name}: column order mismatch spark={list(sp_raw.columns)} "
         f"duck={list(du_raw.columns)}"
     )
+    # Typed-hash replica (CORRECTNESS_r04 lesson): the driver's value
+    # hash is FAMILY-sensitive, not width-sensitive — int32 Spark vs
+    # BIGINT oracle is green all over r03/r04, and DATE columns are
+    # green even though Spark lands them as object-of-date while DuckDB
+    # lands datetime64. But a DuckDB HUGEINT column (sum(integer) →
+    # int128) lands in pandas as FLOAT64 while Spark emits int64, and
+    # equal values hash differently (the six r04 reds). Mirror that:
+    # the type FAMILY of every column must match before any value
+    # normalization. A bare integer sum() in an oracle must be
+    # cast(... as bigint) (cf. plans/tpch.py q11).
+    for c in sp_raw.columns:
+        sf, df = _family(sp_raw[c]), _family(du_raw[c])
+        assert sf == df, (
+            f"{name}.{c}: physical-family mismatch "
+            f"spark={sp_raw[c].dtype}({sf}) duck={du_raw[c].dtype}({df}) "
+            f"— if the oracle column is a bare integer sum(), DuckDB "
+            f"types it HUGEINT (pandas float64) and the driver's typed "
+            f"hash will fail; cast(... as bigint)"
+        )
     sp = _normalize(sp_raw)
     du = _normalize(du_raw)
     assert len(sp) == len(du), f"{name}: rowcount spark={len(sp)} duck={len(du)}"
