@@ -58,62 +58,68 @@ def _registries():
 # (no-oracle) ML comparison points.  Revisit each round: move anything
 # newly green out of (a)/(b) and anything rewritten back into (b).
 #
-# ROUND-5 ROTATION: if CORRECTNESS_r04 shows the names below green,
-# REPLACE this list with the queries r04's window did NOT reach —
-# q4..q22, micro_*, the 10 consolidated extra_* queries — plus
-# anything rewritten in round 5; the r04-green LLM operators then fall
-# through to tier (c).  (r04's window = these ~47 + q1..q3.)
+# ROUND-5 ROTATION (applied): CORRECTNESS_r04 gated 50 rows — 44 LLM/
+# extension rows green, q1–q4 green, and SIX reds (corpus_stats,
+# sample_token_budget, sample_split, corpus_mix_weights,
+# sample_pack_sequences, text_lm_score — an oracle HUGEINT typing bug,
+# fixed r5 with cast(sum(…) as bigint)).  The r4-green names fall to
+# tier (c); the window below is exactly the 41 registry names WITHOUT
+# an r4-green row: the 6 fixed reds first (their oracles changed — must
+# re-certify before anything else), the 6 consolidated extra_* queries
+# the driver has never seen under their current names, then the
+# r3-certified stable corpus (q5–q22, micro_*, the 4 unchanged-name
+# extras) whose rows are now two rounds old.
+#
+# ROUND-6 ROTATION: if CORRECTNESS_r05 shows the names below green,
+# the whole registry has a green row dated r4 or r5 — replace this
+# list with (a) anything rewritten in round 6, then (b) the r4-green
+# LLM corpus (oldest rows first), and let the r5-green names fall to
+# tier (c).  If any r5 row is RED, keep it at the head instead.
 _GATE_PRIORITY = [
-    # (a) never driver-gated (no CORRECTNESS row in any round)
-    "pipeline_clean_corpus",
+    # (a) r4-red, oracle fixed in r5 — re-certify first
     "corpus_stats",
-    "sample_balanced",
     "sample_token_budget",
     "sample_split",
-    "decontaminate_ngram",
     "corpus_mix_weights",
-    "asof_click_attribution",
-    "range_join_price_bands",
-    "events_retention",
-    "events_funnel",
-    "events_tumbling",
-    "events_sliding",
-    "events_session",
-    "events_daily_pruned",
-    "events_rolling",
-    "dedup_ngram_jaccard_capped",
-    "dedup_clusters",
-    "embed_centroid_outliers",
-    "text_vocab_topk",
-    "text_repetition",
-    "multimodal_thumbnail",
-    "multimodal_frames",
-    "text_tfidf_topk",
     "sample_pack_sequences",
-    "dedup_embedding_clusters",
-    "text_pii_scan",
-    "text_gopher_flags",
     "text_lm_score",
-    "events_anomaly",
-    "embed_quantize_int8",
-    "ref_q7_sqlite",
-    "ref_q8_sqlite",
-    # (b) changed since their last green row (r3/r4 rewrites)
-    "dedup_ngram_jaccard",
-    "dedup_embedding_lsh",
-    # (b') last green in r02 — one round stale, re-certify before the
-    # long-green r03 corpus below
-    "text_stats",
-    "text_langid",
-    "text_fingerprint",
-    "text_tokens",
-    "dedup_exact",
-    "dedup_minhash",
-    "dedup_simhash",
-    "sim_topk_brute",
-    "sim_topk_ivf",
-    "multimodal_meta",
-    "multimodal_features",
+    # (b) never driver-gated under their current (consolidated) names
+    "extra_windows",
+    "extra_set_ops",
+    "extra_grouping",
+    "extra_stats",
+    "extra_string_aggs",
+    "extra_pivot_json",
+    # (c) r3-green, unchanged code, rows now two rounds stale
+    "q5",
+    "q6",
+    "q7",
+    "q8",
+    "q9",
+    "q10",
+    "q11",
+    "q12",
+    "q13",
+    "q14",
+    "q15",
+    "q16",
+    "q17",
+    "q18",
+    "q19",
+    "q20",
+    "q21",
+    "q22",
+    "micro_grouped_sum",
+    "micro_sort",
+    "micro_topk",
+    "micro_regex",
+    "micro_join2",
+    "micro_join3",
+    "micro_scalar_fns",
+    "extra_string_fns",
+    "extra_date_fns",
+    "extra_full_outer",
+    "extra_recursive_walk",
 ]
 
 
