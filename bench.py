@@ -130,13 +130,39 @@ def main() -> int:
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     total = round(sum(ok.values()), 3)
-    # Field order matters: the driver captures the TAIL of stdout, and the
-    # per-query dicts are the only unbounded part of this line — emit them
-    # FIRST so the scalar headline fields (metric/value/n_failed) always
-    # survive truncation (round-3 verdict finding #3: BENCH_r03 lost
-    # "value" because "queries" grew past the capture window).
+    # The driver captures only the TAIL of stdout (~2000 chars) and
+    # parses the line it finds there — BENCH_r03/r04 both lost the
+    # parse because the full 87-entry per-query dict pushed the line
+    # past the window (round-4 verdict task #4). Keep the LINE small
+    # enough to always parse: 2-decimal timings, only the slowest
+    # BENCH_LINE_TOPK queries plus every failure inline, and the full
+    # 3-decimal map in a committed sidecar (BENCH_FULL.json) next to
+    # this script. Per-query dict still precedes the scalars so the
+    # headline survives even if the window ever shrinks again.
+    topk = int(os.environ.get("SPARK_GRAFT_BENCH_LINE_TOPK", "20"))
+    slowest = dict(
+        sorted(ok.items(), key=lambda kv: kv[1], reverse=True)[:topk]
+    )
+    line_queries = {
+        k: round(v, 2) if v >= 0 else v
+        for k, v in timings.items()
+        if k in slowest or v < 0
+    }
+    with open(
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+        ),
+        "w",
+    ) as f:
+        json.dump(
+            {"queries": timings, "sf": sf, "cpus": cpus, "value": total},
+            f,
+            indent=1,
+            sort_keys=True,
+        )
     out = {
-        "queries": timings,
+        "queries": line_queries,
+        "queries_full": "BENCH_FULL.json",
         "metric": "query_corpus_total_wall",
         "value": total,
         "unit": "sec",
@@ -212,8 +238,9 @@ def main() -> int:
                          artifact), "w"
         ) as f:
             json.dump(side, f, indent=1, sort_keys=True)
-        # headline scalars ride the stdout tail too
-        out = {"duckdb_queries": duck, **out,
+        # headline scalars ride the stdout tail; the full per-query
+        # comparison lives in the committed artifact, never the line
+        out = {**out,
                "duckdb_value": duck_total,
                "spark_comparable_value": spark_comparable}
 
