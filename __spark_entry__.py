@@ -83,6 +83,10 @@ _GATE_PRIORITY = [
     "corpus_mix_weights",
     "sample_pack_sequences",
     "text_lm_score",
+    # (a') rewritten in r5 after their r4-green row (nullif zero-token
+    # guards, round-4 ADVICE) — re-certify the shipped code
+    "text_stats",
+    "text_gopher_flags",
     # (b) never driver-gated under their current (consolidated) names
     "extra_windows",
     "extra_set_ops",

@@ -291,13 +291,21 @@ def _rewrite_qualify(sql: str) -> str:
 
 # DuckDB star sugar: `* EXCLUDE (a, b)` ≡ Spark's `* EXCEPT (a, b)`
 _EXCLUDE_RE = re.compile(r"(\*\s+)EXCLUDE(\s*\()", re.IGNORECASE)
-_QUOTED_SPAN_RE = re.compile(r"'(?:[^']|'')*'|\"[^\"]*\"")
+# Skip spans the rewrite must never see: string literals, quoted
+# identifiers, AND -- / /* */ comments. Comments must be matched here
+# too (round-4 ADVICE): an apostrophe inside "-- don't" would otherwise
+# open a phantom string literal and desync every span after it.
+_QUOTED_SPAN_RE = re.compile(
+    r"'(?:[^']|'')*'|\"[^\"]*\"|--[^\n]*|/\*.*?\*/", re.DOTALL
+)
 
 
 def _sub_outside_quotes(pattern: re.Pattern, repl: str, sql: str) -> str:
     """Apply pattern.sub only to the segments of `sql` that lie outside
-    single-quoted literals and double-quoted identifiers, so a literal
-    like '* EXCLUDE (' is never rewritten (round-3 ADVICE)."""
+    single-quoted literals, double-quoted identifiers, and SQL comments,
+    so a literal like '* EXCLUDE (' is never rewritten and a stray
+    apostrophe in a comment never desyncs the span tracking (round-3 +
+    round-4 ADVICE)."""
     out: list[str] = []
     pos = 0
     for m in _QUOTED_SPAN_RE.finditer(sql):

@@ -69,15 +69,20 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(t, lambda x: x.isin(*sw))).alias("n_stop"),
         F.length("text").alias("n_chars"),
     )
-    ttr = F.col("n_distinct").cast("double") / F.col("n_tokens")
-    swr = F.col("n_stop").cast("double") / F.col("n_tokens")
+    # nullif-guarded denominators (round-4 ADVICE): a zero-token doc
+    # must yield NULL ratios in BOTH engines — Spark's x/0 is NaN/Inf
+    # (and NaN sorts ABOVE every double) while DuckDB list_sum of an
+    # empty list is already NULL; nullif makes the two sides agree.
+    ntok = F.nullif(F.col("n_tokens"), F.lit(0))
+    ttr = F.col("n_distinct").cast("double") / ntok
+    swr = F.col("n_stop").cast("double") / ntok
     return d.select(
         "doc_id",
         "n_tokens",
         "n_distinct",
         "n_chars",
         ttr.alias("ttr"),
-        (F.col("char_sum").cast("double") / F.col("n_tokens")).alias(
+        (F.col("char_sum").cast("double") / ntok).alias(
             "avg_token_len"
         ),
         swr.alias("stopword_ratio"),
@@ -101,12 +106,13 @@ with d as (
          length(text) n_chars
   from documents)
 select doc_id, n_tokens, n_distinct, n_chars,
-       cast(n_distinct as double) / n_tokens as ttr,
-       cast(char_sum as double) / n_tokens as avg_token_len,
-       cast(n_stop as double) / n_tokens as stopword_ratio,
-       0.3 * (cast(n_distinct as double) / n_tokens)
+       cast(n_distinct as double) / nullif(n_tokens, 0) as ttr,
+       cast(char_sum as double) / nullif(n_tokens, 0) as avg_token_len,
+       cast(n_stop as double) / nullif(n_tokens, 0) as stopword_ratio,
+       0.3 * (cast(n_distinct as double) / nullif(n_tokens, 0))
          + 0.4 * least(1.0, cast(n_tokens as double) / 50.0)
-         + 0.3 * (1.0 - cast(n_stop as double) / n_tokens) as quality
+         + 0.3 * (1.0 - cast(n_stop as double) / nullif(n_tokens, 0))
+         as quality
 from d
 """
 
@@ -528,9 +534,14 @@ def text_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[#$%^*=~|]"), 0))
         .alias("n_symbols"),
     )
-    mean_len = F.col("char_sum").cast("double") / F.col("n_tokens")
-    sym_ratio = F.col("n_symbols").cast("double") / F.col("n_tokens")
-    alpha_ratio = F.col("n_alpha").cast("double") / F.col("n_tokens")
+    # nullif-guarded like text_stats: zero-token docs → NULL ratios in
+    # both engines (Spark x/0 is NaN/Inf, which would silently flip the
+    # flag comparisons); ok_count is False for such docs so `keep`
+    # stays False under three-valued AND in both engines.
+    ntok = F.nullif(F.col("n_tokens"), F.lit(0))
+    mean_len = F.col("char_sum").cast("double") / ntok
+    sym_ratio = F.col("n_symbols").cast("double") / ntok
+    alpha_ratio = F.col("n_alpha").cast("double") / ntok
     flags = {
         "ok_count": (F.col("n_tokens") >= GOPHER_MIN_TOKENS)
         & (F.col("n_tokens") <= GOPHER_MAX_TOKENS),
@@ -562,20 +573,27 @@ with d as (
 select doc_id,
        n_tokens >= {GOPHER_MIN_TOKENS}
          and n_tokens <= {GOPHER_MAX_TOKENS} ok_count,
-       cast(char_sum as double) / n_tokens >= {GOPHER_WORD_LEN_LO}
-         and cast(char_sum as double) / n_tokens <= {GOPHER_WORD_LEN_HI}
+       cast(char_sum as double) / nullif(n_tokens, 0)
+           >= {GOPHER_WORD_LEN_LO}
+         and cast(char_sum as double) / nullif(n_tokens, 0)
+           <= {GOPHER_WORD_LEN_HI}
          ok_word_len,
-       cast(n_symbols as double) / n_tokens <= {GOPHER_MAX_SYMBOL_RATIO}
+       cast(n_symbols as double) / nullif(n_tokens, 0)
+           <= {GOPHER_MAX_SYMBOL_RATIO}
          ok_symbols,
-       cast(n_alpha as double) / n_tokens >= {GOPHER_MIN_ALPHA_RATIO}
+       cast(n_alpha as double) / nullif(n_tokens, 0)
+           >= {GOPHER_MIN_ALPHA_RATIO}
          ok_alpha,
        (n_tokens >= {GOPHER_MIN_TOKENS}
          and n_tokens <= {GOPHER_MAX_TOKENS})
-         and (cast(char_sum as double) / n_tokens >= {GOPHER_WORD_LEN_LO}
-              and cast(char_sum as double) / n_tokens <= {GOPHER_WORD_LEN_HI})
-         and (cast(n_symbols as double) / n_tokens
+         and (cast(char_sum as double) / nullif(n_tokens, 0)
+                >= {GOPHER_WORD_LEN_LO}
+              and cast(char_sum as double) / nullif(n_tokens, 0)
+                <= {GOPHER_WORD_LEN_HI})
+         and (cast(n_symbols as double) / nullif(n_tokens, 0)
               <= {GOPHER_MAX_SYMBOL_RATIO})
-         and (cast(n_alpha as double) / n_tokens >= {GOPHER_MIN_ALPHA_RATIO})
+         and (cast(n_alpha as double) / nullif(n_tokens, 0)
+              >= {GOPHER_MIN_ALPHA_RATIO})
          keep
 from d
 """

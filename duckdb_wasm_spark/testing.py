@@ -33,7 +33,13 @@ def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
         if str(dt).startswith("datetime64"):
             pdf[c] = pdf[c].astype("datetime64[us]").astype(str)
         elif dt == object:
-            pdf[c] = pdf[c].map(lambda v: "<null>" if v is None else str(v))
+            # a null in an object column arrives as None from Spark but
+            # as float NaN from DuckDB (e.g. a NULL boolean) — same value
+            pdf[c] = pdf[c].map(
+                lambda v: "<null>"
+                if v is None or (isinstance(v, float) and v != v)
+                else str(v)
+            )
     if len(pdf.columns):
         pdf = pdf.sort_values(
             by=list(pdf.columns), kind="mergesort", na_position="last"

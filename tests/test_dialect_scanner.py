@@ -56,3 +56,40 @@ def test_exclude_rewrite_skips_literals(filler):
     out = _sub_outside_quotes(_EXCLUDE_RE, r"\1EXCEPT\2", sql)
     assert lit in out  # literal untouched
     assert out.startswith("select * EXCEPT (a)")  # real sugar rewritten
+
+
+# ---- round-4 ADVICE: comment spans must not desync the quote tracker
+
+
+def test_comment_apostrophe_does_not_desync_exclude_rewrite():
+    """An apostrophe inside a -- comment used to open a phantom string
+    literal, so the NEXT '* EXCLUDE (' string literal was rewritten
+    and real star sugar after it was left alone (round-4 ADVICE)."""
+    sql = (
+        "select * EXCLUDE (a), -- don't touch\n"
+        "'* EXCLUDE (x)' as s, * EXCLUDE (b) from t"
+    )
+    out = _sub_outside_quotes(_EXCLUDE_RE, r"\1EXCEPT\2", sql)
+    assert "'* EXCLUDE (x)'" in out  # literal untouched
+    assert out.count("EXCEPT") == 2  # both real sugars rewritten
+    assert "-- don't touch" in out  # comment passed through verbatim
+
+
+def test_block_comment_apostrophe_does_not_desync():
+    sql = "select /* can't */ '* EXCLUDE (y)' as s, * EXCLUDE (c) from t"
+    out = _sub_outside_quotes(_EXCLUDE_RE, r"\1EXCEPT\2", sql)
+    assert "'* EXCLUDE (y)'" in out
+    assert out.count("EXCEPT") == 1
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.from_regex(r"-- [a-z ]{0,6}'[a-z ]{0,6}\n", fullmatch=True),
+    st.from_regex(r"/\* [a-z]{0,4}'[a-z]{0,4} \*/", fullmatch=True),
+)
+def test_comment_quotes_never_shift_spans(line_c, block_c):
+    lit = "'* EXCLUDE (z)'"
+    sql = f"select {line_c} {lit} as s, {block_c} * EXCLUDE (d) from t"
+    out = _sub_outside_quotes(_EXCLUDE_RE, r"\1EXCEPT\2", sql)
+    assert lit in out
+    assert out.count("EXCEPT") == 1

@@ -188,3 +188,39 @@ def test_ngram_helpers_edge_lengths(spark):
             [t],
         ).fetchone()[0]
         assert got == rows[i].g5, f"text={t!r}"
+
+
+def test_zero_token_doc_ratio_parity(spark, tmp_path):
+    """Round-4 ADVICE: a zero-token document must yield NULL ratios in
+    BOTH engines — Spark's x/0 is NaN/Inf (NaN sorts above every
+    double) while DuckDB raw division differs and list_sum of an empty
+    list is NULL. The nullif guards make text_stats and
+    text_gopher_flags agree on empty/whitespace-only docs, which the
+    driver's testdata does not currently contain."""
+    import duckdb
+    import pandas as pd
+
+    from duckdb_wasm_spark.operators import text
+    from duckdb_wasm_spark.testing import assert_parity
+
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["hello world the hello", "", "   \t  "],
+            "lang": ["en", "en", "en"],
+            "source": ["a", "a", "a"],
+            "n_chars": [21, 0, 6],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    for name in ("text_stats", "text_gopher_flags"):
+        assert_parity(
+            text.QUERIES[name](spark, str(tmp_path)),
+            text.ORACLE[name],
+            con,
+            f"{name}_zero_token",
+        )
