@@ -6,6 +6,13 @@ deterministic, but not reproducible in DuckDB SQL), so no oracle —
 the hand-rolled md5-based variants in operators/dedup.py carry the
 exact-oracle coverage for the same algorithm families.
 
+"Rows-only" is still a CHECKED claim (round-4 verdict task #7):
+tests/test_operators.py::test_dedup_minhash_ml_matches_exact_jaccard
+compares the seed-pinned ML pair set against the exact trigram-shingle
+Jaccard ground truth — full recall above the threshold band, no
+below-threshold pairs, reported similarity within HashingTF-collision
+distance (≤0.05) of exact.
+
 Scale notes: both are the classic banded-LSH candidate joins under the
 hood (approxSimilarityJoin explodes hash bands and equi-joins on
 bucket), so cost follows collisions, not n². Fit is a metadata-only

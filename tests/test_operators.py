@@ -224,3 +224,48 @@ def test_zero_token_doc_ratio_parity(spark, tmp_path):
             con,
             f"{name}_zero_token",
         )
+
+
+def test_dedup_minhash_ml_matches_exact_jaccard(spark, sf_dir):
+    """Certify the rows-only (no_oracle) dedup_minhash_ml numerically
+    (round-4 verdict task #7): against the exact trigram-shingle
+    Jaccard ground truth computed from the same tokenizer, the
+    seed-pinned Spark-ML pair set must have FULL recall on pairs
+    comfortably above the 0.2 similarity threshold, no pair below
+    threshold-with-slack (precision), and report similarities within
+    HashingTF-collision distance of exact."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from duckdb_wasm_spark.operators import ml_lsh
+    from duckdb_wasm_spark.operators._text import toks, trigrams
+    from duckdb_wasm_spark.tables import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("_t", toks())
+        .select("doc_id", trigrams(F.col("_t")).alias("sh"))
+    )
+    sets = {r.doc_id: set(r.sh) for r in docs.collect()}
+    exact = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        u = sets[a] | sets[b]
+        if u:
+            exact[(a, b)] = len(sets[a] & sets[b]) / len(u)
+
+    ml = {
+        (r.doc_a, r.doc_b): 1.0 - r.jaccard_dist
+        for r in ml_lsh.QUERIES["dedup_minhash_ml"](spark, sf_dir).collect()
+    }
+
+    # recall: every pair well above the 0.2 boundary must be found
+    high = {p for p, j in exact.items() if j > 0.3}
+    assert high <= set(ml), f"missed high-similarity pairs: {high - set(ml)}"
+    # precision: nothing below the boundary minus collision slack
+    low = [(p, exact.get(p, 0.0)) for p in ml if exact.get(p, 0.0) < 0.15]
+    assert not low, f"pairs below threshold-with-slack: {low}"
+    # reported similarity tracks exact Jaccard up to HashingTF collisions
+    drift = {p: abs(s - exact[p]) for p, s in ml.items() if p in exact}
+    worst = max(drift.values(), default=0.0)
+    assert worst <= 0.05, f"similarity drift vs exact Jaccard: {worst}"
