@@ -94,6 +94,10 @@ _GATE_PRIORITY = [
     "extra_stats",
     "extra_string_aggs",
     "extra_pivot_json",
+    # (a'') new operators added in r5 — never gated
+    "doc_chunking",
+    "corpus_length_quantiles",
+    "text_dup_spans",
     # (c) r3-green, unchanged code, rows now two rounds stale
     "q5",
     "q6",

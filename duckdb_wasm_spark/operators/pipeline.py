@@ -513,3 +513,126 @@ select lang, seq_id, count(*) n_docs,
 from placed
 group by lang, seq_id
 """
+
+
+# ----------------------------------------------------------- doc_chunking
+CHUNK_LEN = 64  # tokens per training/embedding chunk
+CHUNK_STRIDE = 48  # chunk start stride (CHUNK_LEN - CHUNK_STRIDE overlap)
+
+
+@_q("doc_chunking")
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: cut each document's token
+    stream into CHUNK_LEN-token windows every CHUNK_STRIDE tokens (16
+    tokens of overlap) — the standard context-window chunking step
+    before embedding or long-context training. Output is the chunk
+    manifest (id, 1-based token start, length, text).
+
+    Determinism: pure integer arithmetic + string joins, no floats.
+
+    Scale (100 TB): one narrow projection + one explode — a ~n/stride
+    row expansion with NO shuffle anywhere; chunking streams through
+    the scan. The token array is materialized in a projection BEFORE
+    the explode so the tokenizer runs once per document, not once per
+    chunk (the explode-projection re-evaluation trap documented in
+    text_repetition)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = toks()
+    base = docs.select("doc_id", t.alias("t"), F.size(t).alias("n"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("n") - 1, F.lit(0)), F.lit(CHUNK_STRIDE)
+    )
+    ch = base.select("doc_id", "t", F.posexplode(starts).alias("chunk_id", "start"))
+    chunk = F.slice(F.col("t"), F.col("start") + 1, CHUNK_LEN)
+    return ch.select(
+        "doc_id",
+        "chunk_id",
+        (F.col("start") + 1).alias("chunk_start"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+ORACLE["doc_chunking"] = f"""
+with base as (
+  select doc_id, {sql_toks('text')} t, len({sql_toks('text')}) n
+  from documents),
+ch as (
+  select doc_id, t,
+         unnest(range(0, greatest(n, 1), {CHUNK_STRIDE})) st
+  from base)
+select doc_id,
+       st // {CHUNK_STRIDE} chunk_id,
+       st + 1 chunk_start,
+       len(t[st + 1 : st + {CHUNK_LEN}]) n_chunk_tokens,
+       array_to_string(t[st + 1 : st + {CHUNK_LEN}], ' ') chunk_text
+from ch
+"""
+
+
+# ------------------------------------------------- corpus_length_quantiles
+# percentile_disc ranks as exact integer fractions (numerator,
+# denominator): rank = ceil(p·n) = (num·n + den − 1) div den — no float
+# literal ever touches the computation (DuckDB parses 0.9 as DECIMAL
+# while a Python 0.9 is a double; integer arithmetic sidesteps the
+# mismatch entirely).
+QUANTILES = (("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p90", 9, 10))
+
+
+@_q("corpus_length_quantiles")
+def corpus_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language exact token-count percentiles (percentile_disc
+    semantics: the value at rank ceil(p·n), ties broken by doc_id) —
+    the length-distribution audit run before choosing chunk/sequence
+    sizes for a training mix. Discrete ranks keep everything integer →
+    bit-identical across engines (no interpolation float math).
+
+    Scale (100 TB): one window sort per language partition + one hash
+    aggregate — same single-shuffle shape as sample_balanced; a skewed
+    language sort-spills, nothing collects."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(toks()).alias("n_tokens")
+    )
+    w = Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
+    cw = Window.partitionBy("lang")
+    r = docs.select(
+        "lang",
+        "n_tokens",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cw).alias("n"),
+    )
+    picks = [
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.expr(f"({num} * n + {den - 1}) div {den}"),
+                F.col("n_tokens"),
+            )
+        ).alias(f"{label}_tokens")
+        for label, num, den in QUANTILES
+    ]
+    return r.groupBy("lang").agg(F.max("n").alias("n_docs"), *picks)
+
+
+_SQL_QUANTILE_PICKS = ",\n       ".join(
+    f"max(case when rn = ({num} * n + {den - 1}) // {den} "
+    f"then n_tokens end) {label}_tokens"
+    for label, num, den in QUANTILES
+)
+
+ORACLE["corpus_length_quantiles"] = f"""
+with d as (
+  select doc_id, lang, len({sql_toks('text')}) n_tokens from documents),
+r as (
+  select lang, n_tokens,
+         row_number() over (partition by lang
+                            order by n_tokens, doc_id) rn,
+         count(*) over (partition by lang) n
+  from d)
+select lang, max(n) n_docs,
+       {_SQL_QUANTILE_PICKS}
+from r
+group by lang
+"""

@@ -27,7 +27,9 @@ from pyspark.sql import functions as F
 from duckdb_wasm_spark.operators._text import (
     STOPWORDS,
     bigrams,
+    ngrams,
     sql_bigrams,
+    sql_ngrams,
     sql_str_list,
     sql_toks,
     sql_trigrams,
@@ -704,5 +706,68 @@ scored as (
 select doc_id, cast(sum(k) as bigint) n_bigrams,
        cast(sum(cast(kp as decimal(28,12))) as double) / sum(k) avg_prob
 from scored
+group by doc_id
+"""
+
+
+# -------------------------------------------------------- text_dup_spans
+DUP_SPAN_N = 8  # span width (tokens): long enough to mean real reuse
+
+
+@_q("text_dup_spans")
+def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span fraction per document: the share of a document's
+    distinct 8-gram shingles that also appear in at least one OTHER
+    document — the Gopher/RefinedWeb "duplicated n-gram fraction"
+    signal used to drop boilerplate-heavy documents that survive
+    whole-document dedup.
+
+    Determinism: integer counts; the single division is one IEEE op on
+    integer-derived doubles, rounded to 12 decimals (policy of
+    corpus_mix_weights).
+
+    Scale (100 TB): identical shape to text_tfidf_topk's df pass — one
+    explode into a count-over-window by gram (hash-partitioned,
+    combining), then one hash aggregate back to doc_id; cost follows
+    total shingle volume, never pairs. Since shingles are DISTINCT per
+    doc, the window count IS the document frequency."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id", F.explode(ngrams(toks(), DUP_SPAN_N)).alias("gram")
+    )
+    dfw = Window.partitionBy("gram")
+    per = g.withColumn("df", F.count(F.lit(1)).over(dfw))
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("df") >= 2).cast("int")).alias("n_dup_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            F.round(
+                F.col("n_dup_spans").cast("double")
+                / F.nullif(F.col("n_spans"), F.lit(0)).cast("double"),
+                12,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+ORACLE["text_dup_spans"] = f"""
+with g as (
+  select doc_id, unnest({sql_ngrams(sql_toks('text'), DUP_SPAN_N)}) gram
+  from documents),
+d as (
+  select doc_id, count(*) over (partition by gram) df from g)
+select doc_id, count(*) n_spans,
+       cast(sum(case when df >= 2 then 1 else 0 end) as bigint) n_dup_spans,
+       round(cast(sum(case when df >= 2 then 1 else 0 end) as double)
+             / nullif(count(*), 0), 12) dup_frac
+from d
 group by doc_id
 """
