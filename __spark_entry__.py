@@ -98,6 +98,7 @@ _GATE_PRIORITY = [
     "doc_chunking",
     "corpus_length_quantiles",
     "text_dup_spans",
+    "sim_topk_ivf_probe",
     # (c) r3-green, unchanged code, rows now two rounds stale
     "q5",
     "q6",

@@ -319,6 +319,109 @@ where rank <= {TOP_K}
 """
 
 
+# ---------------------------------------------------- sim_topk_ivf_probe
+N_PROBE = 2  # cells each query probes (neighbors stay in their 1 cell)
+
+
+@_q("sim_topk_ivf_probe")
+def sim_topk_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF ANN: database vectors live in their single
+    nearest cell exactly as sim_topk_ivf, but each panel query searches
+    its N_PROBE nearest cells — the standard nprobe recall/cost knob
+    (recall approaches brute force as nprobe → C while scan cost stays
+    nprobe/C of the corpus). A (query, neighbor) pair cannot duplicate
+    across probes: the neighbor occupies exactly one cell.
+
+    Scale: identical shape to sim_topk_ivf — broadcast centroids, one
+    row_number window over the C-way assignment fan-out, cell-local
+    equi-join; the only delta is the q side carrying nprobe rows per
+    query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    normed = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    cent = normed.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("ec"),
+        F.col("nrm").alias("nc"),
+    )
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.col("c_sim").desc(), F.col("c_id").asc()
+    )
+    ranked = (
+        normed.join(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            "c_id",
+            (
+                dot_fold(F.col("embedding"), F.col("ec"))
+                / (F.col("nrm") * F.col("nc"))
+            ).alias("c_sim"),
+        )
+        .withColumn("arn", F.row_number().over(aw))
+    )
+    n = ranked.where(F.col("arn") == 1).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("en"),
+        F.col("nrm").alias("nn"), F.col("c_id").alias("cell"),
+    )
+    q = ranked.where(
+        (F.col("arn") <= N_PROBE) & (F.col("vec_id") < N_QUERIES)
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq"),
+        F.col("nrm").alias("nq"), F.col("c_id").alias("cell"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        q.join(n, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot_fold(F.col("eq"), F.col("en")) / (F.col("nq") * F.col("nn")))
+            .alias("sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+ORACLE["sim_topk_ivf_probe"] = f"""
+with normed as (
+  select vec_id, embedding,
+         sqrt({sql_dot('embedding', 'embedding')}) nrm
+  from embeddings),
+cent as (select vec_id c_id, embedding ec, nrm nc from normed
+         where vec_id < {N_CENTROIDS}),
+ranked_cells as (
+  select e.vec_id, e.embedding, e.nrm, c.c_id cell,
+         row_number() over (
+           partition by e.vec_id
+           order by {sql_dot('e.embedding', 'c.ec')} / (e.nrm * c.nc) desc,
+                    c.c_id asc) arn
+  from normed e, cent c),
+n as (select vec_id neighbor_id, embedding en, nrm nn, cell
+      from ranked_cells where arn = 1),
+q as (select vec_id query_id, embedding eq, nrm nq, cell
+      from ranked_cells where arn <= {N_PROBE} and vec_id < {N_QUERIES}),
+sims as (
+  select query_id, neighbor_id, {sql_dot('eq', 'en')} / (nq * nn) sim
+  from q join n using (cell)
+  where query_id <> neighbor_id),
+ranked as (
+  select *, row_number() over (partition by query_id
+                               order by sim desc, neighbor_id asc) rank
+  from sims)
+select query_id, neighbor_id, rank, sim from ranked
+where rank <= {TOP_K}
+"""
+
+
 # --------------------------------------------------- embed_quantize_int8
 @_q("embed_quantize_int8")
 def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
