@@ -99,6 +99,7 @@ _GATE_PRIORITY = [
     "corpus_length_quantiles",
     "text_dup_spans",
     "sim_topk_ivf_probe",
+    "ivf_centroid_refine",
     # (c) r3-green, unchanged code, rows now two rounds stale
     "q5",
     "q6",

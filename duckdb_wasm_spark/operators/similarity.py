@@ -422,6 +422,102 @@ where rank <= {TOP_K}
 """
 
 
+# --------------------------------------------------- ivf_centroid_refine
+@_q("ivf_centroid_refine")
+def ivf_centroid_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact Lloyd iteration for the IVF coarse quantizer: assign
+    every vector to its nearest seed centroid (identical rule to
+    sim_topk_ivf), then recompute each cell's centroid as the exact
+    member mean — the k-means training step real IVF deployments run
+    offline (here one deterministic, oracle-checkable iteration).
+    Output is the refined per-(cell, component) mean plus member count.
+
+    Determinism: the embed_centroid_outliers trick — a distributed
+    double mean is partition-order-dependent, so components accumulate
+    in 2^20-scaled bigint fixed point (exact, associative); the final
+    s/n/2^20 is two correctly-rounded IEEE divisions.
+
+    Scale: broadcast seed centroids → narrow assignment map →
+    posexplode → ONE (cell, pos) hash aggregate (map-side combining;
+    C×64 output rows regardless of corpus size). Iterating = re-running
+    with the 512-row refined frame broadcast back: no shuffle grows
+    with iterations."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    normed = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    cent = normed.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("ec"),
+        F.col("nrm").alias("nc"),
+    )
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.col("c_sim").desc(), F.col("c_id").asc()
+    )
+    assigned = (
+        normed.join(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            "c_id",
+            (
+                dot_fold(F.col("embedding"), F.col("ec"))
+                / (F.col("nrm") * F.col("nc"))
+            ).alias("c_sim"),
+        )
+        .withColumn("arn", F.row_number().over(aw))
+        .where(F.col("arn") == 1)
+        .select("vec_id", "embedding", F.col("c_id").alias("cell"))
+    )
+    comp = assigned.select(
+        "cell", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "cell",
+        "pos",
+        F.floor(F.col("v").cast("double") * _FP_SCALE).alias("sv"),
+    )
+    return comp.groupBy("cell", "pos").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        (
+            F.sum("sv").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(float(_FP_SCALE))
+        ).alias("c_refined"),
+    )
+
+
+ORACLE["ivf_centroid_refine"] = f"""
+with normed as (
+  select vec_id, embedding,
+         sqrt({sql_dot('embedding', 'embedding')}) nrm
+  from embeddings),
+cent as (select vec_id c_id, embedding ec, nrm nc from normed
+         where vec_id < {N_CENTROIDS}),
+assigned as (
+  select vec_id, embedding, cell from (
+    select e.vec_id, e.embedding, c.c_id cell,
+           row_number() over (
+             partition by e.vec_id
+             order by {sql_dot('e.embedding', 'c.ec')} / (e.nrm * c.nc) desc,
+                      c.c_id asc) arn
+    from normed e, cent c)
+  where arn = 1),
+comp as (
+  select cell, pos - 1 pos,
+         cast(floor(cast(v as double) * {_FP_SCALE}) as bigint) sv
+  from (select cell, unnest(embedding) v,
+               generate_subscripts(embedding, 1) pos
+        from assigned))
+select cell, pos, count(*) n_members,
+       cast(sum(sv) as double) / cast(count(*) as double)
+         / {float(_FP_SCALE)} c_refined
+from comp
+group by cell, pos
+"""
+
+
 # --------------------------------------------------- embed_quantize_int8
 @_q("embed_quantize_int8")
 def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
