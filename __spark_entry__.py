@@ -100,6 +100,7 @@ _GATE_PRIORITY = [
     "text_dup_spans",
     "sim_topk_ivf_probe",
     "ivf_centroid_refine",
+    "decontaminate_semantic",
     # (c) r3-green, unchanged code, rows now two rounds stale
     "q5",
     "q6",

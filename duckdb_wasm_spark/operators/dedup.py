@@ -956,11 +956,12 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _emb_lsh_sql_parts() -> tuple[str, str]:
-    """(ctes, final_select) so the clusters oracle can reuse the pair
-    pipeline inside its own recursive CTE."""
+def _emb_lsh_sql_prefix() -> str:
+    """CTE chain up to `we` (per-vector band keys + embedding + norm) —
+    shared by the pair oracle, the clusters oracle, and the semantic
+    decontamination oracle."""
     w = SQL_PLANE_W.format(p="p", d="d")
-    ctes = f"""
+    return f"""
 with planes as (
   select p, list_transform(range(0, {EMB_DIM}), d -> {w}) w
   from (select unnest(range(0, {N_PLANES})) p)),
@@ -976,7 +977,13 @@ normed as (
   select vec_id, embedding, sqrt({sql_dot('embedding', 'embedding')}) nrm
   from embeddings),
 we as (select b.*, e.embedding, e.nrm
-       from bands b join normed e using (vec_id)),
+       from bands b join normed e using (vec_id))"""
+
+
+def _emb_lsh_sql_parts() -> tuple[str, str]:
+    """(ctes, final_select) so the clusters oracle can reuse the pair
+    pipeline inside its own recursive CTE."""
+    ctes = _emb_lsh_sql_prefix() + f""",
 cand as (
   select distinct a.vec_id a_id, b.vec_id b_id,
          a.embedding ea, b.embedding eb, a.nrm norm_a, b.nrm norm_b
@@ -1053,3 +1060,96 @@ group by a
 
 
 ORACLE["dedup_embedding_clusters"] = _emb_clusters_sql()
+
+
+# ---------------------------------------------- decontaminate_semantic
+SEM_EVAL_MOD = 20  # held-out split: vec_id % SEM_EVAL_MOD == 0
+SEM_COS_THRESHOLD = COS_THRESHOLD  # contamination = LSH near-dup cosine
+
+
+@_q("decontaminate_semantic")
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag TRAINING vectors
+    whose cosine to any held-out ("benchmark") vector reaches
+    SEM_COS_THRESHOLD — the semantic complement of the 5-gram overlap
+    check (decontaminate_ngram catches verbatim leaks; this catches
+    paraphrases that share no shingles). The held-out split is the
+    deterministic vec_id % SEM_EVAL_MOD == 0 slice, mirroring the
+    n-gram variant.
+
+    Candidates come from the SAME hyperplane band buckets as
+    dedup_embedding_lsh (recall bounded by the LSH family exactly as
+    there; the oracle reproduces the identical approximation), so cost
+    follows bucket collisions, never |train|·|eval|. The eval side is
+    tiny relative to the corpus (that is the point of the check) and is
+    broadcast: the train-side signatures never shuffle. Verification is
+    one vectorized pair dot per candidate over precomputed norms."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pair_dot(ea: pd.Series, eb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(ea) == 0:
+            return pd.Series([], dtype=np.float64)
+        A = np.stack(ea.to_numpy()).astype(np.float64)
+        B = np.stack(eb.to_numpy()).astype(np.float64)
+        return pd.Series(_columnar_fold_dot(A, B))
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sigs = _emb_signatures(emb)
+    ev = sigs.where(F.col("vec_id") % SEM_EVAL_MOD == 0).select(
+        F.col("vec_id").alias("eval_id"), F.col("norm").alias("norm_e"),
+        "band", "band_val",
+    )
+    tr = sigs.where(F.col("vec_id") % SEM_EVAL_MOD != 0).select(
+        F.col("vec_id").alias("train_id"), F.col("norm").alias("norm_t"),
+        "band", "band_val",
+    )
+    cand = (
+        tr.join(F.broadcast(ev), ["band", "band_val"])
+        .dropDuplicates(["train_id", "eval_id"])
+        .select("train_id", "eval_id", "norm_t", "norm_e")
+    )
+    et = emb.select(
+        F.col("vec_id").alias("train_id"), F.col("embedding").alias("et")
+    )
+    ee = emb.select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("ee")
+    )
+    return (
+        cand.join(et, "train_id")
+        .join(F.broadcast(ee), "eval_id")
+        .withColumn(
+            "sim",
+            pair_dot(F.col("et"), F.col("ee"))
+            / (F.col("norm_t") * F.col("norm_e")),
+        )
+        .where(F.col("sim") >= SEM_COS_THRESHOLD)
+        .groupBy("train_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_matches"),
+            F.max("sim").alias("max_sim"),
+        )
+    )
+
+
+ORACLE["decontaminate_semantic"] = _emb_lsh_sql_prefix() + f""",
+ev as (select vec_id eval_id, embedding ee, nrm norm_e, band, band_val
+       from we where vec_id % {SEM_EVAL_MOD} = 0),
+tr as (select vec_id train_id, embedding et, nrm norm_t, band, band_val
+       from we where vec_id % {SEM_EVAL_MOD} != 0),
+cand as (
+  select distinct train_id, eval_id, et, ee, norm_t, norm_e
+  from tr join ev using (band, band_val)),
+hits as (
+  select train_id, eval_id,
+         {sql_dot('et', 'ee')} / (norm_t * norm_e) sim
+  from cand
+  where {sql_dot('et', 'ee')} / (norm_t * norm_e)
+        >= {SEM_COS_THRESHOLD})
+select train_id, count(*) n_eval_matches, max(sim) max_sim
+from hits
+group by train_id
+"""
