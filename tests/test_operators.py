@@ -4,6 +4,7 @@ express (LSH recall ⊆ exact, stub contracts)."""
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from duckdb_wasm_spark.operators import dedup, multimodal, registry
 from duckdb_wasm_spark.testing import assert_parity
@@ -269,3 +270,81 @@ def test_dedup_minhash_ml_matches_exact_jaccard(spark, sf_dir):
     drift = {p: abs(s - exact[p]) for p, s in ml.items() if p in exact}
     worst = max(drift.values(), default=0.0)
     assert worst <= 0.05, f"similarity drift vs exact Jaccard: {worst}"
+
+
+def test_doc_chunking_invariants(spark, sf_dir):
+    """Structural invariants of the chunk manifest, independent of the
+    oracle: starts advance by exactly CHUNK_STRIDE, every token of a
+    document is covered by some chunk, only the final chunk may be
+    short, and overlapping chunks share CHUNK_LEN - CHUNK_STRIDE
+    tokens."""
+    from duckdb_wasm_spark.operators import pipeline
+    from duckdb_wasm_spark.operators._text import toks
+    from duckdb_wasm_spark.tables import load_table
+
+    n_by_doc = {
+        r.doc_id: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(toks()).alias("n"))
+        .collect()
+    }
+    rows = pipeline.QUERIES["doc_chunking"](spark, sf_dir).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(n_by_doc)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        n = n_by_doc[doc_id]
+        assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+        for c in chunks:
+            assert c.chunk_start == c.chunk_id * pipeline.CHUNK_STRIDE + 1
+        # full coverage: last chunk reaches the last token
+        last = chunks[-1]
+        assert last.chunk_start + last.n_chunk_tokens - 1 == n
+        # only the last chunk may be short
+        for c in chunks[:-1]:
+            assert c.n_chunk_tokens == min(
+                pipeline.CHUNK_LEN, n - c.chunk_start + 1
+            )
+        # chunk text token count agrees with the declared length
+        for c in chunks:
+            n_text = len(c.chunk_text.split()) if c.chunk_text else 0
+            assert n_text == c.n_chunk_tokens
+
+
+def test_corpus_length_quantiles_vs_numpy(spark, sf_dir):
+    """The integer-rank percentile_disc picks must equal the directly
+    computed order statistics (value at index ceil(p*n) in the sorted
+    (n_tokens, doc_id) sequence)."""
+    import math
+
+    from duckdb_wasm_spark.operators import pipeline
+    from duckdb_wasm_spark.operators._text import toks
+    from duckdb_wasm_spark.tables import load_table
+
+    data = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.size(toks()).alias("n_tokens"))
+        .collect()
+    )
+    by_lang = {}
+    for r in data:
+        by_lang.setdefault(r.lang, []).append((r.n_tokens, r.doc_id))
+    got = {
+        r.lang: r.asDict()
+        for r in pipeline.QUERIES["corpus_length_quantiles"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == set(by_lang)
+    for lang, vals in by_lang.items():
+        vals.sort()
+        n = len(vals)
+        assert got[lang]["n_docs"] == n
+        for label, num, den in pipeline.QUANTILES:
+            idx = math.ceil(num * n / den)
+            assert got[lang][f"{label}_tokens"] == vals[idx - 1][0], (
+                lang,
+                label,
+            )
