@@ -518,6 +518,215 @@ group by cell, pos
 """
 
 
+# -------------------------------------------------- sim_topk_ivf_trained
+TRAIN_ITERS = 2  # Lloyd refinement iterations folded into the plan
+TRAINED_NPROBE = 3  # cells probed by the trained variant (sweep below)
+
+
+def _assign_cells(normed: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment (cosine, tie → smaller centroid id):
+    broadcast the C-row centroid frame, rank the C-way fan-out per
+    vector. Returns (vec_id, embedding, nrm, cell, arn) — callers keep
+    arn=1 (hard assignment) or arn<=nprobe (query probing)."""
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.col("c_sim").desc(), F.col("c_id").asc()
+    )
+    return (
+        normed.join(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            "c_id",
+            (
+                dot_fold(F.col("embedding"), F.col("ec"))
+                / (F.col("nrm") * F.col("nc"))
+            ).alias("c_sim"),
+        )
+        .withColumn("arn", F.row_number().over(aw))
+    )
+
+
+def _trained_centroids(normed: DataFrame, iters: int = TRAIN_ITERS) -> DataFrame:
+    """`iters` exact Lloyd iterations from the deterministic seeds
+    (vec_id < N_CENTROIDS): assign → exact fixed-point per-cell mean →
+    rebuild the centroid array. Identical arithmetic to
+    ivf_centroid_refine, so the oracle reproduces every iteration.
+
+    Scale: each iteration is one broadcast-assign map + ONE (cell, pos)
+    map-side-combining hash aggregate (C×64 output rows); the refined
+    frame re-broadcasts — no shuffle grows with iterations or corpus."""
+    cent = normed.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("ec"),
+        F.col("nrm").alias("nc"),
+    )
+    for _ in range(iters):
+        assigned = (
+            _assign_cells(normed, cent)
+            .where(F.col("arn") == 1)
+            .select("embedding", F.col("c_id").alias("cell"))
+        )
+        comp = assigned.select(
+            "cell", F.posexplode("embedding").alias("pos", "v")
+        ).select(
+            "cell",
+            "pos",
+            F.floor(F.col("v").cast("double") * _FP_SCALE).alias("sv"),
+        )
+        cmean = comp.groupBy("cell", "pos").agg(
+            (
+                F.sum("sv").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(float(_FP_SCALE))
+            ).alias("c")
+        )
+        cent = (
+            cmean.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                    lambda x: x["c"],
+                ).alias("ec")
+            )
+            .select(
+                F.col("cell").alias("c_id"),
+                "ec",
+                F.sqrt(dot_fold(F.col("ec"), F.col("ec"))).alias("nc"),
+            )
+        )
+    return cent
+
+
+@_q("sim_topk_ivf_trained")
+def sim_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF ANN over a TRAINED codebook: TRAIN_ITERS exact
+    Lloyd iterations refine the naive first-N seeds into data-shaped
+    centroids (round-5 verdict task #2). Search shape is identical to
+    sim_topk_ivf_probe: database vectors live in their single nearest
+    trained cell, each panel query probes its TRAINED_NPROBE nearest.
+
+    Measured recall@5 vs sim_topk_brute, sf0.01 (500 vecs, 50 queries):
+
+        codebook        nprobe=2  nprobe=3  nprobe=4
+        naive (T=0)       0.520     0.664     0.772   (C=8)
+        trained (T=2)     0.568     0.704     0.796   (C=8)
+        naive (T=0)       0.524     0.608     0.664   (C=16)
+        trained (T=2)     0.532     0.628     0.696   (C=16)
+
+    Training lifts recall in every cell, but nprobe=2 of C=8 cells
+    plateaus at ~0.57 regardless of codebook — the synthetic embeddings
+    have weak cluster structure, so recall tracks the scan fraction.
+    The committed config is therefore C=8/T=2/nprobe=3 (recall 0.704,
+    ≥0.6 gate + beats-naive gate pinned by tests/test_operators.py::
+    test_ivf_trained_recall); T=3/4 bought ≤0.012 more.
+
+    Determinism: centroid means accumulate in 2^20-scaled bigint fixed
+    point (exact, associative — see ivf_centroid_refine); assignment
+    ties break on smaller cell id; the oracle replays every iteration
+    in its CTE chain, so the codebook is bit-identical in both engines.
+
+    Scale (100 TB): training cost is iters × (broadcast-assign map +
+    one C×64-row hash aggregate) — no per-iteration growth; search is
+    the standard broadcast-centroids + cell-local equi-join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    normed = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    cent = _trained_centroids(normed)
+    ranked = _assign_cells(normed, cent)
+    n = ranked.where(F.col("arn") == 1).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("en"),
+        F.col("nrm").alias("nn"), F.col("c_id").alias("cell"),
+    )
+    q = ranked.where(
+        (F.col("arn") <= TRAINED_NPROBE) & (F.col("vec_id") < N_QUERIES)
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq"),
+        F.col("nrm").alias("nq"), F.col("c_id").alias("cell"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        q.join(n, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot_fold(F.col("eq"), F.col("en")) / (F.col("nq") * F.col("nn")))
+            .alias("sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def _sql_refine_iter(i: int, prev: str) -> str:
+    """One Lloyd iteration as oracle CTEs: assign to `prev` centroids,
+    fixed-point per-cell mean, rebuild (c_id, ec, nc)."""
+    return f"""
+a{i} as (
+  select embedding, cell from (
+    select e.embedding, c.c_id cell,
+           row_number() over (
+             partition by e.vec_id
+             order by {sql_dot('e.embedding', 'c.ec')} / (e.nrm * c.nc) desc,
+                      c.c_id asc) arn
+    from normed e, {prev} c)
+  where arn = 1),
+m{i} as (
+  select cell, pos - 1 pos,
+         cast(floor(cast(v as double) * {_FP_SCALE}) as bigint) sv
+  from (select cell, unnest(embedding) v,
+               generate_subscripts(embedding, 1) pos
+        from a{i})),
+g{i} as (
+  select cell, pos,
+         cast(sum(sv) as double) / cast(count(*) as double)
+           / {float(_FP_SCALE)} c
+  from m{i} group by cell, pos),
+r{i} as (
+  select cell c_id, list(c order by pos) ec from g{i} group by cell),
+c{i} as (
+  select c_id, ec, sqrt({sql_dot('ec', 'ec')}) nc from r{i})"""
+
+
+ORACLE["sim_topk_ivf_trained"] = f"""
+with normed as (
+  select vec_id, embedding,
+         sqrt({sql_dot('embedding', 'embedding')}) nrm
+  from embeddings),
+c0 as (select vec_id c_id, embedding ec, nrm nc from normed
+       where vec_id < {N_CENTROIDS}),
+{','.join(_sql_refine_iter(i + 1, f'c{i}') for i in range(TRAIN_ITERS))},
+ranked_cells as (
+  select e.vec_id, e.embedding, e.nrm, c.c_id cell,
+         row_number() over (
+           partition by e.vec_id
+           order by {sql_dot('e.embedding', 'c.ec')} / (e.nrm * c.nc) desc,
+                    c.c_id asc) arn
+  from normed e, c{TRAIN_ITERS} c),
+n as (select vec_id neighbor_id, embedding en, nrm nn, cell
+      from ranked_cells where arn = 1),
+q as (select vec_id query_id, embedding eq, nrm nq, cell
+      from ranked_cells
+      where arn <= {TRAINED_NPROBE} and vec_id < {N_QUERIES}),
+sims as (
+  select query_id, neighbor_id, {sql_dot('eq', 'en')} / (nq * nn) sim
+  from q join n using (cell)
+  where query_id <> neighbor_id),
+ranked as (
+  select *, row_number() over (partition by query_id
+                               order by sim desc, neighbor_id asc) rank
+  from sims)
+select query_id, neighbor_id, rank, sim from ranked
+where rank <= {TOP_K}
+"""
+
+
 # --------------------------------------------------- embed_quantize_int8
 @_q("embed_quantize_int8")
 def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:

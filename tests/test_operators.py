@@ -348,3 +348,77 @@ def test_corpus_length_quantiles_vs_numpy(spark, sf_dir):
                 lang,
                 label,
             )
+
+
+def test_ivf_trained_recall(spark, sf_dir):
+    """Round-5 verdict task #2 gate: the Lloyd-trained codebook must
+    deliver recall@5 >= 0.6 vs sim_topk_brute AND beat the naive
+    (first-N-seeds) codebook at the same nprobe. Measured at sf0.01:
+    trained 0.704 vs naive 0.664 (nprobe=3, C=8, T=2 — full sweep in
+    the sim_topk_ivf_trained docstring)."""
+    from pyspark.sql.window import Window
+
+    from duckdb_wasm_spark.operators import similarity as S
+    from duckdb_wasm_spark.operators.dedup import dot_fold
+    from duckdb_wasm_spark.tables import load_table
+
+    def pairs(df):
+        return {
+            (r.query_id, r.neighbor_id)
+            for r in df.select("query_id", "neighbor_id").collect()
+        }
+
+    brute = pairs(S.QUERIES["sim_topk_brute"](spark, sf_dir))
+    trained = pairs(S.QUERIES["sim_topk_ivf_trained"](spark, sf_dir))
+    recall_trained = len(trained & brute) / len(brute)
+
+    # the naive codebook at the SAME nprobe: seed centroids, no training
+    emb = load_table(spark, sf_dir, "embeddings")
+    normed = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    seeds = normed.where(F.col("vec_id") < S.N_CENTROIDS).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("ec"),
+        F.col("nrm").alias("nc"),
+    )
+    ranked = S._assign_cells(normed, seeds)
+    n = ranked.where(F.col("arn") == 1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("en"),
+        F.col("nrm").alias("nn"),
+        F.col("c_id").alias("cell"),
+    )
+    q = ranked.where(
+        (F.col("arn") <= S.TRAINED_NPROBE) & (F.col("vec_id") < S.N_QUERIES)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("eq"),
+        F.col("nrm").alias("nq"),
+        F.col("c_id").alias("cell"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    naive = pairs(
+        q.join(n, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot_fold(F.col("eq"), F.col("en"))
+                / (F.col("nq") * F.col("nn"))
+            ).alias("sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= S.TOP_K)
+    )
+    recall_naive = len(naive & brute) / len(brute)
+    assert recall_trained >= 0.6, f"trained recall {recall_trained:.3f} < 0.6"
+    assert recall_trained > recall_naive, (
+        f"training did not improve recall: trained={recall_trained:.3f} "
+        f"naive={recall_naive:.3f}"
+    )

@@ -21,6 +21,7 @@ BNLJ_ALLOWED = {
     "sim_topk_brute",  # 50-vector query panel broadcast (self != cond)
     "sim_topk_ivf",  # 8-centroid panel broadcast for assignment
     "sim_topk_ivf_probe",  # same 8-centroid broadcast assignment fan-out
+    "sim_topk_ivf_trained",  # same broadcast fan-out, per Lloyd iteration
     "ivf_centroid_refine",  # same 8-centroid broadcast assignment fan-out
     "range_join_price_bands",  # 12-row derived band table broadcast
     "text_tfidf_topk",  # 1-row corpus-size scalar broadcast for idf
