@@ -388,30 +388,39 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra_corr); ranking orders by the ROUNDED score so the cut is
     identical too, ties broken on the token.
 
-    Plan (100 TB): explode → one (doc_id, tok) hash aggregate with
-    doc_len riding along (no re-join for lengths); df is a
-    count-over-window by tok on the SAME pipeline (a separate df
-    aggregate + join would consume the counts frame twice and re-run
-    the tokenizer — measured 1.94s vs 2.19s at sf0.1 single-pass); N
-    is a 1-row broadcast scalar (BNLJ-allowlisted); top-K per doc is
-    one doc-partitioned window."""
+    Plan (100 TB): materialize the token ARRAY first, then size+explode
+    the attribute — carrying size(toks()) through the explode re-runs
+    the tokenizer per exploded row (the text_repetition trap; measured
+    1.86s vs 0.54s at sf0.1 for the counts stage alone). One
+    (doc_id, tok) hash aggregate for tf; df is a separate
+    vocabulary-sized aggregate BROADCAST back (round-5 verdict task #3
+    re-measure: 0.98s vs 1.04s for the count-over-window form once the
+    explode trap was fixed — the earlier 1.94-vs-2.19 window win was
+    the trap's cost dominating both shapes; at a vocab too large to
+    broadcast, flip back to the window form); N is a 1-row broadcast
+    scalar (BNLJ-allowlisted); top-K per doc is one doc-partitioned
+    window. Total: 2.06s → 0.98s at sf0.1."""
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    toks_ = docs.select(
+    ta = docs.select("doc_id", toks().alias("ta"))
+    toks_ = ta.select(
         "doc_id",
-        F.size(toks()).alias("doc_len"),
-        F.explode(toks()).alias("tok"),
+        F.size("ta").alias("doc_len"),
+        F.explode("ta").alias("tok"),
     )
     counts = toks_.groupBy("doc_id", "doc_len", "tok").agg(
         F.count(F.lit(1)).alias("tf_cnt")
     )
-    counts = counts.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("tok"))
+    dfs = (
+        docs.select(F.explode(F.array_distinct(toks())).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
     )
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        counts.crossJoin(F.broadcast(n_docs))
+        counts.join(F.broadcast(dfs), "tok")
+        .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
             "tok",
