@@ -64,15 +64,112 @@ def with_assets(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes, fmt: str):
-    """STUB — real decode needs an image library (PIL / cv2 / ffmpeg),
-    not present in this container. The Spark-side plumbing
-    (BinaryType column → mapInPandas batches → feature schema) is real;
-    swap this function for the codec when available."""
+def decode_image(payload: bytes, fmt: str) -> np.ndarray:
+    """Decode a binary image payload to (height, width, 3) uint8 RGB.
+
+    REAL for the two codec-free formats (round-5 verdict task #4) —
+    pure-numpy parsers, no image library needed:
+      - ``ppm``  binary PPM (P6, maxval 255)
+      - ``bmp``  24-bit uncompressed BI_RGB, BITMAPINFOHEADER
+
+    Every other format (jpeg/png/webp/...) still raises
+    NotImplementedError: those need a codec library (PIL / cv2 /
+    ffmpeg) absent from this container; fake_decode remains the
+    deterministic stand-in for them. The Spark-side plumbing
+    (BinaryType column → mapInPandas batches → feature schema) is
+    identical either way — see tests/test_operators.py::
+    test_decode_ppm_through_map_in_pandas."""
+    f = fmt.rsplit("/", 1)[-1].lower()
+    if f == "ppm":
+        return _decode_ppm(payload)
+    if f == "bmp":
+        return _decode_bmp(payload)
     raise NotImplementedError(
         "media decoding unavailable: no codec library in this environment; "
         f"got fmt={fmt!r}, {len(payload)} bytes"
     )
+
+
+def _ppm_header_tokens(payload: bytes, n: int) -> tuple[list[int], int]:
+    """First n whitespace-separated integer tokens after the magic,
+    skipping '#' comments; returns (tokens, offset past the single
+    whitespace byte that terminates the header)."""
+    toks: list[int] = []
+    i = 2  # past 'P6'
+    while len(toks) < n:
+        while i < len(payload) and payload[i:i + 1].isspace():
+            i += 1
+        if payload[i:i + 1] == b"#":
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j:j + 1].isspace():
+            j += 1
+        toks.append(int(payload[i:j]))
+        i = j
+    return toks, i + 1  # exactly ONE whitespace byte after maxval
+
+
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    if payload[:2] != b"P6":
+        raise ValueError(f"not a binary PPM (P6): magic={payload[:2]!r}")
+    (w, h, maxval), off = _ppm_header_tokens(payload, 3)
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 PPM supported, got {maxval}")
+    need = w * h * 3
+    px = np.frombuffer(payload, dtype=np.uint8, count=need, offset=off)
+    return px.reshape(h, w, 3)
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    if payload[:2] != b"BM":
+        raise ValueError(f"not a BMP: magic={payload[:2]!r}")
+    off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only 24-bit BI_RGB BMP supported: bpp={bpp} comp={comp}")
+    stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=abs(h) * stride, offset=off
+    ).reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)
+    if h > 0:  # positive height = bottom-up row order
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Binary PPM (P6) encoder — the test-side inverse of _decode_ppm."""
+    h, w = img.shape[0], img.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """24-bit BI_RGB BMP encoder (bottom-up) — test-side inverse of
+    _decode_bmp."""
+    h, w = img.shape[0], img.shape[1]
+    stride = (w * 3 + 3) & ~3
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # RGB→BGR, flip
+    pixels = body.tobytes()
+    header = (
+        b"BM"
+        + (54 + len(pixels)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(pixels).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + pixels
 
 
 def fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:

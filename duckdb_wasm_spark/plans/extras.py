@@ -585,7 +585,21 @@ def extra_recursive_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lives OUTSIDE the recursion (a lead() window builds the successor
     edges once); the recursive step is then a plain equi-join, the
     shape Spark's recursion supports and the shape that scales (each
-    iteration shuffles only the frontier)."""
+    iteration shuffles only the frontier).
+
+    Job-floor measurement (round-5 verdict task #5): the ~1s wall at
+    sf0.1 vs DuckDB's 0.01s is per-iteration DRIVER scheduling —
+    UnionLoop replans and schedules each depth level as its own job.
+    Swept at sf0.1/local[32], best-of-3: baseline 1.33s;
+    shuffle.partitions=1 → 1.06s; AQE initialPartitionNum=1 → 0.97s;
+    AQE off → 1.41s; edges/heads pre-materialized via localCheckpoint
+    outside the loop (loop body no longer rescans parquet or re-runs
+    the window) → 1.15s; /*+ COALESCE(1) */ inside the recursive
+    member → 1.41s. Nothing reaches 0.4s: the floor is the sequential
+    per-level job round-trip, irreducible without collapsing the
+    recursion driver-side (a .collect() loop — a scale anti-pattern
+    this repo bans). Kept the config-free single-SQL form; the gap is
+    fixed overhead, flat in data size."""
     load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
     return spark.sql(_RECURSIVE_WALK_SQL)
 

