@@ -215,3 +215,113 @@ def stream_session_counts(
         )
     )
     return got, expected
+
+
+def stream_late_data_drop(
+    spark: SparkSession,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Pin the WATERMARK SEMANTICS, not just the happy path (round-5
+    verdict task #7): a controlled three-micro-batch source where batch
+    0 advances the watermark past a session and batch 2 delivers a LATE
+    row into it. The stream must DROP the late row; a batch query over
+    the same rows reproduces the stream only after filtering rows that
+    arrived behind the watermark — and differs without the filter.
+
+    Timeline (session gap 10 min, watermark delay 1 hour):
+      batch 0: user 1 at 10:00/10:03/10:06 (one session, ends 10:16),
+               user 2 at 20:00 → watermark advances to 19:00
+      batch 1: user 2 at 20:01 — filler. Spark applies a new watermark
+               one micro-batch AFTER computing it (measured here:
+               a late row in the very next batch is NOT dropped,
+               numRowsDroppedByWatermark=0; one batch later it is),
+               so the filler lets 19:00 take effect.
+      batch 2: user 1 at 10:01 — LATE (10:01 < 19:00) → dropped
+    Append mode then finalizes user 1's session with n=3 (4 would mean
+    the late row leaked in); user 2's session stays open (its end is
+    past the final watermark) and never emits.
+
+    Returns (streamed, batch_with_filter, batch_naive)."""
+    import datetime as dt
+    import shutil
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+
+    def t(h, m):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    on_time = [(1, t(10, 0)), (1, t(10, 3)), (1, t(10, 6)), (2, t(20, 0))]
+    filler = [(2, t(20, 1))]
+    late = [(1, t(10, 1))]
+
+    # flat single-file-per-micro-batch staging; the file source orders
+    # micro-batches by modification time, so stamp strictly increasing
+    # mtimes (a dir-per-batch layout put part files + markers in one
+    # listing and broke the 1-file-per-trigger split)
+    src = tempfile.mkdtemp(prefix="events_late_")
+    now = dt.datetime.now().timestamp()
+    for i, rows in enumerate((on_time, filler, late)):
+        scratch = tempfile.mkdtemp()
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(scratch)
+        part = next(f for f in os.listdir(scratch) if f.startswith("part-"))
+        dst = os.path.join(src, f"{i:02d}.parquet")
+        shutil.move(os.path.join(scratch, part), dst)
+        base = now - 120 * (3 - i)
+        os.utime(dst, (base, base))
+        shutil.rmtree(scratch, ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n")
+    )
+    name = f"late_{os.getpid()}_{abs(hash(src)) % 10000}"
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table(name)
+
+    all_rows = spark.createDataFrame(on_time + filler + late, schema)
+    wm_at_late = t(19, 0)  # in effect when the late file arrived
+    final_wm = t(19, 1)  # max ts (20:01) minus the 1h delay
+
+    def batch(df):
+        return (
+            df.groupBy(
+                F.session_window("ts", "10 minutes").alias("w"), "user_id"
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            # append mode emits only sessions finalized by the watermark
+            .where(F.col("w.end") < F.lit(final_wm))
+            .select("user_id", F.col("w.start").alias("session_start"), "n")
+        )
+
+    # the batch reproduction drops exactly the rows that arrived behind
+    # the watermark in effect for THEIR micro-batch: on-time + filler
+    # arrived before any watermark (kept), the late file saw 19:00
+    batch_filtered = batch(
+        spark.createDataFrame(on_time + filler, schema).union(
+            spark.createDataFrame(late, schema).where(
+                F.col("ts") >= F.lit(wm_at_late)
+            )
+        )
+    )
+    batch_naive = batch(all_rows)
+    return got, batch_filtered, batch_naive

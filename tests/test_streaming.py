@@ -67,3 +67,24 @@ def test_stream_session_equals_batch(spark, sf_dir):
     g = {tuple(r) for r in got.collect()}
     e = {tuple(r) for r in expected.collect()}
     assert g == e and len(e) > 0
+
+
+def test_stream_late_data_dropped_by_watermark(spark):
+    """The late-data SEMANTICS, not just the happy path (round-5
+    verdict task #7): a late row behind the watermark must be DROPPED
+    by the stream; the batch form reproduces the stream only after
+    filtering rows behind their micro-batch's watermark, and the naive
+    batch (late row included) must DIFFER — proving the watermark did
+    the dropping."""
+    from duckdb_wasm_spark.streaming.live import stream_late_data_drop
+
+    got, batch_filtered, batch_naive = stream_late_data_drop(spark)
+    g = {tuple(r) for r in got.collect()}
+    f = {tuple(r) for r in batch_filtered.collect()}
+    n = {tuple(r) for r in batch_naive.collect()}
+    assert g == f, f"stream != watermark-filtered batch: {g} vs {f}"
+    assert g != n, "late row leaked: stream equals the naive batch"
+    # exactly one finalized session (user 1) with the late row excluded
+    assert len(g) == 1
+    ((user_id, _start, count),) = g
+    assert user_id == 1 and count == 3
