@@ -45,3 +45,35 @@ def test_float_vs_int_kind_fails(spark, oracle):
     sdf = spark.sql("select cast(7 as bigint) as n")
     with pytest.raises(AssertionError, match="physical-family mismatch"):
         assert_parity(sdf, "select 7.0::double as n", oracle, "float_vs_int")
+
+
+def test_documented_registry_counts_match():
+    """SURVEY §8 and README registry counts must track the live
+    registry (round-5 verdict task #8 — the r4 docs drifted once).
+    Both docs state the counts as '<total> registered/total' and
+    '<oracle> oracle-backed/checked'; this fails if either number
+    drifts from __spark_entry__.queries()/oracle_sql()."""
+    import re
+
+    import __spark_entry__ as e
+
+    n_total = len(e.queries())
+    n_oracle = len([k for k in e.queries() if k in e.oracle_sql()])
+
+    readme = open("README.md").read()
+    m = re.search(
+        r"Every registered query \((\d+) oracle-checked \+ (\d+) rows-only"
+        r"[^)]*,\s*(\d+) total\)",
+        readme,
+    )
+    assert m, "README registry-count sentence not found"
+    assert int(m.group(1)) == n_oracle, "README oracle-checked count drifted"
+    assert int(m.group(3)) == n_total, "README total count drifted"
+
+    survey = open("SURVEY.md").read()
+    m = re.search(
+        r"(\d+) registered queries total,\s*(\d+)\s*\noracle-backed", survey
+    )
+    assert m, "SURVEY registry-count sentence not found"
+    assert int(m.group(1)) == n_total, "SURVEY total count drifted"
+    assert int(m.group(2)) == n_oracle, "SURVEY oracle-backed count drifted"
