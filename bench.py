@@ -148,9 +148,22 @@ def main() -> int:
         for k, v in timings.items()
         if k in slowest or v < 0
     }
+    # the canonical committed artifact name is reserved for the
+    # documented methodology (default sf0.1 dir, raw layout); any other
+    # config writes a suffixed sidecar so a quick sf0.01 or staged run
+    # can never silently replace the committed numbers (round-5 ADVICE)
+    canonical = (
+        os.environ.get("SPARK_GRAFT_SF_DIR") in (None, "/root/testdata/sf0.1")
+        and not stage
+    )
+    full_name = (
+        "BENCH_FULL.json"
+        if canonical
+        else f"BENCH_FULL_sf{sf}_c{cpus}{'_staged' if stage else ''}.json"
+    )
     with open(
         os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+            os.path.dirname(os.path.abspath(__file__)), full_name
         ),
         "w",
     ) as f:
@@ -162,7 +175,7 @@ def main() -> int:
         )
     out = {
         "queries": line_queries,
-        "queries_full": "BENCH_FULL.json",
+        "queries_full": full_name,
         "metric": "query_corpus_total_wall",
         "value": total,
         "unit": "sec",
@@ -232,7 +245,12 @@ def main() -> int:
         }
         side["staged_layout"] = stage
         side["stage_sec"] = stage_sec
-        artifact = "ORACLE_BENCH_STAGED.json" if stage else "ORACLE_BENCH.json"
+        if stage:
+            artifact = "ORACLE_BENCH_STAGED.json"
+        elif canonical:
+            artifact = "ORACLE_BENCH.json"
+        else:  # same guard as BENCH_FULL: never clobber the committed name
+            artifact = f"ORACLE_BENCH_sf{sf}_c{cpus}.json"
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          artifact), "w"

@@ -291,27 +291,75 @@ def _rewrite_qualify(sql: str) -> str:
 
 # DuckDB star sugar: `* EXCLUDE (a, b)` ≡ Spark's `* EXCEPT (a, b)`
 _EXCLUDE_RE = re.compile(r"(\*\s+)EXCLUDE(\s*\()", re.IGNORECASE)
-# Skip spans the rewrite must never see: string literals, quoted
-# identifiers, AND -- / /* */ comments. Comments must be matched here
-# too (round-4 ADVICE): an apostrophe inside "-- don't" would otherwise
-# open a phantom string literal and desync every span after it.
-_QUOTED_SPAN_RE = re.compile(
-    r"'(?:[^']|'')*'|\"[^\"]*\"|--[^\n]*|/\*.*?\*/", re.DOTALL
-)
+# Spans the rewrite must never see: string literals (with '' escapes),
+# quoted identifiers, -- line comments, and /* */ block comments.
+# Comments must be tracked too (round-4 ADVICE): an apostrophe inside
+# "-- don't" would otherwise open a phantom string literal and desync
+# every span after it. Block comments NEST in DuckDB (round-5 ADVICE),
+# so this is a depth-counting scanner, not a regex — a regex's
+# first-*/ match would end '/* a /* b */ tail */' early and expose
+# "tail" to the rewriters.
+
+
+def _protected_spans(sql: str):
+    """Yield (start, end) of every literal/identifier/comment span.
+    Unterminated spans extend to end-of-string (never raise: the engine
+    downstream reports the real syntax error)."""
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if sql[j + 1:j + 2] == "'":  # '' escape
+                        j += 2
+                        continue
+                    break
+                j += 1
+            end = min(j + 1, n)
+            yield (i, end)
+            i = end
+        elif c == '"':
+            j = sql.find('"', i + 1)
+            end = n if j == -1 else j + 1
+            yield (i, end)
+            i = end
+        elif c == "-" and sql[i:i + 2] == "--":
+            j = sql.find("\n", i)
+            end = n if j == -1 else j
+            yield (i, end)
+            i = end
+        elif c == "/" and sql[i:i + 2] == "/*":
+            depth, j = 1, i + 2
+            while j < n and depth:
+                two = sql[j:j + 2]
+                if two == "/*":
+                    depth += 1
+                    j += 2
+                elif two == "*/":
+                    depth -= 1
+                    j += 2
+                else:
+                    j += 1
+            yield (i, j)
+            i = j
+        else:
+            i += 1
 
 
 def _sub_outside_quotes(pattern: re.Pattern, repl: str, sql: str) -> str:
     """Apply pattern.sub only to the segments of `sql` that lie outside
-    single-quoted literals, double-quoted identifiers, and SQL comments,
-    so a literal like '* EXCLUDE (' is never rewritten and a stray
-    apostrophe in a comment never desyncs the span tracking (round-3 +
-    round-4 ADVICE)."""
+    single-quoted literals, double-quoted identifiers, and SQL comments
+    (nesting-aware), so a literal like '* EXCLUDE (' is never rewritten
+    and a stray apostrophe in a comment never desyncs the span tracking
+    (round-3/4/5 ADVICE)."""
     out: list[str] = []
     pos = 0
-    for m in _QUOTED_SPAN_RE.finditer(sql):
-        out.append(pattern.sub(repl, sql[pos:m.start()]))
-        out.append(m.group(0))
-        pos = m.end()
+    for start, end in _protected_spans(sql):
+        out.append(pattern.sub(repl, sql[pos:start]))
+        out.append(sql[start:end])
+        pos = end
     out.append(pattern.sub(repl, sql[pos:]))
     return "".join(out)
 

@@ -64,6 +64,13 @@ def _family(col: pd.Series) -> str:
         return "datetime"
     if k == "O":
         first = next((v for v in col if v is not None), None)
+        if first is None:
+            # all-NULL object column: the value kind is unknowable, so
+            # it matches ANY family (round-5 ADVICE — Spark DateType
+            # arrives as object while DuckDB DATE lands datetime64;
+            # on an empty/all-NULL result the two would otherwise
+            # raise a spurious family mismatch)
+            return "any"
         if isinstance(first, (datetime.date, datetime.datetime)):
             return "datetime"
         return "object"
@@ -91,6 +98,8 @@ def assert_parity(sdf, sql: str, con: duckdb.DuckDBPyConnection, name: str = "?"
     # cast(... as bigint) (cf. plans/tpch.py q11).
     for c in sp_raw.columns:
         sf, df = _family(sp_raw[c]), _family(du_raw[c])
+        if "any" in (sf, df):
+            continue  # an all-NULL object column matches any family
         assert sf == df, (
             f"{name}.{c}: physical-family mismatch "
             f"spark={sp_raw[c].dtype}({sf}) duck={du_raw[c].dtype}({df}) "

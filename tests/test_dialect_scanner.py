@@ -93,3 +93,34 @@ def test_comment_quotes_never_shift_spans(line_c, block_c):
     out = _sub_outside_quotes(_EXCLUDE_RE, r"\1EXCEPT\2", sql)
     assert lit in out
     assert out.count("EXCEPT") == 1
+
+
+# ---- round-5 ADVICE: DuckDB block comments NEST
+
+
+def test_nested_block_comment_fully_protected():
+    """'/* a /* b */ tail */' is ONE comment in DuckDB; a first-*/
+    regex would end the span early and expose 'tail' — including any
+    star sugar or quotes inside it — to the rewriters (round-5
+    ADVICE). The depth-counting scanner must protect the whole span."""
+    sql = (
+        "select /* outer /* inner */ * EXCLUDE (ghost) ' */ "
+        "* EXCLUDE (a) from t"
+    )
+    out = _sub_outside_quotes(_EXCLUDE_RE, r"\1EXCEPT\2", sql)
+    assert "* EXCLUDE (ghost)" in out  # inside the outer comment tail
+    assert out.count("EXCEPT") == 1  # only the real sugar rewritten
+
+
+def test_unterminated_spans_extend_to_eos():
+    """Unterminated literals/comments must swallow the rest of the
+    string (the engine reports the real syntax error downstream),
+    never raise or expose the tail to rewrites."""
+    for sql in (
+        "select 1 /* open /* deeper */ still-open * EXCLUDE (x)",
+        "select 1 -- trailing * EXCLUDE (x)",
+        "select '* EXCLUDE (x)",
+        'select "* EXCLUDE (x)',
+    ):
+        out = _sub_outside_quotes(_EXCLUDE_RE, r"\1EXCEPT\2", sql)
+        assert "EXCLUDE" in out and "EXCEPT" not in out
