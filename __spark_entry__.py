@@ -70,67 +70,69 @@ def _registries():
 # r3-certified stable corpus (q5–q22, micro_*, the 4 unchanged-name
 # extras) whose rows are now two rounds old.
 #
-# ROUND-6 ROTATION: if CORRECTNESS_r05 shows the names below green,
-# the whole registry has a green row dated r4 or r5 — replace this
-# list with (a) anything rewritten in round 6, then (b) the r4-green
-# LLM corpus (oldest rows first), and let the r5-green names fall to
-# tier (c).  If any r5 row is RED, keep it at the head instead.
+# ROUND-6 ROTATION (applied): CORRECTNESS_r05 came back 50/50 green,
+# so every oracle-backed query now has a green row dated r4 or r5.
+# This window is therefore: (a) new/rewritten in round 6 —
+# sim_topk_ivf_trained (new) and text_tfidf_topk (plan rewritten:
+# explode-trap fix + broadcast-df); (b) the 41 r4-green names without
+# an r5 row, oldest rows first — led by the two embedding-LSH queries
+# whose shared oracle text was refactored in r5 (verdict "what's
+# wrong" #1), then the TPC-H/reference stragglers, then the r4 LLM
+# corpus in its original emission order.  The 50 r5-green names fall
+# to tier (c) registry order.
+#
+# ROUND-7 ROTATION: if CORRECTNESS_r06 shows the names below green,
+# every query's newest green row is dated r5 or r6 — replace this
+# list with (a) anything rewritten in round 7, then (b) the r5-green
+# corpus (oldest rows first).  If any r6 row is RED, keep it at the
+# head instead.
 _GATE_PRIORITY = [
-    # (a) r4-red, oracle fixed in r5 — re-certify first
-    "corpus_stats",
-    "sample_token_budget",
-    "sample_split",
-    "corpus_mix_weights",
-    "sample_pack_sequences",
-    "text_lm_score",
-    # (a') rewritten in r5 after their r4-green row (nullif zero-token
-    # guards, round-4 ADVICE) — re-certify the shipped code
-    "text_stats",
-    "text_gopher_flags",
-    # (b) never driver-gated under their current (consolidated) names
-    "extra_windows",
-    "extra_set_ops",
-    "extra_grouping",
-    "extra_stats",
-    "extra_string_aggs",
-    "extra_pivot_json",
-    # (a'') new operators added in r5 — never gated
-    "doc_chunking",
-    "corpus_length_quantiles",
-    "text_dup_spans",
-    "sim_topk_ivf_probe",
-    "ivf_centroid_refine",
-    "decontaminate_semantic",
-    # (c) r3-green, unchanged code, rows now two rounds stale
-    "q5",
-    "q6",
-    "q7",
-    "q8",
-    "q9",
-    "q10",
-    "q11",
-    "q12",
-    "q13",
-    "q14",
-    "q15",
-    "q16",
-    "q17",
-    "q18",
-    "q19",
-    "q20",
-    "q21",
-    "q22",
-    "micro_grouped_sum",
-    "micro_sort",
-    "micro_topk",
-    "micro_regex",
-    "micro_join2",
-    "micro_join3",
-    "micro_scalar_fns",
-    "extra_string_fns",
-    "extra_date_fns",
-    "extra_full_outer",
-    "extra_recursive_walk",
+    # (a) new / rewritten in round 6 — never gated in current form
+    "sim_topk_ivf_trained",
+    "text_tfidf_topk",
+    # (b) r4-green, oracle text refactored in r5 (_emb_lsh_sql_prefix)
+    "dedup_embedding_lsh",
+    "dedup_embedding_clusters",
+    # (b') r4-green TPC-H / reference-dialect stragglers
+    "q2",
+    "q3",
+    "q4",
+    "ref_q7_sqlite",
+    "ref_q8_sqlite",
+    # (b'') r4-green LLM corpus, original r4 emission order
+    "pipeline_clean_corpus",
+    "sample_balanced",
+    "decontaminate_ngram",
+    "asof_click_attribution",
+    "range_join_price_bands",
+    "events_retention",
+    "events_funnel",
+    "events_tumbling",
+    "events_sliding",
+    "events_session",
+    "events_daily_pruned",
+    "events_rolling",
+    "dedup_ngram_jaccard_capped",
+    "dedup_clusters",
+    "embed_centroid_outliers",
+    "text_vocab_topk",
+    "text_repetition",
+    "multimodal_thumbnail",
+    "multimodal_frames",
+    "text_pii_scan",
+    "events_anomaly",
+    "embed_quantize_int8",
+    "dedup_ngram_jaccard",
+    "text_langid",
+    "text_fingerprint",
+    "text_tokens",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "sim_topk_brute",
+    "sim_topk_ivf",
+    "multimodal_meta",
+    "multimodal_features",
 ]
 
 
