@@ -89,6 +89,8 @@ def _registries():
 _GATE_PRIORITY = [
     # (a) new / rewritten in round 6 — never gated in current form
     "sim_topk_ivf_trained",
+    "sim_topk_pq",
+    "sim_topk_pq_rerank",
     "text_tfidf_topk",
     # (b) r4-green, oracle text refactored in r5 (_emb_lsh_sql_prefix)
     "dedup_embedding_lsh",
