@@ -77,6 +77,28 @@ def sql_trigrams(t: str) -> str:
     )
 
 
+def ngrams_all(t: Column, n: int) -> Column:
+    """NON-distinct n-token shingles (Spark) — occurrence counts kept,
+    for entropy/repetition statistics. Same shifted-slice construction
+    as trigrams() (constant evaluations of ``t`` per row)."""
+    m = F.greatest(F.size(t) - (n - 1), F.lit(0))
+    parts = [F.slice(t, i + 1, m) for i in range(n)]
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = F.zip_with(acc, p, lambda x, y: F.concat(x, F.lit(" "), y))
+    return acc
+
+
+def sql_ngrams_all(t: str, n: int) -> str:
+    """Same NON-distinct n-gram list in DuckDB (range is exclusive, so
+    range(1, len-(n-2)) enumerates the len-n+1 gram starts)."""
+    gram = " || ' ' || ".join(f"{t}[i+{j}]" if j else f"{t}[i]" for j in range(n))
+    return (
+        f"list_transform(range(1, greatest(len({t}) - {n - 2}, 1)), "
+        f"i -> {gram})"
+    )
+
+
 # ------------------------------------------------------------- bigrams
 def bigrams(t: Column) -> Column:
     """NON-distinct 2-token shingles (Spark) — occurrence counts matter

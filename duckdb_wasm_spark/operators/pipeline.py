@@ -636,3 +636,111 @@ select lang, max(n) n_docs,
 from r
 group by lang
 """
+
+
+# ------------------------------------------------------ corpus_zipf_slope
+ZIPF_TOP = 100  # vocabulary ranks fitted (head of the distribution)
+_ZIPF_SCALE = 1 << 20  # fixed-point unit for the OLS sums
+
+
+@_q("corpus_zipf_slope")
+def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Zipf slope — the corpus-health diagnostic: natural
+    language runs ≈ −1 on the log-rank/log-frequency line, while
+    synthetic/templated/deduplicated-to-death corpora bend away from
+    it. OLS over the top ZIPF_TOP vocabulary ranks:
+
+        slope = (R·Σxy − Σx·Σy) / (R·Σxx − Σx²),
+        x = ln(rank), y = ln(count)
+
+    Determinism: each per-rank x, y, x·y, x·x is floored to 2^20 fixed
+    point (bigint) BEFORE aggregation — integer sums are associative —
+    and the closed form is evaluated in exact bigint up to ONE double
+    division at the end (products stay < 2^63: Σ terms are ≲ 2^32 for
+    any corpus since R is fixed). Rank ties break on the token, so the
+    rank assignment is total in both engines.
+
+    Plan (100 TB): explode → one (lang, tok) map-side-combining hash
+    aggregate → per-lang top-R window over the aggregated vocabulary
+    (vocab-sized, not corpus-sized) → 5-row output."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select("lang", F.explode(toks()).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("cnt").desc(), F.col("tok").asc()
+    )
+    top = freq.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= ZIPF_TOP
+    )
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("cnt").cast("double"))
+    fp = lambda e: F.floor(e * _ZIPF_SCALE).cast("long")  # noqa: E731
+    terms = top.select(
+        "lang",
+        fp(x).alias("fx"),
+        fp(y).alias("fy"),
+        fp(x * y).alias("fxy"),
+        fp(x * x).alias("fxx"),
+    )
+    agg = terms.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("fx").alias("sx"),
+        F.sum("fy").alias("sy"),
+        F.sum("fxy").alias("sxy"),
+        F.sum("fxx").alias("sxx"),
+    )
+    # exact bigint numerator/denominator, one double division at the end;
+    # sxy/sxx carry ONE 2^20 factor, sx*sy/sx*sx carry TWO — rescale the
+    # single-factor terms so both sides of the subtraction match
+    num = (
+        F.col("n_terms") * F.col("sxy") * F.lit(_ZIPF_SCALE)
+        - F.col("sx") * F.col("sy")
+    )
+    den = (
+        F.col("n_terms") * F.col("sxx") * F.lit(_ZIPF_SCALE)
+        - F.col("sx") * F.col("sx")
+    )
+    return agg.select(
+        "lang",
+        "n_terms",
+        (num.cast("double") / den.cast("double")).alias("zipf_slope"),
+    )
+
+
+ORACLE["corpus_zipf_slope"] = f"""
+with freq as (
+  select lang, tok, count(*) cnt
+  from (select lang, unnest({sql_toks('text')}) tok from documents)
+  group by 1, 2),
+top as (
+  select lang, cnt, rank from (
+    select lang, cnt,
+           row_number() over (partition by lang
+                              order by cnt desc, tok asc) rank
+    from freq)
+  where rank <= {ZIPF_TOP}),
+terms as (
+  select lang,
+         cast(floor(ln(cast(rank as double)) * {_ZIPF_SCALE}) as bigint) fx,
+         cast(floor(ln(cast(cnt as double)) * {_ZIPF_SCALE}) as bigint) fy,
+         cast(floor(ln(cast(rank as double)) * ln(cast(cnt as double))
+                    * {_ZIPF_SCALE}) as bigint) fxy,
+         cast(floor(ln(cast(rank as double)) * ln(cast(rank as double))
+                    * {_ZIPF_SCALE}) as bigint) fxx
+  from top),
+agg as (
+  select lang, count(*) n_terms,
+         cast(sum(fx) as bigint) sx, cast(sum(fy) as bigint) sy,
+         cast(sum(fxy) as bigint) sxy, cast(sum(fxx) as bigint) sxx
+  from terms group by lang)
+select lang, n_terms,
+       cast(n_terms * sxy * {_ZIPF_SCALE} - sx * sy as double)
+         / cast(n_terms * sxx * {_ZIPF_SCALE} - sx * sx as double)
+         zipf_slope
+from agg
+"""

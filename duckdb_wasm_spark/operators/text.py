@@ -28,8 +28,10 @@ from duckdb_wasm_spark.operators._text import (
     STOPWORDS,
     bigrams,
     ngrams,
+    ngrams_all,
     sql_bigrams,
     sql_ngrams,
+    sql_ngrams_all,
     sql_str_list,
     sql_toks,
     sql_trigrams,
@@ -778,5 +780,79 @@ select doc_id, count(*) n_spans,
        round(cast(sum(case when df >= 2 then 1 else 0 end) as double)
              / nullif(count(*), 0), 12) dup_frac
 from d
+group by doc_id
+"""
+
+
+# ----------------------------------------------------- text_ngram_entropy
+ENTROPY_N = 3  # shingle width for the entropy estimate
+_ENT_SCALE = 1 << 20  # fixed-point unit for deterministic entropy sums
+
+
+@_q("text_ngram_entropy")
+def text_ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document trigram Shannon entropy — the information-density
+    quality signal curation pipelines use to separate natural prose
+    (high entropy) from boilerplate/template/spam text (low): docs
+    whose n-gram distribution is concentrated score near 0 even when
+    plain dup-fraction misses the repetition structure.
+
+    entropy = -Σ p·ln(p) over the NON-distinct trigram distribution.
+
+    Determinism: a double Σ over a hash aggregate is
+    partial-aggregation-order-dependent, so each -p·ln(p) term is
+    floored to 2^20 fixed point (bigint) BEFORE summing; integer sums
+    are associative, and the final s/2^20 is an exact exponent shift —
+    bit-identical in both engines. A doc whose trigrams are all equal
+    (p=1, ln 1 = 0) scores exactly 0.
+
+    Plan (100 TB): explode → one (doc_id, gram) hash aggregate, total
+    grams via count-over-window by doc_id (same partitioning as the
+    final per-doc aggregate, so AQE chains the two without an extra
+    exchange), then one per-doc sum. Docs with < ENTROPY_N tokens have
+    no trigrams and drop out (both engines)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id", F.explode(ngrams_all(toks(), ENTROPY_N)).alias("gram")
+    )
+    c = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    c = c.withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("doc_id"))
+    )
+    p = F.col("cnt").cast("double") / F.col("n").cast("double")
+    term = F.floor(-(p * F.log(p)) * _ENT_SCALE)
+    return (
+        c.select("doc_id", "n", term.alias("fp"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            (F.sum("fp").cast("double") / F.lit(float(_ENT_SCALE))).alias(
+                "entropy"
+            ),
+        )
+    )
+
+
+ORACLE["text_ngram_entropy"] = f"""
+with g as (
+  select doc_id, unnest({sql_ngrams_all('t', ENTROPY_N)}) gram
+  from (select doc_id, {sql_toks('text')} t from documents)),
+c as (select doc_id, gram, count(*) cnt from g group by 1, 2),
+w as (
+  select doc_id, cnt, cast(sum(cnt) over (partition by doc_id) as bigint) n
+  from c),
+t as (
+  select doc_id, n,
+         cast(floor(-((cast(cnt as double) / cast(n as double))
+                      * ln(cast(cnt as double) / cast(n as double)))
+                    * {_ENT_SCALE}) as bigint) fp
+  from w)
+select doc_id, cast(max(n) as bigint) n_grams,
+       count(*) n_distinct,
+       cast(sum(fp) as double) / {float(_ENT_SCALE)} entropy
+from t
 group by doc_id
 """
