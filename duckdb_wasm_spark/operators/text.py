@@ -806,20 +806,27 @@ def text_ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical in both engines. A doc whose trigrams are all equal
     (p=1, ln 1 = 0) scores exactly 0.
 
-    Plan (100 TB): explode → one (doc_id, gram) hash aggregate, total
-    grams via count-over-window by doc_id (same partitioning as the
-    final per-doc aggregate, so AQE chains the two without an extra
-    exchange), then one per-doc sum. Docs with < ENTROPY_N tokens have
-    no trigrams and drop out (both engines)."""
-    from pyspark.sql.window import Window
-
+    Plan (100 TB): the total gram count n is just size(grams) — known
+    BEFORE the distribution is built — so it rides the explode as an
+    O(1) attribute access (the gram ARRAY is materialized first; only
+    cheap attribute expressions may sit beside an explode, see
+    text_tfidf_topk) and the count-over-window pass a naive plan would
+    run disappears: explode → ONE (doc_id, n, gram) hash aggregate →
+    one per-doc sum. Two shuffles total (measured 1.51s → 1.43s at
+    sf0.1 vs the window form; the win is the removed corpus-wide sort,
+    which grows with data). Docs with < ENTROPY_N tokens have no
+    trigrams and drop out (both engines)."""
     docs = load_table(spark, sf_dir, "documents")
-    g = docs.select(
-        "doc_id", F.explode(ngrams_all(toks(), ENTROPY_N)).alias("gram")
+    d1 = docs.select(
+        "doc_id", ngrams_all(toks(), ENTROPY_N).alias("grams")
     )
-    c = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
-    c = c.withColumn(
-        "n", F.sum("cnt").over(Window.partitionBy("doc_id"))
+    g = d1.select(
+        "doc_id",
+        F.size("grams").alias("n"),
+        F.explode("grams").alias("gram"),
+    )
+    c = g.groupBy("doc_id", "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
     p = F.col("cnt").cast("double") / F.col("n").cast("double")
     term = F.floor(-(p * F.log(p)) * _ENT_SCALE)
