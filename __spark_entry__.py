@@ -93,6 +93,8 @@ _GATE_PRIORITY = [
     "sim_topk_pq_rerank",
     "text_ngram_entropy",
     "corpus_zipf_slope",
+    "embed_random_projection",
+    "text_bpe_pair_counts",
     "text_tfidf_topk",
     # (b) r4-green, oracle text refactored in r5 (_emb_lsh_sql_prefix)
     "dedup_embedding_lsh",

@@ -1132,3 +1132,96 @@ select vec_id, scale,
        end max_err
 from d
 """
+
+
+# ---------------------------------------------- embed_random_projection
+RP_OUT_DIMS = 16  # projected dimensionality (64 → 16)
+
+
+@_q("embed_random_projection")
+def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection — the standard embedding
+    dim-reduction pass (64 → RP_OUT_DIMS) a pipeline runs before
+    LSH/clustering when the index must shrink: y_j = Σ_i sign(j,i)·x_i
+    with a dense ±1 sign matrix (Achlioptas-style; distances preserved
+    in expectation at 1/√k scale, which a consumer applies as a
+    constant).
+
+    Determinism: the sign matrix is md5-derived — sign(j,i) = +1 iff
+    the 60-bit integer fold of md5('rp:j:i') is even — so both engines
+    materialize the IDENTICAL matrix with no RNG; components accumulate
+    as 2^20-scaled bigints (sign flips are exact), and the final
+    s/2^20 is an exact exponent shift.
+
+    Scale: the sign matrix is k×64 = 1024 broadcast rows built from
+    range() (no data scan); the corpus side is one posexplode →
+    broadcast equi-join on the input dim → ONE (vec_id, out_dim)
+    map-side-combining hash aggregate. Output is N×k narrow rows —
+    never a wide shuffle of the original vectors."""
+    from duckdb_wasm_spark.operators._text import tok_hash60
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "vec_id",
+        "pos",
+        F.floor(F.col("v").cast("double") * _FP_SCALE).alias("sv"),
+    )
+    signs = (
+        spark.range(RP_OUT_DIMS * 64)
+        .select(
+            (F.col("id") % 64).cast("int").alias("pos"),
+            (F.col("id") / 64).cast("int").alias("out_dim"),
+        )
+        .select(
+            "pos",
+            "out_dim",
+            F.when(
+                tok_hash60(
+                    F.concat(
+                        F.lit("rp:"),
+                        F.col("out_dim").cast("string"),
+                        F.lit(":"),
+                        F.col("pos").cast("string"),
+                    )
+                )
+                % 2
+                == 0,
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .alias("sign"),
+        )
+    )
+    return (
+        comp.join(F.broadcast(signs), "pos")
+        .groupBy("vec_id", "out_dim")
+        .agg(
+            (
+                F.sum(F.col("sv") * F.col("sign")).cast("double")
+                / F.lit(float(_FP_SCALE))
+            ).alias("comp")
+        )
+    )
+
+
+ORACLE["embed_random_projection"] = f"""
+with comp as (
+  select vec_id, pos - 1 pos,
+         cast(floor(cast(v as double) * {_FP_SCALE}) as bigint) sv
+  from (select vec_id, unnest(embedding) v,
+               generate_subscripts(embedding, 1) pos
+        from embeddings)),
+signs as (
+  select cast(i % 64 as int) pos, cast(i // 64 as int) out_dim,
+         case when ('0x' || substr(md5('rp:' || cast(i // 64 as varchar)
+                    || ':' || cast(i % 64 as varchar)), 1, 15))::bigint
+                   % 2 = 0
+              then 1 else -1 end sign
+  from (select unnest(range(0, {RP_OUT_DIMS * 64})) i))
+select vec_id, out_dim,
+       cast(sum(sv * sign) as double) / {float(_FP_SCALE)} comp
+from comp join signs using (pos)
+group by vec_id, out_dim
+"""

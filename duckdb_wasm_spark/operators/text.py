@@ -863,3 +863,54 @@ select doc_id, cast(max(n) as bigint) n_grams,
 from t
 group by doc_id
 """
+
+
+# ----------------------------------------------------- text_bpe_pair_counts
+BPE_TOP_PAIRS = 20  # merge candidates reported (the first BPE iteration)
+
+
+@_q("text_bpe_pair_counts")
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first step of BPE vocabulary induction: corpus-wide adjacent
+    CHARACTER-pair frequencies, top BPE_TOP_PAIRS as merge candidates
+    (full BPE iterates merge→recount; the counting pass shown here is
+    the part that touches the 100 TB corpus — each later iteration
+    recounts over re-tokenized text with the same plan shape).
+
+    Plan: the pair ARRAY is built per row inside the generator
+    expression (substring over an index sequence — array construction
+    is the generator arg, so nothing re-evaluates per output row),
+    then ONE corpus-wide (pair) map-side-combining hash aggregate —
+    vocabulary-sized output — and a TOP-K by (count desc, pair asc),
+    which Spark executes as TakeOrderedAndProject, not a global sort.
+    Ties break on the pair so the cut is total in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    # substr(text, i, 2) with a COLUMN start needs expr(): the Python
+    # F.substring signature takes literal ints only
+    pairs = F.expr(
+        "transform(sequence(1, greatest(length(text) - 1, 1)), "
+        "i -> substr(text, i, 2))"
+    )
+    g = docs.where(F.length("text") >= 2).select(
+        F.explode(pairs).alias("pair")
+    )
+    return (
+        g.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(BPE_TOP_PAIRS)
+    )
+
+
+ORACLE["text_bpe_pair_counts"] = f"""
+with g as (
+  select unnest(list_transform(range(1, greatest(length(text), 1)),
+                i -> substr(text, i, 2))) pair
+  from documents
+  where length(text) >= 2)
+select pair, count(*) n
+from g
+group by pair
+order by n desc, pair asc
+limit {BPE_TOP_PAIRS}
+"""
