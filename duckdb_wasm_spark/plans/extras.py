@@ -937,27 +937,88 @@ ORACLE["extra_grouping"] = _GROUPING_COMBINED_SQL
 
 
 # ------------------------------------------------------- extra_stats
+def _rank_pick(which: str, p: float, out: str):
+    """Interpolated percentile from a cumulative histogram: the value at
+    0-based rank r is the smallest histogram value whose running count
+    reaches r+1; quantile_cont's rank is (n-1)*p, interpolated between
+    its floor and ceil ranks. Returns the (lo, hi, frac-interp) column."""
+    pos = (F.col("n_h") - 1).cast("double") * F.lit(p)
+    m = F.col("which") == which
+    lo = F.min(F.when(m & (F.col("cum") >= F.floor(pos).cast("bigint") + 1), F.col("v")))
+    hi = F.min(F.when(m & (F.col("cum") >= F.ceil(pos).cast("bigint") + 1), F.col("v")))
+    frac = F.max(F.when(m, pos - F.floor(pos)))
+    return (lo + (hi - lo) * frac).alias(out)
+
+
 @_q("extra_stats")
 def extra_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quantiles + deterministic Pearson correlation
-    per returnflag in ONE lineitem hash aggregate (combines the former
-    extra_quantiles / extra_corr; see those docstrings for the
-    engine-equivalence arguments — quantile interpolation verified
-    bit-equal, corr from exact decimal moments + one closed-form
-    double expression, rounded past the representable-ulp zone)."""
+    per returnflag (combines the former extra_quantiles / extra_corr)
+    in ONE scan and ONE sort.
+
+    Each lineitem row explodes into (which='qty', v=quantity,
+    other=price) and (which='price', v=price, other=quantity); a
+    row_number window over (flag, which) sorted by v assigns exact
+    ranks, and a single final aggregate computes BOTH the quantiles
+    (conditional-min rank pick with quantile_cont's (n-1)*p
+    interpolation) and the exact decimal moments — sxy comes from
+    sum(v·other) over the qty rows, so the joint moment never needs a
+    second scan. This replaces Spark's exact `percentile` aggregate,
+    which buffers every group value in executor memory — an OOM hazard
+    once a group holds billions of rows at 100 TB; the sort-based form
+    is the textbook distributed exact-quantile shape (the sort is
+    range-partitionable, the aggregate is hash-combining).
+
+    Interpolation is written out explicitly and the oracle carries the
+    identical expression text: DuckDB's quantile_cont differs from the
+    written-out form by 1 ulp at fractional ranks (measured
+    26913.252499999995 vs ...2525), so both engines run the same
+    explicit formula rather than their native aggregate. Moment values
+    are unchanged (decimal sums are associative-exact, so summing the
+    qty-rows of the exploded frame equals summing the base table).
+
+    corr from the exact decimal moments + one closed-form double
+    expression, rounded past the representable-ulp zone (unchanged)."""
     li = load_table(spark, sf_dir, "lineitem")
-    q, p = dec("l_quantity"), dec("l_extendedprice")
-    agg = li.groupBy("l_returnflag").agg(
-        F.percentile("l_quantity", 0.5).alias("med_qty"),
-        F.percentile("l_quantity", 0.9).alias("p90_qty"),
-        F.percentile("l_extendedprice", 0.25).alias("p25_price"),
-        F.count(F.lit(1)).alias("n"),
-        F.count(F.lit(1)).cast("double").alias("nd"),
-        F.sum(q).cast("double").alias("sx"),
-        F.sum(p).cast("double").alias("sy"),
-        F.sum(q * p).cast("double").alias("sxy"),
-        F.sum(q * q).cast("double").alias("sxx"),
-        F.sum(p * p).cast("double").alias("syy"),
+    ex = li.select(
+        "l_returnflag",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("qty").alias("which"),
+                    F.col("l_quantity").alias("v"),
+                    F.col("l_extendedprice").alias("other"),
+                ),
+                F.struct(
+                    F.lit("price").alias("which"),
+                    F.col("l_extendedprice").alias("v"),
+                    F.col("l_quantity").alias("other"),
+                ),
+            )
+        ).alias("s"),
+    ).select("l_returnflag", "s.which", "s.v", "s.other")
+    w = Window.partitionBy("l_returnflag", "which")
+    r = ex.select(
+        "l_returnflag",
+        "which",
+        "v",
+        "other",
+        F.row_number().over(w.orderBy("v")).alias("cum"),
+        F.count(F.lit(1)).over(w).alias("n_h"),
+    )
+    qty = F.col("which") == "qty"
+    v_d, o_d = dec("v"), dec("other")
+    agg = r.groupBy("l_returnflag").agg(
+        _rank_pick("qty", 0.5, "med_qty"),
+        _rank_pick("qty", 0.9, "p90_qty"),
+        _rank_pick("price", 0.25, "p25_price"),
+        F.sum(qty.cast("bigint")).alias("n"),
+        F.sum(qty.cast("bigint")).cast("double").alias("nd"),
+        F.sum(F.when(qty, v_d)).cast("double").alias("sx"),
+        F.sum(F.when(~qty, v_d)).cast("double").alias("sy"),
+        F.sum(F.when(qty, v_d * o_d)).cast("double").alias("sxy"),
+        F.sum(F.when(qty, v_d * v_d)).cast("double").alias("sxx"),
+        F.sum(F.when(~qty, v_d * v_d)).cast("double").alias("syy"),
     )
     corr = (agg["nd"] * agg["sxy"] - agg["sx"] * agg["sy"]) / (
         F.sqrt(agg["nd"] * agg["sxx"] - agg["sx"] * agg["sx"])
@@ -973,12 +1034,25 @@ def extra_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_rank_pick(which: str, p: float, out: str) -> str:
+    return f"""
+    min(case when which = '{which}'
+              and cum >= cast(floor((cast(n_h - 1 as double)) * {p}) as bigint) + 1
+             then v end)
+    + (min(case when which = '{which}'
+                 and cum >= cast(ceil((cast(n_h - 1 as double)) * {p}) as bigint) + 1
+                then v end)
+       - min(case when which = '{which}'
+                   and cum >= cast(floor((cast(n_h - 1 as double)) * {p}) as bigint) + 1
+                  then v end))
+      * max(case when which = '{which}'
+                 then (cast(n_h - 1 as double)) * {p}
+                      - floor((cast(n_h - 1 as double)) * {p}) end) {out}"""
+
+
 ORACLE["extra_stats"] = f"""
 with m as (
   select l_returnflag,
-         quantile_cont(l_quantity, 0.5) med_qty,
-         quantile_cont(l_quantity, 0.9) p90_qty,
-         quantile_cont(l_extendedprice, 0.25) p25_price,
          count(*) n,
          cast(count(*) as double) nd,
          cast(sum({sql_dec('l_quantity')}) as double) sx,
@@ -990,12 +1064,41 @@ with m as (
          cast(sum({sql_dec('l_extendedprice')} * {sql_dec('l_extendedprice')})
               as double) syy
   from lineitem
-  group by l_returnflag)
-select l_returnflag, med_qty, p90_qty, p25_price, n,
-       round((nd * sxy - sx * sy)
-             / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy)), 12)
+  group by l_returnflag),
+hist as (
+  select l_returnflag, l_quantity v, count(*) c
+  from lineitem group by l_returnflag, l_quantity),
+cum as (
+  select l_returnflag, 'qty' which, v,
+         sum(c) over (partition by l_returnflag order by v) cum,
+         sum(c) over (partition by l_returnflag) n_h
+  from hist),
+qq as (
+  select l_returnflag,
+         {_sql_rank_pick('qty', 0.5, 'med_qty')},
+         {_sql_rank_pick('qty', 0.9, 'p90_qty')}
+  from cum
+  group by l_returnflag),
+pr as (
+  select l_returnflag, 'price' which, l_extendedprice v,
+         row_number() over (partition by l_returnflag
+                            order by l_extendedprice) cum,
+         count(*) over (partition by l_returnflag) n_h
+  from lineitem),
+pq as (
+  select l_returnflag,
+         {_sql_rank_pick('price', 0.25, 'p25_price')}
+  from pr
+  group by l_returnflag),
+quant as (
+  select qq.l_returnflag, qq.med_qty, qq.p90_qty, pq.p25_price
+  from qq join pq on qq.l_returnflag = pq.l_returnflag)
+select q.l_returnflag, q.med_qty, q.p90_qty, q.p25_price, m.n,
+       round((m.nd * m.sxy - m.sx * m.sy)
+             / (sqrt(m.nd * m.sxx - m.sx * m.sx)
+                * sqrt(m.nd * m.syy - m.sy * m.sy)), 12)
          corr_qty_price
-from m
+from quant q join m on q.l_returnflag = m.l_returnflag
 """
 
 
