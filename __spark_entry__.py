@@ -88,6 +88,7 @@ def _registries():
 # head instead.
 _GATE_PRIORITY = [
     # (a) new / rewritten in round 6 — never gated in current form
+    "dedup_substring",  # new: exact-LCS substring dedup
     "extra_stats",  # quantiles rewritten: histogram/rank-pick, new oracle
     "sim_topk_ivf_trained",
     "sim_topk_pq",

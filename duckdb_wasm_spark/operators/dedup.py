@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from duckdb_wasm_spark.operators._text import (
+    ngrams_all,
     sql_tok_hash60,
     sql_toks,
     sql_trigrams,
@@ -1152,4 +1153,116 @@ hits as (
 select train_id, count(*) n_eval_matches, max(sim) max_sim
 from hits
 group by train_id
+"""
+
+
+# ----------------------------------------------------- dedup_substring
+DUP_SUBSTR_N = 12  # window width (tokens): the seed length for LCS runs
+
+
+@_q("dedup_substring")
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (the "Deduplicating Training Data Makes
+    Language Models Better" signal, Lee et al. 2021): for every doc
+    pair sharing at least one exact DUP_SUBSTR_N-token window, report
+    the EXACT length of their longest common token substring plus the
+    match-volume counters used to rank removal candidates.
+
+    Lee et al. build a single-machine suffix array — which does not
+    distribute. The scalable reformulation: positional windows
+    (doc_id, pos, 12-gram) → inverted-index posting lists keyed by
+    window text (pair expansion JVM-side from the posting array, the
+    dedup_ngram_jaccard round-4 shape — never all-pairs, and the
+    tokenize→window map runs ONCE) → matched (pa, pb) positions fall
+    on diagonals (diag = pa - pb); a run of consecutive pa on one
+    diagonal IS a common substring, recovered exactly with the
+    gap-and-islands trick (grp = pa - row_number), and
+    lcs_tokens = longest_run + N - 1.
+
+    Determinism: pure integer arithmetic end-to-end; islands are
+    well-defined because per (pair, diag) each pa appears exactly once
+    (pb = pa - diag is determined).
+
+    Scale (100 TB): cost follows true window collisions, not n² — a
+    12-token exact window is near-unique outside genuine reuse. The
+    skew hazard is boilerplate windows shared by millions of docs;
+    production adds the max_df stop-gram cap exactly as
+    dedup_ngram_jaccard_capped does (kept off here so the oracle
+    states the pure definition). The islands window shuffles by
+    (doc_a, doc_b, diag) — collision-bounded, never corpus-bounded."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        F.posexplode(ngrams_all(toks(), DUP_SUBSTR_N)).alias("pos0", "gram"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+    posts = w.groupBy("gram").agg(
+        F.collect_list(F.struct("doc_id", "pos")).alias("ds")
+    )
+    m = (
+        posts.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, x -> "
+                    "  transform(filter(ds, y -> x.doc_id < y.doc_id), "
+                    "            y -> struct(x.doc_id as doc_a, x.pos as pa,"
+                    "                        y.doc_id as doc_b, y.pos as pb"
+                    "))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b", "p.pa", "p.pb")
+        .withColumn("diag", F.col("pa") - F.col("pb"))
+    )
+    iw = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = (
+        m.withColumn("grp", F.col("pa") - F.row_number().over(iw))
+        .groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(F.count(F.lit(1)).alias("run"))
+    )
+    return runs.groupBy("doc_a", "doc_b").agg(
+        (F.max("run") + F.lit(DUP_SUBSTR_N - 1)).alias("lcs_tokens"),
+        F.count(F.lit(1)).alias("n_runs"),
+        F.sum("run").alias("n_window_matches"),
+    )
+
+
+def _sql_pos_ngrams(t: str, n: int) -> str:
+    """DuckDB positional NON-distinct n-grams as a struct list
+    [{pos (1-based), gram}] — the oracle-side mirror of
+    posexplode(ngrams_all(...)) + 1."""
+    gram = " || ' ' || ".join(
+        f"{t}[i+{j}]" if j else f"{t}[i]" for j in range(n)
+    )
+    return (
+        f"list_transform(range(1, greatest(len({t}) - {n - 2}, 1)), "
+        f"i -> {{'pos': i, 'gram': {gram}}})"
+    )
+
+
+ORACLE["dedup_substring"] = f"""
+with t as (select doc_id, {sql_toks('text')} toks from documents),
+w as (
+  select doc_id, u.s.pos pos, u.s.gram gram
+  from t, unnest({_sql_pos_ngrams('toks', DUP_SUBSTR_N)}) u(s)),
+m as (
+  select a.doc_id doc_a, b.doc_id doc_b, a.pos pa, b.pos pb,
+         a.pos - b.pos diag
+  from w a join w b using (gram)
+  where a.doc_id < b.doc_id),
+i as (
+  select doc_a, doc_b, diag, pa,
+         pa - row_number() over (partition by doc_a, doc_b, diag
+                                 order by pa) grp
+  from m),
+r as (
+  select doc_a, doc_b, diag, grp, count(*) run
+  from i group by doc_a, doc_b, diag, grp)
+select doc_a, doc_b,
+       cast(max(run) + {DUP_SUBSTR_N - 1} as bigint) lcs_tokens,
+       count(*) n_runs,
+       cast(sum(run) as bigint) n_window_matches
+from r
+group by doc_a, doc_b
 """

@@ -511,3 +511,38 @@ def test_pq_rerank_recall(spark, sf_dir):
     r_rr = len(rerank & brute) / len(brute)
     assert r_rr >= 0.8, f"PQ rerank recall {r_rr:.3f} < 0.8"
     assert r_rr > r_adc, f"rerank ({r_rr:.3f}) must beat ADC ({r_adc:.3f})"
+
+
+def test_dedup_substring_matches_python_lcs(spark, sf_dir):
+    """dedup_substring's lcs_tokens must equal a brute-force O(n·m)
+    longest-common-token-substring computed in Python on the raw texts
+    — pinning the windows+diagonal-islands reconstruction, for every
+    reported pair and for the N-window floor on unreported ones."""
+    from duckdb_wasm_spark.operators.dedup import DUP_SUBSTR_N
+    from duckdb_wasm_spark.tables import load_table
+
+    rows = dedup.QUERIES["dedup_substring"](spark, sf_dir).collect()
+    assert rows, "corpus has no exact-window duplicate pairs"
+    texts = {
+        r["doc_id"]: [t for t in r["text"].split(" ") if t]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+
+    def lcs(a, b):
+        prev = [0] * (len(b) + 1)
+        best = 0
+        for x in a:
+            cur = [0] * (len(b) + 1)
+            for j, y in enumerate(b, 1):
+                if x == y:
+                    cur[j] = prev[j - 1] + 1
+                    if cur[j] > best:
+                        best = cur[j]
+            prev = cur
+        return best
+
+    for r in rows:
+        expect = lcs(texts[r["doc_a"]], texts[r["doc_b"]])
+        assert r["lcs_tokens"] == expect, (r["doc_a"], r["doc_b"])
+        assert r["lcs_tokens"] >= DUP_SUBSTR_N
+        assert r["n_window_matches"] >= r["lcs_tokens"] - DUP_SUBSTR_N + 1
