@@ -744,3 +744,88 @@ select lang, n_terms,
          zipf_slope
 from agg
 """
+
+
+# ------------------------------------------------------ quality_buckets
+QB_BINS = 10  # fixed-width quality deciles over the score's [0,1] range
+
+
+@_q("quality_buckets")
+def quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score bucketing for curriculum / quality-weighted
+    sampling: assign every document to a FIXED-width decile of the
+    [0,1] quality score, then report per-bucket volume, the corpus
+    share, and the flattening resample weight (uniform-over-buckets /
+    actual share — the weight that equalizes bucket probability mass,
+    the standard quality-mixing move before temperature scaling).
+
+    Buckets are fixed thresholds, NOT rank deciles, deliberately: a
+    rank decile (ntile / percent_rank over a global order) funnels the
+    whole corpus through one sort partition — the exact anti-pattern a
+    100 TB pipeline can't run — and its boundaries drift with every
+    corpus revision. Fixed thresholds make bucket assignment a pure
+    map (zero shuffle before the 10-row aggregate) and keep bucket
+    meaning stable across corpus versions, which is what production
+    filters (CCNet perplexity cutoffs, Gopher quality bands) do.
+
+    Determinism: bucket = least(floor(quality·10), 9) is exact-double
+    in both engines (same formula text); shares/weights are one
+    division on integer-derived doubles, rounded to 12 decimals
+    (corpus_mix_weights policy).
+
+    Scale (100 TB): one narrow projection + one 10-row hash aggregate;
+    the normalizing window runs over the 10-row aggregate, never the
+    corpus."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = F.least(
+        F.floor(F.col("quality") * QB_BINS).cast("int"), F.lit(QB_BINS - 1)
+    )
+    agg = (
+        _scored(docs)
+        .select(b.alias("bucket"), "n_tokens", "quality")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("quality").alias("min_quality"),
+            F.max("quality").alias("max_quality"),
+        )
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    share = F.col("n_docs").cast("double") / F.sum("n_docs").over(w).cast(
+        "double"
+    )
+    return agg.select(
+        "bucket",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 12).alias("doc_share"),
+        F.round(F.lit(1.0 / QB_BINS) / share, 12).alias("flatten_weight"),
+        "min_quality",
+        "max_quality",
+    )
+
+
+ORACLE["quality_buckets"] = f"""
+with scored as ({_SQL_SCORED}),
+agg as (
+  select least(cast(floor(quality * {QB_BINS}) as int), {QB_BINS - 1}) bucket,
+         count(*) n_docs,
+         cast(sum(n_tokens) as bigint) n_tokens,
+         min(quality) min_quality,
+         max(quality) max_quality
+  from scored
+  group by 1)
+select bucket, n_docs, n_tokens,
+       round(cast(n_docs as double) / cast(sum(n_docs) over () as double), 12)
+         doc_share,
+       round({1.0 / QB_BINS}
+             / (cast(n_docs as double)
+                / cast(sum(n_docs) over () as double)), 12) flatten_weight,
+       min_quality, max_quality
+from agg
+"""
