@@ -90,6 +90,7 @@ _GATE_PRIORITY = [
     # (a) new / rewritten in round 6 — never gated in current form
     "dedup_substring",  # new: exact-LCS substring dedup
     "quality_buckets",  # new: fixed-decile quality bucketing
+    "sim_topk_ivfpq",  # new: IVF-PQ composite ANN
     "extra_stats",  # quantiles rewritten: histogram/rank-pick, new oracle
     "sim_topk_ivf_trained",
     "sim_topk_pq",

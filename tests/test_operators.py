@@ -546,3 +546,29 @@ def test_dedup_substring_matches_python_lcs(spark, sf_dir):
         assert r["lcs_tokens"] == expect, (r["doc_a"], r["doc_b"])
         assert r["lcs_tokens"] >= DUP_SUBSTR_N
         assert r["n_window_matches"] >= r["lcs_tokens"] - DUP_SUBSTR_N + 1
+
+
+def test_ivfpq_recall(spark, sf_dir):
+    """IVF-PQ composite gate: recall@5 vs sim_topk_brute must reach the
+    probed-cell ceiling region (>= 0.6, the sim_topk_ivf_trained gate)
+    and beat the untrained single-cell sim_topk_ivf — i.e. the PQ
+    compression inside cells must not cost recall once the exact
+    rerank runs. Measured at sf0.01: 0.692 (ivf_trained exact scan at
+    nprobe=3 gives 0.704)."""
+    from duckdb_wasm_spark.operators import similarity as S
+
+    def pairs(name):
+        return {
+            (r.query_id, r.neighbor_id)
+            for r in S.QUERIES[name](spark, sf_dir)
+            .select("query_id", "neighbor_id")
+            .collect()
+        }
+
+    brute = pairs("sim_topk_brute")
+    ivfpq = pairs("sim_topk_ivfpq")
+    single = pairs("sim_topk_ivf")
+    r = len(ivfpq & brute) / len(brute)
+    r_single = len(single & brute) / len(brute)
+    assert r >= 0.6, f"IVF-PQ recall {r:.3f} < 0.6"
+    assert r > r_single, f"IVF-PQ {r:.3f} <= single-cell IVF {r_single:.3f}"
