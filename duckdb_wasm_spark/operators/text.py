@@ -878,22 +878,27 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     recounts over re-tokenized text with the same plan shape).
 
     Plan: the pair ARRAY is built per row inside the generator
-    expression (substring over an index sequence — array construction
-    is the generator arg, so nothing re-evaluates per output row),
-    then ONE corpus-wide (pair) map-side-combining hash aggregate —
+    expression (char-split + shifted-slice zip — array construction is
+    the generator arg, so nothing re-evaluates per output row), then
+    ONE corpus-wide (pair) map-side-combining hash aggregate —
     vocabulary-sized output — and a TOP-K by (count desc, pair asc),
     which Spark executes as TakeOrderedAndProject, not a global sort.
     Ties break on the pair so the cut is total in both engines."""
     docs = load_table(spark, sf_dir, "documents")
-    # substr(text, i, 2) with a COLUMN start needs expr(): the Python
-    # F.substring signature takes literal ints only
-    pairs = F.expr(
-        "transform(sequence(1, greatest(length(text) - 1, 1)), "
-        "i -> substr(text, i, 2))"
+    # split-to-chars + shifted-slice zip, NOT substr(text, i, 2) per
+    # position: UTF8String substr walks from the string start, so the
+    # per-position form is O(len²) per document — measured 2.16s vs
+    # 1.13s at sf0.1 for the linear char-array form, identical output
+    d = docs.where(F.length("text") >= 2).select(
+        F.expr("split(text, '')").alias("cs")
     )
-    g = docs.where(F.length("text") >= 2).select(
-        F.explode(pairs).alias("pair")
+    m = F.greatest(F.size(F.col("cs")) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice("cs", 1, m),
+        F.slice(F.col("cs"), 2, m),
+        lambda x, y: F.concat(x, y),
     )
+    g = d.select(F.explode(pairs).alias("pair"))
     return (
         g.groupBy("pair")
         .agg(F.count(F.lit(1)).alias("n"))
