@@ -91,6 +91,7 @@ _GATE_PRIORITY = [
     "dedup_substring",  # new: exact-LCS substring dedup
     "quality_buckets",  # new: fixed-decile quality bucketing
     "sim_topk_ivfpq",  # new: IVF-PQ composite ANN
+    "embed_pca_power",  # new: matrix-free PCA power iteration
     "extra_stats",  # quantiles rewritten: histogram/rank-pick, new oracle
     "sim_topk_ivf_trained",
     "sim_topk_pq",

@@ -1405,3 +1405,147 @@ reranked as (
 select query_id, neighbor_id, rank, sim from reranked
 where rank <= {TOP_K}
 """
+
+
+# ------------------------------------------------------- embed_pca_power
+PCA_ITERS = 3  # fixed power-iteration count (deterministic spec)
+
+
+@_q("embed_pca_power")
+def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA top component by MATRIX-FREE power iteration —
+    the spectral direction an embedding pipeline uses for whitening,
+    ABTT ("all-but-the-top") post-processing, or drift monitoring.
+    Never materializes the 64×64 covariance: each iteration computes
+    y = Σ_rows (x−μ)·((x−μ)·v) as one broadcast of the 64-float v,
+    one riding dot product per row, and ONE (pos) map-side-combining
+    hash aggregate — the classic Krylov/matrix-free formulation, so
+    corpus cost is T linear passes however wide the cluster.
+
+    Determinism: μ is a 2^20 fixed-point exact mean (centroid-refine
+    arithmetic); each y term floors x_p·(x·v) to 2^20 fixed point
+    before the bigint sum (associative); normalization divides by the
+    same left-fold norm in both engines. v₀ = (1/8,…,1/8) (unit); T
+    fixed at PCA_ITERS, so the whole trajectory — not just the limit —
+    is the spec, and the oracle replays it bit-identically.
+
+    Scale (100 TB): per iteration the corpus contributes one narrow
+    (pos, term) aggregate (64 output rows); the only state between
+    iterations is a 64-float vector (localCheckpoint, like
+    _trained_centroids — without it iteration t re-runs every prior
+    pass). Convergence rate follows the spectral gap; production runs
+    T until the Rayleigh quotient stabilizes — the fixed-T form keeps
+    the oracle exact.
+
+    Measured at sf0.01: the synthetic embeddings are near-isotropic
+    (top eigenvalues 13.76/13.58/13.31 — gap ratio 0.987), so the
+    direction converges at 0.987^T and T=3 reaches Rayleigh quotient
+    0.795 of λ₁ (T=8: 0.95, but +5 corpus passes); the pytest gates
+    the Rayleigh capture, the right metric under a near-degenerate
+    spectrum (direction cosine is ill-conditioned there), at ≥ 0.75."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "pos", F.floor(F.col("v").cast("double") * _FP_SCALE).alias("sv")
+    )
+    mu = (
+        comp.groupBy("pos")
+        .agg(
+            (
+                F.sum("sv").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(float(_FP_SCALE))
+            ).alias("mu")
+        )
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mu"))),
+                lambda x: x["mu"],
+            ).alias("mu")
+        )
+    )
+    centered = emb.crossJoin(F.broadcast(mu)).select(
+        "vec_id",
+        F.zip_with(
+            "embedding", "mu", lambda x, m: x.cast("double") - m
+        ).alias("x"),
+    )
+    v = spark.range(1).select(
+        F.array(*[F.lit(0.125)] * 64).alias("v")
+    ).localCheckpoint()
+    for _ in range(PCA_ITERS):
+        s = centered.crossJoin(F.broadcast(v)).select(
+            "x", dot_fold(F.col("x"), F.col("v")).alias("s")
+        )
+        y = (
+            s.select(F.posexplode("x").alias("pos", "xp"), "s")
+            .select(
+                "pos",
+                F.floor(F.col("xp") * F.col("s") * _FP_SCALE).alias("t"),
+            )
+            .groupBy("pos")
+            .agg(
+                (F.sum("t").cast("double") / F.lit(float(_FP_SCALE))).alias(
+                    "y"
+                )
+            )
+        )
+        arr = y.groupBy().agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "y"))),
+                lambda e: e["y"],
+            ).alias("y")
+        )
+        v = arr.select(
+            F.transform(
+                "y",
+                lambda e: e / F.sqrt(dot_fold(F.col("y"), F.col("y"))),
+            ).alias("v")
+        ).localCheckpoint()
+    return v.select(F.posexplode("v").alias("pos", "loading"))
+
+
+def _sql_pca_iter(t: int) -> str:
+    """One oracle power-iteration step: dot with v{t}, fixed-point
+    (pos) sums, normalize to v{t+1}."""
+    return f"""
+s{t} as (
+  select x, {sql_dot('x', f'(select v from v{t})')} s from centered),
+y{t} as (
+  select pos - 1 pos,
+         sum(cast(floor(xp * s * {_FP_SCALE}) as bigint)) st
+  from (select s, unnest(x) xp, generate_subscripts(x, 1) pos from s{t})
+  group by 1),
+a{t} as (
+  select list(cast(st as double) / {float(_FP_SCALE)} order by pos) y
+  from y{t}),
+v{t + 1} as (
+  select list_transform(y, e -> e / sqrt({sql_dot('y', 'y')})) v
+  from a{t})"""
+
+
+ORACLE["embed_pca_power"] = f"""
+with comp as (
+  select pos - 1 pos,
+         cast(floor(cast(v as double) * {_FP_SCALE}) as bigint) sv
+  from (select unnest(embedding) v,
+               generate_subscripts(embedding, 1) pos
+        from embeddings)),
+mean as (
+  select pos, cast(sum(sv) as double) / cast(count(*) as double)
+              / {float(_FP_SCALE)} mu
+  from comp group by pos),
+muarr as (select list(mu order by pos) mu from mean),
+centered as (
+  select vec_id,
+         list_transform(list_zip(embedding, (select mu from muarr)),
+                        p -> cast(p[1] as double) - p[2]) x
+  from embeddings),
+v0 as (select list_transform(range(0, 64), i -> 0.125) v),
+{','.join(_sql_pca_iter(t) for t in range(PCA_ITERS))}
+select pos - 1 pos, loading
+from (select unnest(v) loading, generate_subscripts(v, 1) pos
+      from v{PCA_ITERS})
+"""

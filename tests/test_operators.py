@@ -572,3 +572,32 @@ def test_ivfpq_recall(spark, sf_dir):
     r_single = len(single & brute) / len(brute)
     assert r >= 0.6, f"IVF-PQ recall {r:.3f} < 0.6"
     assert r > r_single, f"IVF-PQ {r:.3f} <= single-cell IVF {r_single:.3f}"
+
+
+def test_pca_power_rayleigh(spark, sf_dir):
+    """embed_pca_power quality gate: the T=3 power-iteration vector
+    must capture >= 0.75 of the top eigenvalue's Rayleigh quotient on
+    the centered covariance (computed independently in numpy). The
+    synthetic spectrum is near-degenerate (gap ratio 0.987), so the
+    Rayleigh capture — not direction cosine — is the conditioned
+    metric; unit norm is asserted exactly."""
+    from duckdb_wasm_spark.operators import similarity as S
+    from duckdb_wasm_spark.tables import load_table
+
+    rows = S.QUERIES["embed_pca_power"](spark, sf_dir).collect()
+    v = np.array(
+        [r["loading"] for r in sorted(rows, key=lambda r: r["pos"])]
+    )
+    X = np.array(
+        [
+            r["embedding"]
+            for r in load_table(spark, sf_dir, "embeddings").collect()
+        ],
+        dtype=np.float64,
+    )
+    Xc = X - X.mean(0)
+    C = Xc.T @ Xc
+    top = np.linalg.eigvalsh(C)[-1]
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-9
+    ratio = float(v @ C @ v) / top
+    assert ratio >= 0.75, f"Rayleigh capture {ratio:.3f} < 0.75"
