@@ -569,6 +569,11 @@ def _trained_centroids(normed: DataFrame, iters: int = TRAIN_ITERS) -> DataFrame
         F.col("nrm").alias("nc"),
     )
     for _ in range(iters):
+        # NOTE: a max_by hash-agg argmax (the PQ nearest() trick) was
+        # measured here and REGRESSED (ivfpq 5.1s → 6.4s at sf0.1):
+        # unlike PQ's 4-float subvectors, the full 64-float embedding
+        # rides the aggregation buffer as any_value, which costs more
+        # than the window sort saves — the ranking window stays
         assigned = (
             _assign_cells(normed, cent)
             .where(F.col("arn") == 1)
