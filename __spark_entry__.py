@@ -92,6 +92,7 @@ _GATE_PRIORITY = [
     "quality_buckets",  # new: fixed-decile quality bucketing
     "sim_topk_ivfpq",  # new: IVF-PQ composite ANN
     "embed_pca_power",  # new: matrix-free PCA power iteration
+    "text_bpe_merge",  # new: full BPE merge iteration (count-merge-recount)
     "extra_stats",  # quantiles rewritten: histogram/rank-pick, new oracle
     "sim_topk_ivf_trained",
     "sim_topk_pq",

@@ -885,11 +885,21 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     which Spark executes as TakeOrderedAndProject, not a global sort.
     Ties break on the pair so the cut is total in both engines."""
     docs = load_table(spark, sf_dir, "documents")
-    # split-to-chars + shifted-slice zip, NOT substr(text, i, 2) per
-    # position: UTF8String substr walks from the string start, so the
-    # per-position form is O(len²) per document — measured 2.16s vs
-    # 1.13s at sf0.1 for the linear char-array form, identical output
-    d = docs.where(F.length("text") >= 2).select(
+    return (
+        _char_pair_counts(docs.select("text"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(BPE_TOP_PAIRS)
+    )
+
+
+def _char_pair_counts(frame: DataFrame) -> DataFrame:
+    """(pair, n) adjacent-char-pair counts of a `text` column.
+
+    split-to-chars + shifted-slice zip, NOT substr(text, i, 2) per
+    position: UTF8String substr walks from the string start, so the
+    per-position form is O(len²) per document — measured 2.16s vs
+    1.13s at sf0.1 for the linear char-array form, identical output."""
+    d = frame.where(F.length("text") >= 2).select(
         F.expr("split(text, '')").alias("cs")
     )
     m = F.greatest(F.size(F.col("cs")) - 1, F.lit(0))
@@ -898,12 +908,10 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(F.col("cs"), 2, m),
         lambda x, y: F.concat(x, y),
     )
-    g = d.select(F.explode(pairs).alias("pair"))
     return (
-        g.groupBy("pair")
+        d.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), F.col("pair").asc())
-        .limit(BPE_TOP_PAIRS)
     )
 
 
@@ -916,6 +924,75 @@ with g as (
 select pair, count(*) n
 from g
 group by pair
+order by n desc, pair asc
+limit {BPE_TOP_PAIRS}
+"""
+
+# --------------------------------------------------------- text_bpe_merge
+def _sql_pair_counts(src: str) -> str:
+    """DuckDB (pair, n) adjacent-char-pair counts over `src` (a CTE
+    with a text column) — oracle mirror of _char_pair_counts."""
+    return f"""
+  select pair, count(*) n from (
+    select unnest(list_transform(range(1, greatest(length(text), 1)),
+                  i -> substr(text, i, 2))) pair
+    from {src}
+    where length(text) >= 2)
+  group by pair"""
+
+
+@_q("text_bpe_merge")
+def text_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE full BPE induction iteration — count → pick the best merge →
+    APPLY it corpus-wide → recount: the loop body a distributed BPE
+    trainer runs per vocabulary entry (text_bpe_pair_counts is the
+    count half; this closes the loop). The winning pair (max count,
+    tie → pair asc, so the pick is total) is fused into the single
+    placeholder symbol chr(1) by greedy left-to-right non-overlapping
+    replace — exactly how BPE applies a merge — and the returned
+    top-BPE_TOP_PAIRS table of the NEXT iteration's candidates carries
+    the applied merge as merged_pair (pairs containing chr(1) are the
+    candidates that would extend it to a 3-char symbol).
+
+    Scale (100 TB): each iteration is two linear corpus passes (count,
+    recount-after-replace) + one vocabulary-sized TakeOrdered; the
+    winning pair is a broadcast single-row scalar (the allowlisted
+    crossJoin pattern), never a corpus shuffle. Real trainers amortize
+    by batching non-interacting merges per pass — same plan shape.
+
+    Determinism: counts are integers; replace() is greedy
+    left-to-right non-overlapping in both engines (overlapping runs
+    like 'aaa' fuse leftmost-first, the BPE rule)."""
+    docs = load_table(spark, sf_dir, "documents")
+    best = (
+        _char_pair_counts(docs.select("text"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(1)
+        .select(F.col("pair").alias("merged_pair"))
+    )
+    merged = docs.crossJoin(F.broadcast(best)).select(
+        "merged_pair",
+        F.expr("replace(text, merged_pair, chr(1))").alias("text"),
+    )
+    return (
+        _char_pair_counts(merged)
+        .crossJoin(F.broadcast(best))
+        .select("merged_pair", "pair", "n")
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(BPE_TOP_PAIRS)
+    )
+
+
+ORACLE["text_bpe_merge"] = f"""
+with c1 as ({_sql_pair_counts('documents')}),
+best as (
+  select pair merged_pair from c1 order by n desc, pair asc limit 1),
+m as (
+  select replace(text, (select merged_pair from best), chr(1)) as "text"
+  from documents),
+c2 as ({_sql_pair_counts('m')})
+select (select merged_pair from best) merged_pair, pair, n
+from c2
 order by n desc, pair asc
 limit {BPE_TOP_PAIRS}
 """
