@@ -93,6 +93,8 @@ _GATE_PRIORITY = [
     "sim_topk_ivfpq",  # new: IVF-PQ composite ANN
     "embed_pca_power",  # new: matrix-free PCA power iteration
     "text_bpe_merge",  # new: full BPE merge iteration (count-merge-recount)
+    "corpus_source_divergence",  # new: pairwise JS divergence between sources
+    "embed_abtt",  # new: all-but-the-top postprocessing
     "extra_stats",  # quantiles rewritten: histogram/rank-pick, new oracle
     "sim_topk_ivf_trained",
     "sim_topk_pq",

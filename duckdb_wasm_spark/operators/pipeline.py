@@ -829,3 +829,115 @@ select bucket, n_docs, n_tokens,
        min_quality, max_quality
 from agg
 """
+
+
+# ---------------------------------------------- corpus_source_divergence
+_JS_SCALE = 1 << 20  # fixed-point unit for deterministic JS-term sums
+
+
+@_q("corpus_source_divergence")
+def corpus_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the per-source token
+    unigram distributions — the corpus-drift / source-similarity
+    diagnostic used to spot near-duplicate crawls, schedule mixing, or
+    flag a source whose distribution shifted between snapshots.
+
+    JS(p,q) = ½·Σ p·ln(2p/(p+q)) + ½·Σ q·ln(2q/(p+q)); zero-count
+    terms contribute 0 (handled by a DENSE source×vocab grid with
+    zero-fill, so every pair sums over the identical support — no
+    outer-join asymmetry).
+
+    Determinism: counts are exact integers; each summand is floored to
+    2^20 fixed point before the bigint sum (associative), the policy
+    of text_ngram_entropy.
+
+    Scale (100 TB): the corpus contributes ONE (source, token)
+    map-side-combining hash aggregate — vocabulary×sources output
+    rows; the pairwise expansion joins the AGGREGATED grid to itself
+    on token (s_a < s_b), so pair cost is |vocab|·|sources|², never
+    corpus-sized. With a 100k-type vocabulary cap (standard), the grid
+    broadcasts."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.explode(toks()).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = counts.select("tok").distinct()
+    sources = counts.select("source").distinct()
+    dense = (
+        sources.crossJoin(vocab)
+        .join(counts, ["source", "tok"], "left")
+        .select(
+            "source",
+            "tok",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    tot = dense.groupBy("source").agg(F.sum("c").alias("n"))
+    dense = dense.join(tot, "source").select(
+        "source", "tok", (F.col("c").cast("double") / F.col("n")).alias("p")
+    )
+    a = dense.select(
+        F.col("source").alias("src_a"), "tok", F.col("p").alias("pa")
+    )
+    b = dense.select(
+        F.col("source").alias("src_b"), "tok", F.col("p").alias("pb")
+    )
+    m = (F.col("pa") + F.col("pb")) / F.lit(2.0)
+    term = (
+        F.when(
+            F.col("pa") > 0, F.col("pa") * F.log(F.col("pa") / m)
+        ).otherwise(F.lit(0.0))
+        + F.when(
+            F.col("pb") > 0, F.col("pb") * F.log(F.col("pb") / m)
+        ).otherwise(F.lit(0.0))
+    ) / F.lit(2.0)
+    return (
+        a.join(b, "tok")
+        .where(F.col("src_a") < F.col("src_b"))
+        .select(
+            "src_a",
+            "src_b",
+            F.floor(term * _JS_SCALE).alias("fp"),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(
+            (F.sum("fp").cast("double") / F.lit(float(_JS_SCALE))).alias(
+                "js_divergence"
+            )
+        )
+    )
+
+
+ORACLE["corpus_source_divergence"] = f"""
+with counts as (
+  select source, tok, count(*) c
+  from (select source, unnest({sql_toks('text')}) tok from documents)
+  group by source, tok),
+vocab as (select distinct tok from counts),
+sources as (select distinct source from counts),
+dense as (
+  select s.source, v.tok, coalesce(c.c, 0) c
+  from sources s
+  cross join vocab v
+  left join counts c on c.source = s.source and c.tok = v.tok),
+tot as (select source, sum(c) n from dense group by source),
+p as (
+  select d.source, d.tok, cast(d.c as double) / t.n p
+  from dense d join tot t on d.source = t.source),
+terms as (
+  select a.source src_a, b.source src_b,
+         cast(floor((
+           (case when a.p > 0
+                 then a.p * ln(a.p / ((a.p + b.p) / 2.0)) else 0.0 end)
+           + (case when b.p > 0
+                   then b.p * ln(b.p / ((a.p + b.p) / 2.0)) else 0.0 end)
+         ) / 2.0 * {_JS_SCALE}) as bigint) fp
+  from p a join p b on a.tok = b.tok
+  where a.source < b.source)
+select src_a, src_b,
+       cast(sum(fp) as double) / {float(_JS_SCALE)} js_divergence
+from terms
+group by src_a, src_b
+"""

@@ -1448,6 +1448,14 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.795 of λ₁ (T=8: 0.95, but +5 corpus passes); the pytest gates
     the Rayleigh capture, the right metric under a near-degenerate
     spectrum (direction cosine is ill-conditioned there), at ≥ 0.75."""
+    _, v = _pca_centered_top(spark, sf_dir)
+    return v.select(F.posexplode("v").alias("pos", "loading"))
+
+
+def _pca_centered_top(spark: SparkSession, sf_dir: str):
+    """(centered, v) — the fixed-point-centered frame and the T-iter
+    power-iteration top-component vector (1-row array frame); shared
+    by embed_pca_power and embed_abtt."""
     emb = load_table(spark, sf_dir, "embeddings")
     comp = emb.select(
         F.posexplode("embedding").alias("pos", "v")
@@ -1509,7 +1517,7 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda e: e / F.sqrt(dot_fold(F.col("y"), F.col("y"))),
             ).alias("v")
         ).localCheckpoint()
-    return v.select(F.posexplode("v").alias("pos", "loading"))
+    return centered, v
 
 
 def _sql_pca_iter(t: int) -> str:
@@ -1531,7 +1539,10 @@ v{t + 1} as (
   from a{t})"""
 
 
-ORACLE["embed_pca_power"] = f"""
+def _sql_pca_prefix() -> str:
+    """Oracle CTE chain through `centered` and v{PCA_ITERS} — shared
+    by embed_pca_power and embed_abtt."""
+    return f"""
 with comp as (
   select pos - 1 pos,
          cast(floor(cast(v as double) * {_FP_SCALE}) as bigint) sv
@@ -1549,8 +1560,63 @@ centered as (
                         p -> cast(p[1] as double) - p[2]) x
   from embeddings),
 v0 as (select list_transform(range(0, 64), i -> 0.125) v),
-{','.join(_sql_pca_iter(t) for t in range(PCA_ITERS))}
+{','.join(_sql_pca_iter(t) for t in range(PCA_ITERS))}"""
+
+
+ORACLE["embed_pca_power"] = f"""{_sql_pca_prefix()}
 select pos - 1 pos, loading
 from (select unnest(v) loading, generate_subscripts(v, 1) pos
       from v{PCA_ITERS})
+"""
+
+
+# ----------------------------------------------------------- embed_abtt
+@_q("embed_abtt")
+def embed_abtt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-top embedding post-processing (Mu & Viswanath 2018):
+    center, then remove the dominant principal direction — the cheap
+    isotropy fix that measurably improves cosine-similarity quality on
+    anisotropic embedding spaces. Consumes the matrix-free
+    embed_pca_power component: x' = x_c − (x_c·v)·v.
+
+    Output per vector: the removed projection and the norm before /
+    after (the energy accounting a pipeline logs to decide how many
+    components to strip). norm_after uses the exact-algebra identity
+    √(‖x‖² − p²) (v is unit) with the IDENTICAL formula text in the
+    oracle — materializing the corrected array instead would put the
+    riding proj expression inside a zip_with lambda, where Catalyst
+    inlines it back per element (the trigrams() re-evaluation trap,
+    ~64× the dot-product work; DuckDB's list_transform has the same
+    hazard).
+
+    Scale (100 TB): the PCA training cost (T linear passes) amortizes
+    over the whole corpus; the correction itself is a pure map with v
+    broadcast — zero shuffle, output is narrow scalars."""
+    centered, v = _pca_centered_top(spark, sf_dir)
+    nb = F.sqrt(dot_fold(F.col("x"), F.col("x")))
+    proj = dot_fold(F.col("x"), F.col("v"))
+    return (
+        centered.crossJoin(F.broadcast(v))
+        .select("vec_id", nb.alias("norm_before"), proj.alias("proj"))
+        .select(
+            "vec_id",
+            "norm_before",
+            "proj",
+            F.sqrt(
+                F.col("norm_before") * F.col("norm_before")
+                - F.col("proj") * F.col("proj")
+            ).alias("norm_after"),
+        )
+    )
+
+
+ORACLE["embed_abtt"] = f"""{_sql_pca_prefix()},
+corrected as (
+  select vec_id,
+         sqrt({sql_dot('x', 'x')}) norm_before,
+         {sql_dot('x', f'(select v from v{PCA_ITERS})')} proj
+  from centered)
+select vec_id, norm_before, proj,
+       sqrt(norm_before * norm_before - proj * proj) norm_after
+from corrected
 """
