@@ -26,6 +26,11 @@ BNLJ_ALLOWED = {
     "range_join_price_bands",  # 12-row derived band table broadcast
     "text_tfidf_topk",  # 1-row corpus-size scalar broadcast for idf
     "text_lm_score",  # 1-row vocab-size scalar broadcast for smoothing
+    "text_bpe_merge",  # 1-row winning-pair scalar broadcast (merge apply)
+    "embed_abtt",  # 1-row mean + 1-row component vector broadcasts
+    "corpus_source_divergence",  # dense sources×vocab grid: both sides
+    #   are POST-AGGREGATE frames (|sources| × |vocab types|), never the
+    #   corpus — the zero-fill support cross is the operator's design
 }
 
 # queries whose WHERE is selective on a scanned column — parquet scan
