@@ -132,6 +132,7 @@ def main() -> int:
         # DataFrame refs and force one JVM GC so the ContextCleaner
         # releases broadcast/localCheckpoint debris from the previous
         # query instead of letting it inflate the NEXT query's GC time.
+        df = None  # noqa: F841 — release the Dataset ref BEFORE the GC
         # At 107 queries the corpus measured 126.8s without this vs
         # 121.4s with it, with the recovery concentrated in the
         # late-corpus rows (dedup_embedding_lsh 4.69s → 3.18s) — the

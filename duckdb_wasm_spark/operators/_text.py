@@ -57,10 +57,20 @@ def ngrams(t: Column, n: int) -> Column:
     return F.array_distinct(acc)
 
 
+def sql_gram_concat(t: str, n: int) -> str:
+    """The n-token gram concatenation `t[i] || ' ' || t[i+1] …` — the
+    ONE source of truth for oracle-side gram construction (shared by
+    sql_ngrams / sql_ngrams_all / dedup's positional variant, so a
+    separator or bound change cannot silently fork the oracles)."""
+    return " || ' ' || ".join(
+        f"{t}[i+{j}]" if j else f"{t}[i]" for j in range(n)
+    )
+
+
 def sql_ngrams(t: str, n: int) -> str:
     """Same distinct n-gram SET in DuckDB (order differs; consumers are
     order-insensitive)."""
-    gram = " || ' ' || ".join(f"{t}[i+{j}]" if j else f"{t}[i]" for j in range(n))
+    gram = sql_gram_concat(t, n)
     return (
         f"list_distinct(list_transform("
         f"range(1, greatest(len({t}) - {n - 2}, 1)), i -> {gram}))"
@@ -92,7 +102,7 @@ def ngrams_all(t: Column, n: int) -> Column:
 def sql_ngrams_all(t: str, n: int) -> str:
     """Same NON-distinct n-gram list in DuckDB (range is exclusive, so
     range(1, len-(n-2)) enumerates the len-n+1 gram starts)."""
-    gram = " || ' ' || ".join(f"{t}[i+{j}]" if j else f"{t}[i]" for j in range(n))
+    gram = sql_gram_concat(t, n)
     return (
         f"list_transform(range(1, greatest(len({t}) - {n - 2}, 1)), "
         f"i -> {gram})"

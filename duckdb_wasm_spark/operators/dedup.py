@@ -1231,10 +1231,11 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_pos_ngrams(t: str, n: int) -> str:
     """DuckDB positional NON-distinct n-grams as a struct list
     [{pos (1-based), gram}] — the oracle-side mirror of
-    posexplode(ngrams_all(...)) + 1."""
-    gram = " || ' ' || ".join(
-        f"{t}[i+{j}]" if j else f"{t}[i]" for j in range(n)
-    )
+    posexplode(ngrams_all(...)) + 1. Gram text comes from the shared
+    sql_gram_concat fragment so it cannot fork from sql_ngrams_all."""
+    from duckdb_wasm_spark.operators._text import sql_gram_concat
+
+    gram = sql_gram_concat(t, n)
     return (
         f"list_transform(range(1, greatest(len({t}) - {n - 2}, 1)), "
         f"i -> {{'pos': i, 'gram': {gram}}})"

@@ -1024,10 +1024,10 @@ def _pq_adc_sql(restrict_ctes: str | None = None) -> str:
     if restrict_ctes:
         adc = f"""{restrict_ctes},
 adc as (
-  select c2.query_id, c2.neighbor_id, sum(qd.d2fp) adc_fp
-  from cand c2
-  join codes on codes.vec_id = c2.neighbor_id
-  join qd on qd.query_id = c2.query_id
+  select cd.query_id, cd.neighbor_id, sum(qd.d2fp) adc_fp
+  from cand cd
+  join codes on codes.vec_id = cd.neighbor_id
+  join qd on qd.query_id = cd.query_id
          and qd.m = codes.m and qd.c_id = codes.c_id
   group by 1, 2)"""
     else:
@@ -1326,8 +1326,11 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     loops are 2^20 fixed-point exact; ADC sums are bigint; the oracle
     replays coarse + product codebooks bit-identically.
 
-    Cost note (sf0.1, local[32], steady state): 5.1s vs the DuckDB
-    oracle's 2.6s (~2.0×) — the gap is the ~30 sequential stage rounds
+    Cost note (sf0.1, local[32]): 5.1s isolated steady-state vs the
+    DuckDB oracle's 2.6s; in the committed 105-query ORACLE_BENCH
+    corpus it reads 7.0s vs 2.8s (~2.5× — the in-corpus number carries
+    session-neighborhood JVM state on top of the isolated floor). The
+    gap is the ~30 sequential stage rounds
     of the two training chains (coarse Lloyd ×2 + PQ Lloyd ×1 +
     checkpoints), each a fixed scheduling round flat in corpus size;
     the corpus-proportional work (encode, ADC, rerank) is the same
@@ -1602,9 +1605,17 @@ def embed_abtt(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "norm_before",
             "proj",
+            # greatest(…, 0): rounding in the separately-folded proj /
+            # norm can push proj² an ulp past norm² for a vector nearly
+            # parallel to v — unclamped, Spark emits NaN while DuckDB's
+            # sqrt hard-errors on the negative; both engines clamp with
+            # the same text
             F.sqrt(
-                F.col("norm_before") * F.col("norm_before")
-                - F.col("proj") * F.col("proj")
+                F.greatest(
+                    F.col("norm_before") * F.col("norm_before")
+                    - F.col("proj") * F.col("proj"),
+                    F.lit(0.0),
+                )
             ).alias("norm_after"),
         )
     )
@@ -1617,6 +1628,7 @@ corrected as (
          {sql_dot('x', f'(select v from v{PCA_ITERS})')} proj
   from centered)
 select vec_id, norm_before, proj,
-       sqrt(norm_before * norm_before - proj * proj) norm_after
+       sqrt(greatest(norm_before * norm_before - proj * proj, 0.0))
+         norm_after
 from corrected
 """

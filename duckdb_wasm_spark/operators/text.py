@@ -915,18 +915,7 @@ def _char_pair_counts(frame: DataFrame) -> DataFrame:
     )
 
 
-ORACLE["text_bpe_pair_counts"] = f"""
-with g as (
-  select unnest(list_transform(range(1, greatest(length(text), 1)),
-                i -> substr(text, i, 2))) pair
-  from documents
-  where length(text) >= 2)
-select pair, count(*) n
-from g
-group by pair
-order by n desc, pair asc
-limit {BPE_TOP_PAIRS}
-"""
+
 
 # --------------------------------------------------------- text_bpe_merge
 def _sql_pair_counts(src: str) -> str:
@@ -939,6 +928,15 @@ def _sql_pair_counts(src: str) -> str:
     from {src}
     where length(text) >= 2)
   group by pair"""
+
+
+ORACLE["text_bpe_pair_counts"] = f"""
+with g as ({_sql_pair_counts('documents')})
+select pair, n
+from g
+order by n desc, pair asc
+limit {BPE_TOP_PAIRS}
+"""
 
 
 @_q("text_bpe_merge")
