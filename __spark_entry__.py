@@ -100,6 +100,8 @@ _GATE_PRIORITY = [
     "text_bpe_merge",  # new: full BPE merge iteration (count-merge-recount)
     "corpus_source_divergence",  # new: pairwise JS divergence between sources
     "embed_abtt",  # new: all-but-the-top postprocessing
+    "dedup_containment",  # new: asymmetric containment near-dup
+    "extra_lateral",  # new: correlated LATERAL subquery
     "extra_stats",  # quantiles rewritten: histogram/rank-pick, new oracle
     "sim_topk_ivf_trained",
     "sim_topk_pq",

@@ -1267,3 +1267,88 @@ select doc_a, doc_b,
 from r
 group by doc_a, doc_b
 """
+
+
+# -------------------------------------------------- dedup_containment
+CONTAINMENT_THRESHOLD = 0.5  # max(|A∩B|/|A|, |A∩B|/|B|) cut
+
+
+@_q("dedup_containment")
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT near-dup pairs: c(A→B) = |A∩B| / |A| over
+    distinct trigram shingles, keeping pairs where either direction
+    reaches CONTAINMENT_THRESHOLD. Containment catches the
+    subset-duplicate class Jaccard structurally misses — a short doc
+    quoted whole inside a long one has tiny Jaccard (union is
+    long-doc-sized) but containment ≈ 1 from the short side; C4 /
+    RealNews-style curation dedups on exactly this signal.
+
+    Plan shape: identical to dedup_ngram_jaccard's posting lists (one
+    shingle pass, one shuffle by gram, JVM-side pair expansion with
+    both set sizes riding the posting struct) — only the final measure
+    differs, so every scale property (collision-bounded cost, max_df
+    cap as the stop-gram guard) carries over unchanged.
+
+    Determinism: integer counts; the two divisions are single IEEE
+    ops, and the threshold compares each direction separately (no
+    float max needed in the filter; the output max is one
+    greatest())."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = _gram_arrays(docs).select(
+        "doc_id",
+        F.size("grams").alias("n"),
+        F.explode("grams").alias("gram"),
+    )
+    posts = grams.groupBy("gram").agg(
+        F.collect_list(F.struct("doc_id", "n")).alias("ds")
+    )
+    pairs = posts.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, x -> "
+                "  transform(filter(ds, y -> x.doc_id < y.doc_id), "
+                "            y -> struct(x.doc_id as doc_a, x.n as n_a,"
+                "                        y.doc_id as doc_b, y.n as n_b"
+                "))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b", "p.n_a", "p.n_b")
+    inter = pairs.groupBy("doc_a", "doc_b", "n_a", "n_b").agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+    c_ab = F.col("n_common").cast("double") / F.col("n_a").cast("double")
+    c_ba = F.col("n_common").cast("double") / F.col("n_b").cast("double")
+    return (
+        inter.where(
+            (c_ab >= CONTAINMENT_THRESHOLD) | (c_ba >= CONTAINMENT_THRESHOLD)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            c_ab.alias("containment_ab"),
+            c_ba.alias("containment_ba"),
+            F.greatest(c_ab, c_ba).alias("containment"),
+        )
+    )
+
+
+ORACLE["dedup_containment"] = f"""
+with grams as ({_SQL_GRAM_SETS}),
+sizes as (select doc_id, count(*) n from grams group by 1),
+inter as (
+  select a.doc_id doc_a, b.doc_id doc_b, count(*) n_common
+  from grams a join grams b on a.gram = b.gram and a.doc_id < b.doc_id
+  group by 1, 2),
+m as (
+  select doc_a, doc_b,
+         cast(n_common as double) / cast(sa.n as double) containment_ab,
+         cast(n_common as double) / cast(sb.n as double) containment_ba
+  from inter
+  join sizes sa on doc_a = sa.doc_id
+  join sizes sb on doc_b = sb.doc_id)
+select doc_a, doc_b, containment_ab, containment_ba,
+       greatest(containment_ab, containment_ba) containment
+from m
+where containment_ab >= {CONTAINMENT_THRESHOLD}
+   or containment_ba >= {CONTAINMENT_THRESHOLD}
+"""

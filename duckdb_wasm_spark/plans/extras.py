@@ -1207,3 +1207,30 @@ _REGISTERED = (
 )
 QUERIES = {k: ALL_QUERIES[k] for k in _REGISTERED}
 ORACLE = {k: ALL_ORACLE[k] for k in _REGISTERED}
+
+
+# ----------------------------------------------------- extra_lateral
+_LATERAL_SQL = """
+select n.n_name, l.c_name, l.c_acctbal
+from nation n, lateral (
+  select c_name, c_acctbal from customer c
+  where c.c_nationkey = n.n_nationkey
+  order by c_acctbal desc, c_name asc limit 2) l
+"""
+
+
+@_q("extra_lateral")
+def extra_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-2 customers per nation by
+    account balance, ties on name so the pick is total) — the
+    per-row-subquery surface DuckDB and Spark 4 both speak natively.
+    Same SQL text in both engines; Spark plans the correlated LIMIT as
+    a ranked window under the hood (DecorrelateInnerQuery), so the
+    execution is one customer shuffle by nationkey + per-key top-k —
+    no per-outer-row re-execution at any scale."""
+    for t in ("nation", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_LATERAL_SQL)
+
+
+ORACLE["extra_lateral"] = _LATERAL_SQL
