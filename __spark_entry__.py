@@ -102,6 +102,7 @@ _GATE_PRIORITY = [
     "embed_abtt",  # new: all-but-the-top postprocessing
     "dedup_containment",  # new: asymmetric containment near-dup
     "extra_lateral",  # new: correlated LATERAL subquery
+    "events_stream_tumbling",  # new: REAL streaming execution, driver-gated
     "extra_stats",  # quantiles rewritten: histogram/rank-pick, new oracle
     "sim_topk_ivf_trained",
     "sim_topk_pq",

@@ -349,3 +349,75 @@ select hour_start, event_type, n, z,
        coalesce(abs(z) > {ANOM_Z}, false) is_anomaly
 from z
 """
+
+
+# ------------------------------------------------- events_stream_tumbling
+@_q("events_stream_tumbling")
+def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events_tumbling aggregate run THROUGH the Structured
+    Streaming engine — readStream file source over the same parquet,
+    groupBy(window(ts, 1h), type), complete-mode memory sink, ONE
+    AvailableNow trigger — then the sink table is returned and
+    hash-checked against the same batch SQL oracle. This is the
+    registered proof that the incremental operator graph computes the
+    batch answer (the stream ≡ batch law the pytest suite pins for
+    watermarks/state is here gated by the driver on real streaming
+    execution, not a batch stand-in).
+
+    Complete output mode deliberately: append mode only emits windows
+    the watermark has closed, so a static file's LAST window would be
+    withheld and the result could never equal the batch oracle;
+    complete mode emits the full aggregation state after the final
+    micro-batch, which for a finite source IS the batch result.
+
+    Scale (100 TB / production): the same graph runs unbounded with
+    update mode + a watermark (see streaming/live.py for the
+    state-eviction tests); AvailableNow is the standard backfill
+    trigger — process everything available as micro-batches, then
+    stop. Memory sink is the gate harness; a real deployment writes
+    to a table sink.
+
+    Determinism: window boundaries are epoch-integer arithmetic;
+    sums follow the decimal policy; micro-batch count does not affect
+    the final complete-mode state (aggregation is associative)."""
+    ev = load_table(spark, sf_dir, "events")
+    # the file source needs a DIRECTORY; pathGlobFilter restricts the
+    # multi-table sf_dir to the events file
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(dec("value")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    name = "events_stream_tumbling_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+ORACLE["events_stream_tumbling"] = f"""
+select time_bucket(interval 1 hour, ts) window_start,
+       event_type,
+       count(*) n,
+       {sql_dsum(sql_dec('value'))} sum_value
+from events
+group by 1, 2
+"""
