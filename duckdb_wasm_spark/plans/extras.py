@@ -1234,3 +1234,9 @@ def extra_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["extra_lateral"] = _LATERAL_SQL
+
+
+# extra_lateral is defined AFTER the ALL_QUERIES/ALL_ORACLE snapshot —
+# mirror it into the pytest corpus so the registered set stays a subset
+ALL_QUERIES["extra_lateral"] = QUERIES["extra_lateral"]
+ALL_ORACLE["extra_lateral"] = ORACLE["extra_lateral"]
