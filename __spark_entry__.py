@@ -103,6 +103,7 @@ _GATE_PRIORITY = [
     "dedup_containment",  # new: asymmetric containment near-dup
     "extra_lateral",  # new: correlated LATERAL subquery
     "events_stream_tumbling",  # new: REAL streaming execution, driver-gated
+    "dedup_winnowing",  # new: MOSS winnowing fingerprint candidates
     "extra_stats",  # quantiles rewritten: histogram/rank-pick, new oracle
     "sim_topk_ivf_trained",
     "sim_topk_pq",

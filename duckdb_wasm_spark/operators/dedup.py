@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 
 from duckdb_wasm_spark.operators._text import (
     ngrams_all,
+    sql_ngrams_all,
     sql_tok_hash60,
     sql_toks,
     sql_trigrams,
@@ -1351,4 +1352,83 @@ select doc_a, doc_b, containment_ab, containment_ba,
 from m
 where containment_ab >= {CONTAINMENT_THRESHOLD}
    or containment_ba >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------- dedup_winnowing
+WIN_K = 5  # gram width in tokens
+WIN_W = 4  # winnowing window in consecutive gram hashes
+
+
+@_q("dedup_winnowing")
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    scheme): hash every WIN_K-token gram, keep the MINIMUM hash of
+    each WIN_W-wide window of consecutive gram hashes, and report doc
+    pairs sharing fingerprints. The winnowing guarantee: any shared
+    token run of length ≥ WIN_K + WIN_W − 1 (= 8 here) is caught by at
+    least one shared fingerprint — so this is the SAMPLED companion to
+    dedup_substring's exhaustive window index, with the index ~1/W the
+    size (what production plagiarism/near-dup systems actually ship at
+    scale; the LCS pass then runs only on winnowing candidates).
+
+    Determinism: hashes are the md5-derived 60-bit fold (engine-
+    identical); window minima are pure integer least(); the distinct
+    fingerprint SET makes pair counts order-independent.
+
+    Plan: per-row array pipeline (grams → hashes → shifted-slice zip
+    minima → distinct) entirely inside codegen — the token and hash
+    arrays are MATERIALIZED columns before any lambda touches them
+    (trigrams() re-evaluation trap) — then one explode + the standard
+    posting-list pair expansion. Same collision-bounded scale story as
+    every inverted index here; the min-sampling cuts posting volume
+    ~W× before the shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = (
+        docs.withColumn("_t", toks())
+        .select("doc_id", ngrams_all(F.col("_t"), WIN_K).alias("grams"))
+        .select(
+            "doc_id",
+            F.transform("grams", lambda g: tok_hash60(g)).alias("hs"),
+        )
+    )
+    m = F.greatest(F.size("hs") - (WIN_W - 1), F.lit(0))
+    acc = F.slice("hs", 1, m)
+    for j in range(1, WIN_W):
+        acc = F.zip_with(
+            acc, F.slice(F.col("hs"), j + 1, m), lambda x, y: F.least(x, y)
+        )
+    fps = d.select("doc_id", F.explode(F.array_distinct(acc)).alias("fp"))
+    posts = fps.groupBy("fp").agg(F.collect_list("doc_id").alias("ds"))
+    pairs = posts.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, x -> "
+                "  transform(filter(ds, y -> x < y), "
+                "            y -> struct(x as doc_a, y as doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    return pairs.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("n_shared_fp")
+    )
+
+
+ORACLE["dedup_winnowing"] = f"""
+with t as (select doc_id, {sql_toks('text')} toks from documents),
+g as (select doc_id, {sql_ngrams_all('toks', WIN_K)} grams from t),
+h as (
+  select doc_id,
+         list_transform(grams, x -> {sql_tok_hash60('x')}) hs
+  from g),
+m as (
+  select doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(hs) - {WIN_W - 2}, 1)),
+           i -> least({', '.join(f'hs[i+{j}]' for j in range(WIN_W))}))) fps
+  from h),
+e as (select doc_id, unnest(fps) fp from m)
+select a.doc_id doc_a, b.doc_id doc_b, count(*) n_shared_fp
+from e a join e b on a.fp = b.fp and a.doc_id < b.doc_id
+group by 1, 2
 """

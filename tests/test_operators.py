@@ -601,3 +601,20 @@ def test_pca_power_rayleigh(spark, sf_dir):
     assert abs(np.linalg.norm(v) - 1.0) < 1e-9
     ratio = float(v @ C @ v) / top
     assert ratio >= 0.75, f"Rayleigh capture {ratio:.3f} < 0.75"
+
+
+def test_winnowing_guarantee_covers_substring_pairs(spark, sf_dir):
+    """Winnowing theorem, empirically pinned: every doc pair sharing an
+    exact token run >= WIN_K + WIN_W - 1 (= 8; dedup_substring pairs
+    share >= 12) must share at least one winnowing fingerprint — the
+    sampled index may only ADD candidates, never lose a true one."""
+    sub = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.QUERIES["dedup_substring"](spark, sf_dir).collect()
+    }
+    win = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.QUERIES["dedup_winnowing"](spark, sf_dir).collect()
+    }
+    assert sub, "corpus has no exact-window duplicate pairs"
+    assert sub <= win, f"winnowing lost true pairs: {sorted(sub - win)[:5]}"
