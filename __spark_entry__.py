@@ -86,11 +86,12 @@ def _registries():
 # list with (a) anything rewritten in round 7, then (b) the r5-green
 # corpus (oldest rows first).  If any r6 row is RED, keep it at the
 # head instead.  Note the r6 head grew mid-round: the continuation
-# session added 8 never-gated names (dedup_substring, quality_buckets,
+# session added 12 never-gated names (dedup_substring, quality_buckets,
 # sim_topk_ivfpq, embed_pca_power, text_bpe_merge,
-# corpus_source_divergence, embed_abtt, plus the extra_stats rewrite)
-# — if the r6 window cut off the tail of tier (b''), those tail names
-# lead tier (b) next round.
+# corpus_source_divergence, embed_abtt, dedup_containment,
+# extra_lateral, events_stream_tumbling, dedup_winnowing, plus the
+# extra_stats rewrite) — if the r6 window cut off the tail of tier
+# (b''), those tail names lead tier (b) next round.
 _GATE_PRIORITY = [
     # (a) new / rewritten in round 6 — never gated in current form
     "dedup_substring",  # new: exact-LCS substring dedup

@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 
 from duckdb_wasm_spark.operators._text import (
     ngrams_all,
+    sql_gram_concat,
     sql_ngrams_all,
     sql_tok_hash60,
     sql_toks,
@@ -118,6 +119,37 @@ def _gram_sets(docs: DataFrame) -> DataFrame:
     )
 
 
+def _posting_pair_overlaps(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_a, n_b, n_common) over distinct trigram
+    shingles via inverted-index posting lists: |set| rides along
+    inside the posting struct (the trigram array is already distinct)
+    so no separate size aggregate; per-gram candidate pairs expand
+    JVM-side from the posting array. SHARED by dedup_ngram_jaccard
+    (uncapped) and dedup_containment — one pipeline, two measures."""
+    grams = _gram_arrays(docs).select(
+        "doc_id",
+        F.size("grams").alias("n"),
+        F.explode("grams").alias("gram"),
+    )
+    posts = grams.groupBy("gram").agg(
+        F.collect_list(F.struct("doc_id", "n")).alias("ds")
+    )
+    pairs = posts.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, x -> "
+                "  transform(filter(ds, y -> x.doc_id < y.doc_id), "
+                "            y -> struct(x.doc_id as doc_a, x.n as n_a,"
+                "                        y.doc_id as doc_b, y.n as n_b"
+                "))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b", "p.n_a", "p.n_b")
+    return pairs.groupBy("doc_a", "doc_b", "n_a", "n_b").agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+
+
 @_q("dedup_ngram_jaccard")
 def dedup_ngram_jaccard(
     spark: SparkSession, sf_dir: str, max_df: int | None = None
@@ -149,30 +181,7 @@ def dedup_ngram_jaccard(
     (2.73s)."""
     docs = load_table(spark, sf_dir, "documents")
     if max_df is None:
-        # |set| rides along inside the posting struct (the trigram
-        # array is already distinct) — no separate size aggregate
-        grams = _gram_arrays(docs).select(
-            "doc_id",
-            F.size("grams").alias("n"),
-            F.explode("grams").alias("gram"),
-        )
-        posts = grams.groupBy("gram").agg(
-            F.collect_list(F.struct("doc_id", "n")).alias("ds")
-        )
-        pairs = posts.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ds, x -> "
-                    "  transform(filter(ds, y -> x.doc_id < y.doc_id), "
-                    "            y -> struct(x.doc_id as doc_a, x.n as n_a,"
-                    "                        y.doc_id as doc_b, y.n as n_b"
-                    "))))"
-                )
-            ).alias("p")
-        ).select("p.doc_a", "p.doc_b", "p.n_a", "p.n_b")
-        inter = pairs.groupBy("doc_a", "doc_b", "n_a", "n_b").agg(
-            F.count(F.lit(1)).alias("n_common")
-        )
+        inter = _posting_pair_overlaps(docs)
     else:
         # Set sizes CANNOT ride along here: the measure is Jaccard over
         # the CAPPED shingle sets (the registered capped oracle sizes
@@ -234,13 +243,17 @@ _SQL_GRAM_SETS = f"""
         from documents)
 """
 
-ORACLE["dedup_ngram_jaccard"] = f"""
+# shared oracle prefix: distinct-shingle sets → per-doc sizes →
+# pairwise intersection counts (consumed by jaccard AND containment)
+_SQL_PAIR_OVERLAPS = f"""
 with grams as ({_SQL_GRAM_SETS}),
 sizes as (select doc_id, count(*) n from grams group by 1),
 inter as (
   select a.doc_id doc_a, b.doc_id doc_b, count(*) n_common
   from grams a join grams b on a.gram = b.gram and a.doc_id < b.doc_id
-  group by 1, 2)
+  group by 1, 2)"""
+
+ORACLE["dedup_ngram_jaccard"] = f"""{_SQL_PAIR_OVERLAPS}
 select doc_a, doc_b,
        cast(n_common as double) / (sa.n + sb.n - n_common) jaccard
 from inter
@@ -1234,8 +1247,6 @@ def _sql_pos_ngrams(t: str, n: int) -> str:
     [{pos (1-based), gram}] — the oracle-side mirror of
     posexplode(ngrams_all(...)) + 1. Gram text comes from the shared
     sql_gram_concat fragment so it cannot fork from sql_ngrams_all."""
-    from duckdb_wasm_spark.operators._text import sql_gram_concat
-
     gram = sql_gram_concat(t, n)
     return (
         f"list_transform(range(1, greatest(len({t}) - {n - 2}, 1)), "
@@ -1295,28 +1306,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     float max needed in the filter; the output max is one
     greatest())."""
     docs = load_table(spark, sf_dir, "documents")
-    grams = _gram_arrays(docs).select(
-        "doc_id",
-        F.size("grams").alias("n"),
-        F.explode("grams").alias("gram"),
-    )
-    posts = grams.groupBy("gram").agg(
-        F.collect_list(F.struct("doc_id", "n")).alias("ds")
-    )
-    pairs = posts.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ds, x -> "
-                "  transform(filter(ds, y -> x.doc_id < y.doc_id), "
-                "            y -> struct(x.doc_id as doc_a, x.n as n_a,"
-                "                        y.doc_id as doc_b, y.n as n_b"
-                "))))"
-            )
-        ).alias("p")
-    ).select("p.doc_a", "p.doc_b", "p.n_a", "p.n_b")
-    inter = pairs.groupBy("doc_a", "doc_b", "n_a", "n_b").agg(
-        F.count(F.lit(1)).alias("n_common")
-    )
+    inter = _posting_pair_overlaps(docs)
     c_ab = F.col("n_common").cast("double") / F.col("n_a").cast("double")
     c_ba = F.col("n_common").cast("double") / F.col("n_b").cast("double")
     return (
@@ -1333,13 +1323,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE["dedup_containment"] = f"""
-with grams as ({_SQL_GRAM_SETS}),
-sizes as (select doc_id, count(*) n from grams group by 1),
-inter as (
-  select a.doc_id doc_a, b.doc_id doc_b, count(*) n_common
-  from grams a join grams b on a.gram = b.gram and a.doc_id < b.doc_id
-  group by 1, 2),
+ORACLE["dedup_containment"] = f"""{_SQL_PAIR_OVERLAPS},
 m as (
   select doc_a, doc_b,
          cast(n_common as double) / cast(sa.n as double) containment_ab,

@@ -1185,30 +1185,6 @@ group by user_id
 """
 
 
-# =====================================================================
-# Registry split: ALL_QUERIES/ALL_ORACLE carry every query above (the
-# pytest parity corpus — tests/test_extras.py walks this); QUERIES/
-# ORACLE export only the driver-registered consolidated set.
-# =====================================================================
-ALL_QUERIES: dict = dict(QUERIES)
-ALL_ORACLE: dict[str, str] = dict(ORACLE)
-
-_REGISTERED = (
-    "extra_windows",        # rank + lag + frames
-    "extra_set_ops",        # union all + intersect + except all
-    "extra_grouping",       # rollup + cube + grouping sets + bool/argmax
-    "extra_string_fns",     # string + regex corpus
-    "extra_date_fns",
-    "extra_stats",          # quantiles + corr
-    "extra_string_aggs",    # listagg + array corpus
-    "extra_pivot_json",     # pivot + JSON extraction
-    "extra_full_outer",
-    "extra_recursive_walk",
-)
-QUERIES = {k: ALL_QUERIES[k] for k in _REGISTERED}
-ORACLE = {k: ALL_ORACLE[k] for k in _REGISTERED}
-
-
 # ----------------------------------------------------- extra_lateral
 _LATERAL_SQL = """
 select n.n_name, l.c_name, l.c_acctbal
@@ -1236,7 +1212,26 @@ def extra_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["extra_lateral"] = _LATERAL_SQL
 
 
-# extra_lateral is defined AFTER the ALL_QUERIES/ALL_ORACLE snapshot —
-# mirror it into the pytest corpus so the registered set stays a subset
-ALL_QUERIES["extra_lateral"] = QUERIES["extra_lateral"]
-ALL_ORACLE["extra_lateral"] = ORACLE["extra_lateral"]
+# =====================================================================
+# Registry split: ALL_QUERIES/ALL_ORACLE carry every query above (the
+# pytest parity corpus — tests/test_extras.py walks this); QUERIES/
+# ORACLE export only the driver-registered consolidated set.
+# =====================================================================
+ALL_QUERIES: dict = dict(QUERIES)
+ALL_ORACLE: dict[str, str] = dict(ORACLE)
+
+_REGISTERED = (
+    "extra_windows",        # rank + lag + frames
+    "extra_set_ops",        # union all + intersect + except all
+    "extra_grouping",       # rollup + cube + grouping sets + bool/argmax
+    "extra_string_fns",     # string + regex corpus
+    "extra_date_fns",
+    "extra_stats",          # quantiles + corr
+    "extra_string_aggs",    # listagg + array corpus
+    "extra_pivot_json",     # pivot + JSON extraction
+    "extra_full_outer",
+    "extra_recursive_walk",
+    "extra_lateral",        # correlated LATERAL subquery
+)
+QUERIES = {k: ALL_QUERIES[k] for k in _REGISTERED}
+ORACLE = {k: ALL_ORACLE[k] for k in _REGISTERED}

@@ -380,14 +380,30 @@ def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: window boundaries are epoch-integer arithmetic;
     sums follow the decimal policy; micro-batch count does not affect
     the final complete-mode state (aggregation is associative)."""
-    ev = load_table(spark, sf_dir, "events")
-    # the file source needs a DIRECTORY; pathGlobFilter restricts the
-    # multi-table sf_dir to the events file
-    stream = (
-        spark.readStream.schema(ev.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    import os
+
+    # The file source needs a DIRECTORY. Raw layout: events.parquet is
+    # a FILE in the multi-table sf_dir → read the dir with a
+    # pathGlobFilter (which matches LEAF names). Staged layout
+    # (SPARK_GRAFT_STAGE): events.parquet IS a directory of part files
+    # → point at it directly; a pathGlobFilter would match zero leaves
+    # and silently stream an EMPTY source (review finding, reproduced).
+    path = f"{sf_dir}/events.parquet"
+    raw = spark.read.parquet(path)  # raw schema, pre ts-conversion
+    if os.path.isdir(path):
+        stream = spark.readStream.schema(raw.schema).parquet(path)
+    else:
+        stream = (
+            spark.readStream.schema(raw.schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+    # mirror load_table's nanosAsLong guard: a regenerated
+    # TIMESTAMP(NANOS) events file arrives as INT64 ns
+    if dict(raw.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
     agg = (
         stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -413,11 +429,6 @@ def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-ORACLE["events_stream_tumbling"] = f"""
-select time_bucket(interval 1 hour, ts) window_start,
-       event_type,
-       count(*) n,
-       {sql_dsum(sql_dec('value'))} sum_value
-from events
-group by 1, 2
-"""
+# the whole point is stream ≡ batch against the SAME oracle text —
+# alias it so the two can never fork
+ORACLE["events_stream_tumbling"] = ORACLE["events_tumbling"]
