@@ -105,6 +105,7 @@ _GATE_PRIORITY = [
     "extra_lateral",  # new: correlated LATERAL subquery
     "events_stream_tumbling",  # new: REAL streaming execution, driver-gated
     "dedup_winnowing",  # new: MOSS winnowing fingerprint candidates
+    "text_pmi_topk",  # new: PMI collocation top-k
     "extra_stats",  # quantiles rewritten: histogram/rank-pick, new oracle
     "sim_topk_ivf_trained",
     "sim_topk_pq",

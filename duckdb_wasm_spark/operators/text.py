@@ -994,3 +994,109 @@ from c2
 order by n desc, pair asc
 limit {BPE_TOP_PAIRS}
 """
+
+
+# ----------------------------------------------------------- text_pmi_topk
+PMI_MIN_COUNT = 5  # bigram support floor (rare-pair PMI is noise)
+PMI_TOP = 20
+
+
+@_q("text_pmi_topk")
+def text_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by pointwise mutual information — PMI(x,y) =
+    ln(N·c_xy / (c_x·c_y)) over adjacent token pairs, support-floored
+    at PMI_MIN_COUNT. The classic collocation / multiword-expression
+    signal (also the "glued boilerplate" detector: templated corpora
+    show extreme-PMI pairs a quality pipeline flags for
+    tokenizer-vocab or filter decisions).
+
+    Determinism: all counts are exact bigint hash aggregates; the one
+    transcendental is a single ln() per OUTPUT row (vocabulary-sized,
+    post-aggregate) computed from integer-derived doubles with the
+    identical expression text in both engines, rounded to 12 decimals
+    (the trig-corpus policy); the top-K ties break on the pair.
+
+    Scale (100 TB): two map-side-combining hash aggregates over one
+    tokenized scan (bigrams + unigrams ride the SAME scan — unigram
+    counts derive from the bigram frame's word-1 column plus a
+    last-token correction... deliberately NOT: the clean two-aggregate
+    form costs one extra scan but keeps both counts exact and
+    independently combinable); unigram counts are vocabulary-sized →
+    BROADCAST to the bigram frame (two broadcast hash joins, zero
+    shuffle of the pair table); N is a 1-row broadcast scalar; final
+    TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.withColumn("_t", toks())
+    pair_counts = (
+        toked.select(F.explode(bigrams(F.col("_t"))).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .where(F.col("c_xy") >= PMI_MIN_COUNT)
+    )
+    uni = (
+        toked.select(F.explode(F.col("_t")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # N = total bigram occurrences (pre-floor), a 1-row broadcast scalar
+    total = (
+        toked.select(F.explode(bigrams(F.col("_t"))).alias("pair"))
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n_bigrams"))
+    )
+    split = pair_counts.select(
+        "pair",
+        "c_xy",
+        F.split("pair", " ").getItem(0).alias("w1"),
+        F.split("pair", " ").getItem(1).alias("w2"),
+    )
+    joined = (
+        split.join(
+            F.broadcast(uni.select(F.col("tok").alias("w1"), F.col("c").alias("c_x"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("tok").alias("w2"), F.col("c").alias("c_y"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    pmi = F.round(
+        F.log(
+            F.col("n_bigrams").cast("double")
+            * F.col("c_xy").cast("double")
+            / (F.col("c_x").cast("double") * F.col("c_y").cast("double"))
+        ),
+        12,
+    )
+    return (
+        joined.select("pair", "c_xy", "c_x", "c_y", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), F.col("pair").asc())
+        .limit(PMI_TOP)
+    )
+
+
+ORACLE["text_pmi_topk"] = f"""
+with toked as (select {sql_toks('text')} t from documents),
+pc as (
+  select pair, count(*) c_xy
+  from (select unnest({sql_bigrams('t')}) pair from toked)
+  group by pair
+  having count(*) >= {PMI_MIN_COUNT}),
+uni as (
+  select tok, count(*) c
+  from (select unnest(t) tok from toked)
+  group by tok),
+total as (
+  select count(*) n_bigrams
+  from (select unnest({sql_bigrams('t')}) pair from toked))
+select pc.pair, pc.c_xy, ux.c c_x, uy.c c_y,
+       round(ln(cast((select n_bigrams from total) as double)
+                * cast(pc.c_xy as double)
+                / (cast(ux.c as double) * cast(uy.c as double))), 12) pmi
+from pc
+join uni ux on ux.tok = string_split(pc.pair, ' ')[1]
+join uni uy on uy.tok = string_split(pc.pair, ' ')[2]
+order by pmi desc, pc.pair asc
+limit {PMI_TOP}
+"""

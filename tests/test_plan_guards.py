@@ -28,6 +28,7 @@ BNLJ_ALLOWED = {
     "text_lm_score",  # 1-row vocab-size scalar broadcast for smoothing
     "text_bpe_merge",  # 1-row winning-pair scalar broadcast (merge apply)
     "embed_abtt",  # 1-row mean + 1-row component vector broadcasts
+    "text_pmi_topk",  # 1-row total-bigram-count scalar broadcast
     "corpus_source_divergence",  # dense sources×vocab grid: both sides
     #   are POST-AGGREGATE frames (|sources| × |vocab types|), never the
     #   corpus — the zero-fill support cross is the operator's design
