@@ -106,6 +106,7 @@ _GATE_PRIORITY = [
     "events_stream_tumbling",  # new: REAL streaming execution, driver-gated
     "dedup_winnowing",  # new: MOSS winnowing fingerprint candidates
     "text_pmi_topk",  # new: PMI collocation top-k
+    "embed_cluster_purity",  # new: trained-quantizer purity vs labels
     "extra_stats",  # quantiles rewritten: histogram/rank-pick, new oracle
     "sim_topk_ivf_trained",
     "sim_topk_pq",

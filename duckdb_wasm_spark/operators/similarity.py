@@ -1632,3 +1632,78 @@ select vec_id, norm_before, proj,
          norm_after
 from corrected
 """
+
+
+# -------------------------------------------------- embed_cluster_purity
+@_q("embed_cluster_purity")
+def embed_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality evaluation of the TRAINED coarse quantizer
+    against the ground-truth label column: per trained cell, the
+    member count, majority label, and purity (majority share) — the
+    standard external clustering metric a pipeline logs to decide
+    whether the unsupervised cells track semantic structure (and
+    whether IVF cell boundaries will shear label neighborhoods).
+
+    Determinism: the contingency table is exact integer counts;
+    majority ties break on the smaller label (total order); purity is
+    one division rounded to 12 decimals.
+
+    Scale (100 TB): training amortizes as in sim_topk_ivf_trained; the
+    evaluation itself is one (cell, label) map-side-combining hash
+    aggregate (cells × labels output rows) and the majority pick runs
+    on that tiny aggregate, never the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    normed = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    cent = _trained_centroids(normed)
+    assign = (
+        _assign_cells(normed, cent)
+        .where(F.col("arn") == 1)
+        .select("vec_id", F.col("c_id").alias("cell"))
+    )
+    ct = (
+        assign.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("cell", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    best = ct.groupBy("cell").agg(
+        F.sum("n").alias("n_members"),
+        F.max_by(
+            F.struct(F.col("label"), F.col("n")),
+            F.struct(F.col("n"), -F.col("label")),
+        ).alias("b"),
+    )
+    return best.select(
+        "cell",
+        "n_members",
+        F.col("b.label").alias("majority_label"),
+        F.col("b.n").alias("n_majority"),
+        F.round(
+            F.col("b.n").cast("double") / F.col("n_members").cast("double"),
+            12,
+        ).alias("purity"),
+    )
+
+
+ORACLE["embed_cluster_purity"] = f"""
+with {_ivf_cand_sql().strip()},
+ct as (
+  select a.cell, e.label, count(*) n
+  from ncell a join embeddings e on e.vec_id = a.neighbor_id
+  group by 1, 2),
+best as (
+  select cell, label majority_label, n n_majority
+  from (select cell, label, n,
+               row_number() over (partition by cell
+                                  order by n desc, label asc) rn
+        from ct)
+  where rn = 1),
+tot as (select cell, cast(sum(n) as bigint) n_members from ct group by 1)
+select t.cell, t.n_members, b.majority_label, b.n_majority,
+       round(cast(b.n_majority as double) / cast(t.n_members as double), 12)
+         purity
+from tot t join best b on t.cell = b.cell
+"""
