@@ -23,6 +23,7 @@ BNLJ_ALLOWED = {
     "sim_topk_ivf_probe",  # same 8-centroid broadcast assignment fan-out
     "sim_topk_ivf_trained",  # same broadcast fan-out, per Lloyd iteration
     "ivf_centroid_refine",  # same 8-centroid broadcast assignment fan-out
+    "embed_cluster_purity",  # same trained-centroid broadcast assignment
     "range_join_price_bands",  # 12-row derived band table broadcast
     "text_tfidf_topk",  # 1-row corpus-size scalar broadcast for idf
     "text_lm_score",  # 1-row vocab-size scalar broadcast for smoothing
