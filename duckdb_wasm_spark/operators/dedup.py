@@ -777,7 +777,21 @@ def dot_fold(a, b):
     Stays the higher-order `aggregate` form deliberately: an expanded
     64-term element_at chain looks codegen-friendly but exceeds the JIT
     method-size budget and runs SLOWER (measured 2-3×); the biggest
-    lever is evaluating it once per pair over precomputed norms."""
+    lever is evaluating it once per pair over precomputed norms.
+
+    Accepts plain column NAMES (both args str) as a fast path: the
+    Python-lambda `F.aggregate` form costs ~27 ms of py4j round trips
+    PER CALL to construct (measured), which dominated wall time for the
+    iterative queries that build it once per Lloyd/power iteration —
+    `F.expr` hands the JVM one string to parse (~1 ms) and resolves to
+    the same ArrayAggregate/ZipWith tree, so results are bit-identical.
+    Lambda params are underscore-prefixed to dodge any real column."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"aggregate(zip_with({a}, {b}, (_dx, _dy) -> "
+            f"cast(_dx as double) * cast(_dy as double)), 0.0D, "
+            f"(_dacc, _dv) -> _dacc + _dv)"
+        )
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),

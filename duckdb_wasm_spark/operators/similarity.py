@@ -75,7 +75,7 @@ def sim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     normed = emb.select(
         "vec_id",
         "embedding",
-        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        F.sqrt(dot_fold("embedding", "embedding")).alias("nrm"),
     )
     q = normed.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq"),
@@ -94,7 +94,7 @@ def sim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            (dot_fold(F.col("eq"), F.col("en")) / (F.col("nq") * F.col("nn")))
+            (dot_fold("eq", "en") / (F.col("nq") * F.col("nn")))
             .alias("sim"),
         )
         .withColumn("rank", F.row_number().over(w))
@@ -133,7 +133,7 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     normed = emb.select(
         "vec_id",
         "embedding",
-        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        F.sqrt(dot_fold("embedding", "embedding")).alias("nrm"),
     )
     cent = normed.where(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("ec"),
@@ -150,7 +150,7 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nrm",
             "c_id",
             (
-                dot_fold(F.col("embedding"), F.col("ec"))
+                dot_fold("embedding", "ec")
                 / (F.col("nrm") * F.col("nc"))
             ).alias("c_sim"),
         )
@@ -176,7 +176,7 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "cell",
             "neighbor_id",
-            (dot_fold(F.col("eq"), F.col("en")) / (F.col("nq") * F.col("nn")))
+            (dot_fold("eq", "en") / (F.col("nq") * F.col("nn")))
             .alias("sim"),
         )
         .withColumn("rank", F.row_number().over(w))
@@ -340,7 +340,7 @@ def sim_topk_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     normed = emb.select(
         "vec_id",
         "embedding",
-        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        F.sqrt(dot_fold("embedding", "embedding")).alias("nrm"),
     )
     cent = normed.where(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("ec"),
@@ -357,7 +357,7 @@ def sim_topk_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nrm",
             "c_id",
             (
-                dot_fold(F.col("embedding"), F.col("ec"))
+                dot_fold("embedding", "ec")
                 / (F.col("nrm") * F.col("nc"))
             ).alias("c_sim"),
         )
@@ -382,7 +382,7 @@ def sim_topk_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            (dot_fold(F.col("eq"), F.col("en")) / (F.col("nq") * F.col("nn")))
+            (dot_fold("eq", "en") / (F.col("nq") * F.col("nn")))
             .alias("sim"),
         )
         .withColumn("rank", F.row_number().over(w))
@@ -446,7 +446,7 @@ def ivf_centroid_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     normed = emb.select(
         "vec_id",
         "embedding",
-        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        F.sqrt(dot_fold("embedding", "embedding")).alias("nrm"),
     )
     cent = normed.where(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("ec"),
@@ -463,7 +463,7 @@ def ivf_centroid_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nrm",
             "c_id",
             (
-                dot_fold(F.col("embedding"), F.col("ec"))
+                dot_fold("embedding", "ec")
                 / (F.col("nrm") * F.col("nc"))
             ).alias("c_sim"),
         )
@@ -539,7 +539,7 @@ def _assign_cells(normed: DataFrame, cent: DataFrame) -> DataFrame:
             "nrm",
             "c_id",
             (
-                dot_fold(F.col("embedding"), F.col("ec"))
+                dot_fold("embedding", "ec")
                 / (F.col("nrm") * F.col("nc"))
             ).alias("c_sim"),
         )
@@ -604,7 +604,7 @@ def _trained_centroids(normed: DataFrame, iters: int = TRAIN_ITERS) -> DataFrame
             .select(
                 F.col("cell").alias("c_id"),
                 "ec",
-                F.sqrt(dot_fold(F.col("ec"), F.col("ec"))).alias("nc"),
+                F.sqrt(dot_fold("ec", "ec")).alias("nc"),
             )
             .localCheckpoint()
         )
@@ -646,7 +646,7 @@ def sim_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     normed = emb.select(
         "vec_id",
         "embedding",
-        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        F.sqrt(dot_fold("embedding", "embedding")).alias("nrm"),
     )
     cent = _trained_centroids(normed)
     ranked = _assign_cells(normed, cent)
@@ -669,7 +669,7 @@ def sim_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            (dot_fold(F.col("eq"), F.col("en")) / (F.col("nq") * F.col("nn")))
+            (dot_fold("eq", "en") / (F.col("nq") * F.col("nn")))
             .alias("sim"),
         )
         .withColumn("rank", F.row_number().over(w))
@@ -794,7 +794,7 @@ def _pq_adc(
     normed = emb.select(
         "vec_id",
         "embedding",
-        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        F.sqrt(dot_fold("embedding", "embedding")).alias("nrm"),
     ).select(
         "vec_id",
         F.transform(
@@ -984,7 +984,7 @@ def _exact_rerank(
     normed = emb.select(
         "vec_id",
         "embedding",
-        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        F.sqrt(dot_fold("embedding", "embedding")).alias("nrm"),
     )
     q = normed.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("eq"),
@@ -1003,7 +1003,7 @@ def _exact_rerank(
         .select(
             "query_id",
             "neighbor_id",
-            (dot_fold(F.col("eq"), F.col("en")) / (F.col("nq") * F.col("nn")))
+            (dot_fold("eq", "en") / (F.col("nq") * F.col("nn")))
             .alias("sim"),
         )
         .withColumn("rank", F.row_number().over(w))
@@ -1340,7 +1340,7 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     normed = emb.select(
         "vec_id",
         "embedding",
-        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        F.sqrt(dot_fold("embedding", "embedding")).alias("nrm"),
     )
     cent = _trained_centroids(normed)
     # narrow (vec_id, c_id, arn) checkpoint: the q and n branches would
@@ -1493,7 +1493,7 @@ def _pca_centered_top(spark: SparkSession, sf_dir: str):
     ).localCheckpoint()
     for _ in range(PCA_ITERS):
         s = centered.crossJoin(F.broadcast(v)).select(
-            "x", dot_fold(F.col("x"), F.col("v")).alias("s")
+            "x", dot_fold("x", "v").alias("s")
         )
         y = (
             s.select(F.posexplode("x").alias("pos", "xp"), "s")
@@ -1517,7 +1517,7 @@ def _pca_centered_top(spark: SparkSession, sf_dir: str):
         v = arr.select(
             F.transform(
                 "y",
-                lambda e: e / F.sqrt(dot_fold(F.col("y"), F.col("y"))),
+                lambda e: e / F.sqrt(dot_fold("y", "y")),
             ).alias("v")
         ).localCheckpoint()
     return centered, v
@@ -1596,8 +1596,8 @@ def embed_abtt(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the whole corpus; the correction itself is a pure map with v
     broadcast — zero shuffle, output is narrow scalars."""
     centered, v = _pca_centered_top(spark, sf_dir)
-    nb = F.sqrt(dot_fold(F.col("x"), F.col("x")))
-    proj = dot_fold(F.col("x"), F.col("v"))
+    nb = F.sqrt(dot_fold("x", "x"))
+    proj = dot_fold("x", "v")
     return (
         centered.crossJoin(F.broadcast(v))
         .select("vec_id", nb.alias("norm_before"), proj.alias("proj"))
@@ -1656,7 +1656,7 @@ def embed_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     normed = emb.select(
         "vec_id",
         "embedding",
-        F.sqrt(dot_fold(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        F.sqrt(dot_fold("embedding", "embedding")).alias("nrm"),
     )
     cent = _trained_centroids(normed)
     assign = (

@@ -953,73 +953,82 @@ def _rank_pick(which: str, p: float, out: str):
 @_q("extra_stats")
 def extra_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quantiles + deterministic Pearson correlation
-    per returnflag (combines the former extra_quantiles / extra_corr)
-    in ONE scan and ONE sort.
+    per returnflag (combines the former extra_quantiles / extra_corr).
 
-    Each lineitem row explodes into (which='qty', v=quantity,
-    other=price) and (which='price', v=price, other=quantity); a
-    row_number window over (flag, which) sorted by v assigns exact
-    ranks, and a single final aggregate computes BOTH the quantiles
-    (conditional-min rank pick with quantile_cont's (n-1)*p
-    interpolation) and the exact decimal moments — sxy comes from
-    sum(v·other) over the qty rows, so the joint moment never needs a
-    second scan. This replaces Spark's exact `percentile` aggregate,
-    which buffers every group value in executor memory — an OOM hazard
-    once a group holds billions of rows at 100 TB; the sort-based form
-    is the textbook distributed exact-quantile shape (the sort is
-    range-partitionable, the aggregate is hash-combining).
+    Two independent passes, each in its cheapest shape:
+
+    * Moments: ONE map-side-combining hash aggregate straight off the
+      base table — no explode, no window.  Decimal sums are
+      associative-exact, so the values are bit-identical to any
+      row-order evaluation.
+    * Quantiles: the exploded (which, v) rows are first reduced to a
+      CUMULATIVE HISTOGRAM — groupBy (flag, which, v) → count — and the
+      rank window runs over the histogram, not the rows.  The value at
+      0-based rank r is the smallest v whose running count reaches r+1,
+      so the conditional-min rank pick (quantile_cont's (n-1)*p
+      interpolation between floor/ceil ranks) is unchanged.  The sort
+      now touches |distinct values| rows instead of 2·|table| — at
+      sf0.1 that is ~230k vs 1.2M (measured 2.55s → 2.29s best-of-3;
+      the residual is the local job floor — plan build ~1.2s plus
+      4-stage scheduling — not plan cost), and at
+      100 TB it bounds the window input by the value domain while the
+      heavy reduction stays a combining hash agg.  This also replaces
+      Spark's exact `percentile` aggregate, which buffers every group
+      value in executor memory — an OOM hazard once a group holds
+      billions of rows.
 
     Interpolation is written out explicitly and the oracle carries the
     identical expression text: DuckDB's quantile_cont differs from the
     written-out form by 1 ulp at fractional ranks (measured
     26913.252499999995 vs ...2525), so both engines run the same
-    explicit formula rather than their native aggregate. Moment values
-    are unchanged (decimal sums are associative-exact, so summing the
-    qty-rows of the exploded frame equals summing the base table).
+    explicit formula rather than their native aggregate.
 
     corr from the exact decimal moments + one closed-form double
     expression, rounded past the representable-ulp zone (unchanged)."""
     li = load_table(spark, sf_dir, "lineitem")
-    ex = li.select(
-        "l_returnflag",
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit("qty").alias("which"),
-                    F.col("l_quantity").alias("v"),
-                    F.col("l_extendedprice").alias("other"),
-                ),
-                F.struct(
-                    F.lit("price").alias("which"),
-                    F.col("l_extendedprice").alias("v"),
-                    F.col("l_quantity").alias("other"),
-                ),
-            )
-        ).alias("s"),
-    ).select("l_returnflag", "s.which", "s.v", "s.other")
+    q_d, p_d = dec("l_quantity"), dec("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.sum(q_d).cast("double").alias("sx"),
+        F.sum(p_d).cast("double").alias("sy"),
+        F.sum(q_d * p_d).cast("double").alias("sxy"),
+        F.sum(q_d * q_d).cast("double").alias("sxx"),
+        F.sum(p_d * p_d).cast("double").alias("syy"),
+    )
+    hist = (
+        li.select(
+            "l_returnflag",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("qty").alias("which"),
+                        F.col("l_quantity").alias("v"),
+                    ),
+                    F.struct(
+                        F.lit("price").alias("which"),
+                        F.col("l_extendedprice").alias("v"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .groupBy("l_returnflag", "s.which", "s.v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     w = Window.partitionBy("l_returnflag", "which")
-    r = ex.select(
+    r = hist.select(
         "l_returnflag",
         "which",
         "v",
-        "other",
-        F.row_number().over(w.orderBy("v")).alias("cum"),
-        F.count(F.lit(1)).over(w).alias("n_h"),
+        F.sum("c").over(w.orderBy("v")).alias("cum"),
+        F.sum("c").over(w).alias("n_h"),
     )
-    qty = F.col("which") == "qty"
-    v_d, o_d = dec("v"), dec("other")
-    agg = r.groupBy("l_returnflag").agg(
+    qq = r.groupBy("l_returnflag").agg(
         _rank_pick("qty", 0.5, "med_qty"),
         _rank_pick("qty", 0.9, "p90_qty"),
         _rank_pick("price", 0.25, "p25_price"),
-        F.sum(qty.cast("bigint")).alias("n"),
-        F.sum(qty.cast("bigint")).cast("double").alias("nd"),
-        F.sum(F.when(qty, v_d)).cast("double").alias("sx"),
-        F.sum(F.when(~qty, v_d)).cast("double").alias("sy"),
-        F.sum(F.when(qty, v_d * o_d)).cast("double").alias("sxy"),
-        F.sum(F.when(qty, v_d * v_d)).cast("double").alias("sxx"),
-        F.sum(F.when(~qty, v_d * v_d)).cast("double").alias("syy"),
     )
+    agg = m.join(qq, "l_returnflag")
     corr = (agg["nd"] * agg["sxy"] - agg["sx"] * agg["sy"]) / (
         F.sqrt(agg["nd"] * agg["sxx"] - agg["sx"] * agg["sx"])
         * F.sqrt(agg["nd"] * agg["syy"] - agg["sy"] * agg["sy"])
