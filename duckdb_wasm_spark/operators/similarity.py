@@ -775,18 +775,14 @@ def _sql_sq(a: str, b: str) -> str:
     )
 
 
-def _pq_adc(
-    spark: SparkSession, sf_dir: str, top_r: int, cand: DataFrame | None = None
-) -> DataFrame:
-    """Shared PQ pipeline: train per-subspace codebooks (seeds = first
-    PQ_K vectors' subvectors + ONE exact fixed-point Lloyd iteration),
-    encode the corpus, and return the per-query ADC top `top_r` as
-    (query_id, neighbor_id, rank, adc_fp).
-
-    cand: optional (query_id, neighbor_id) candidate restriction — the
-    IVF-PQ path: the ADC aggregate then runs only over candidate pairs
-    (cand ⋈ codes ⋈ broadcast query LUT) instead of the full
-    codes × LUT join, so scan cost follows the probed-cell volume."""
+def _pq_encoded(spark: SparkSession, sf_dir: str):
+    """PQ training + encode: train per-subspace codebooks (seeds =
+    first PQ_K vectors' subvectors + ONE exact fixed-point Lloyd
+    iteration), encode the corpus, and build the per-query ADC lookup
+    table. Returns (codes, qd) — split out of _pq_adc so sim_topk_ivfpq
+    can run this chain CONCURRENTLY with the independent coarse-
+    quantizer chain (the localCheckpoint actions inside are what
+    serialize the ~30 stage rounds otherwise)."""
     emb = load_table(spark, sf_dir, "embeddings")
     # norm as a materialized attribute FIRST: a lambda referencing the
     # embedding column would re-run the 64-term fold per element (the
@@ -891,6 +887,28 @@ def _pq_adc(
             ).alias("d2fp"),
         )
     )
+    return codes, qd
+
+
+def _pq_adc(
+    spark: SparkSession,
+    sf_dir: str,
+    top_r: int,
+    cand: DataFrame | None = None,
+    encoded: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """Shared PQ pipeline: _pq_encoded's trained codes + query LUT,
+    assembled into the per-query ADC top `top_r` as
+    (query_id, neighbor_id, rank, adc_fp).
+
+    cand: optional (query_id, neighbor_id) candidate restriction — the
+    IVF-PQ path: the ADC aggregate then runs only over candidate pairs
+    (cand ⋈ codes ⋈ broadcast query LUT) instead of the full
+    codes × LUT join, so scan cost follows the probed-cell volume.
+
+    encoded: a pre-built (codes, qd) pair — lets the caller train the
+    PQ codebooks on another thread while an independent chain runs."""
+    codes, qd = encoded if encoded is not None else _pq_encoded(spark, sf_dir)
     if cand is None:
         adc = (
             codes.join(F.broadcast(qd), ["m", "c_id"])
@@ -1326,41 +1344,52 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     loops are 2^20 fixed-point exact; ADC sums are bigint; the oracle
     replays coarse + product codebooks bit-identically.
 
-    Cost note (sf0.1, local[32]): 5.1s isolated steady-state vs the
-    DuckDB oracle's 2.6s; in the committed 105-query ORACLE_BENCH
-    corpus it reads 7.0s vs 2.8s (~2.5× — the in-corpus number carries
-    session-neighborhood JVM state on top of the isolated floor). The
-    gap is the ~30 sequential stage rounds
-    of the two training chains (coarse Lloyd ×2 + PQ Lloyd ×1 +
-    checkpoints), each a fixed scheduling round flat in corpus size;
-    the corpus-proportional work (encode, ADC, rerank) is the same
-    shape DuckDB runs. Composite of sim_topk_ivf_trained (2.7s) and
-    sim_topk_pq_rerank (3.5s) minus their shared scan."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    normed = emb.select(
-        "vec_id",
-        "embedding",
-        F.sqrt(dot_fold("embedding", "embedding")).alias("nrm"),
-    )
-    cent = _trained_centroids(normed)
-    # narrow (vec_id, c_id, arn) checkpoint: the q and n branches would
-    # otherwise each re-run the broadcast-assign join + ranking window
-    ranked = (
-        _assign_cells(normed, cent)
-        .where(F.col("arn") <= IVFPQ_NPROBE)
-        .select("vec_id", "c_id", "arn")
-        .localCheckpoint()
-    )
-    n = ranked.where(F.col("arn") == 1).select(
-        F.col("vec_id").alias("neighbor_id"), "c_id"
-    )
-    q = ranked.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "c_id"
-    )
-    cand = q.join(n, "c_id").select("query_id", "neighbor_id")
-    shortlist = _pq_adc(spark, sf_dir, IVFPQ_RERANK, cand=cand).select(
-        "query_id", "neighbor_id"
-    )
+    Cost note (sf0.1, local[32]): the two training chains (coarse
+    Lloyd ×2, PQ Lloyd ×1) are INDEPENDENT, so their ~30 fixed
+    scheduling rounds — each a localCheckpoint-serialized stage round,
+    flat in corpus size — run as CONCURRENT driver jobs (the standard
+    Spark multi-job submission pattern: local mode and clusters both
+    FIFO-share executors across threads). Measured at sf0.1: 5.7s
+    sequential → 3.7s overlapped (best-of-2, isolated); the
+    corpus-proportional work
+    (encode, ADC, rerank) is unchanged and the same shape DuckDB runs.
+    Composite of sim_topk_ivf_trained and sim_topk_pq_rerank minus
+    their shared scan; determinism is unaffected (the chains share no
+    state — each thread only builds and checkpoints its own frames)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def coarse_cand() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        normed = emb.select(
+            "vec_id",
+            "embedding",
+            F.sqrt(dot_fold("embedding", "embedding")).alias("nrm"),
+        )
+        cent = _trained_centroids(normed)
+        # narrow (vec_id, c_id, arn) checkpoint: the q and n branches
+        # would otherwise each re-run the broadcast-assign join +
+        # ranking window
+        ranked = (
+            _assign_cells(normed, cent)
+            .where(F.col("arn") <= IVFPQ_NPROBE)
+            .select("vec_id", "c_id", "arn")
+            .localCheckpoint()
+        )
+        n = ranked.where(F.col("arn") == 1).select(
+            F.col("vec_id").alias("neighbor_id"), "c_id"
+        )
+        q = ranked.where(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), "c_id"
+        )
+        return q.join(n, "c_id").select("query_id", "neighbor_id")
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_cand = pool.submit(coarse_cand)
+        f_enc = pool.submit(_pq_encoded, spark, sf_dir)
+        cand, encoded = f_cand.result(), f_enc.result()
+    shortlist = _pq_adc(
+        spark, sf_dir, IVFPQ_RERANK, cand=cand, encoded=encoded
+    ).select("query_id", "neighbor_id")
     return _exact_rerank(spark, sf_dir, shortlist)
 
 
