@@ -1217,14 +1217,33 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     production adds the max_df stop-gram cap exactly as
     dedup_ngram_jaccard_capped does (kept off here so the oracle
     states the pure definition). The islands window shuffles by
-    (doc_a, doc_b, diag) — collision-bounded, never corpus-bounded."""
+    (doc_a, doc_b, diag) — collision-bounded, never corpus-bounded.
+
+    The window key is the 12-token ARRAY SLICE, not a joined string:
+    the gram is purely internal (only integer counters leave the
+    operator), array slices skip ngrams_all's 11 chained concat
+    passes (~1M string builds; windows stage 1.38s → 0.60s at sf0.1),
+    and slice equality ≡ space-joined-string equality because split
+    tokens cannot contain the separator — so the match set, and hence
+    every output row, is unchanged vs the oracle's gram strings."""
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    w = docs.select(
-        "doc_id",
-        F.posexplode(ngrams_all(toks(), DUP_SUBSTR_N)).alias("pos0", "gram"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+    n = DUP_SUBSTR_N
+    w = (
+        docs.select("doc_id", toks().alias("tk"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"if(size(tk) < {n}, array(), "
+                    f"transform(sequence(1, size(tk) - {n - 1}), "
+                    f"i -> slice(tk, i, {n})))"
+                )
+            ).alias("pos0", "gram"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+    )
     posts = w.groupBy("gram").agg(
         F.collect_list(F.struct("doc_id", "pos")).alias("ds")
     )
