@@ -104,6 +104,7 @@ _GATE_PRIORITY = [
     "dedup_containment",  # new: asymmetric containment near-dup
     "extra_lateral",  # new: correlated LATERAL subquery
     "events_stream_tumbling",  # new: REAL streaming execution, driver-gated
+    "events_stream_session",  # new: streaming session_window merge, gated
     "dedup_winnowing",  # new: MOSS winnowing fingerprint candidates
     "text_pmi_topk",  # new: PMI collocation top-k
     "embed_cluster_purity",  # new: trained-quantizer purity vs labels

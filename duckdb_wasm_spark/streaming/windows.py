@@ -432,3 +432,74 @@ def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the whole point is stream ≡ batch against the SAME oracle text —
 # alias it so the two can never fork
 ORACLE["events_stream_tumbling"] = ORACLE["events_tumbling"]
+
+
+# -------------------------------------------------- events_stream_session
+@_q("events_stream_session")
+def events_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_session run THROUGH the Structured Streaming engine —
+    session_window is the hardest stateful streaming shape (windows
+    MERGE as events arrive: two open sessions fuse when a bridging
+    event lands, so state is not a static key space like tumbling),
+    and this gates that the incremental merge computes exactly the
+    batch islands answer on real streaming execution.
+
+    Same harness shape as events_stream_tumbling: file readStream over
+    the same parquet, complete-mode memory sink, ONE AvailableNow
+    trigger. Complete mode both (a) emits the full final state for a
+    finite source (≡ batch) and (b) is the mode where streaming
+    session aggregation needs no watermark — nothing is evicted, so
+    late arrivals within the replay cannot change the final merge
+    result vs batch.
+
+    Scale (100 TB / production): unbounded deployments run this graph
+    in append/update mode with a watermark bounding session state
+    (streaming/live.py::stream_session_counts pins the watermark-drop
+    law); state is per-user and partition-local, so the merge cost
+    follows per-user event density, not corpus size.
+
+    Determinism: session boundaries are exact timestamp arithmetic
+    (gap >= 10 min starts a new island in the oracle; session_window
+    merges on gap < 10 min — the same partition of the event
+    sequence); counts are integers."""
+    import os
+
+    path = f"{sf_dir}/events.parquet"
+    raw = spark.read.parquet(path)
+    if os.path.isdir(path):
+        stream = spark.readStream.schema(raw.schema).parquet(path)
+    else:
+        stream = (
+            spark.readStream.schema(raw.schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+    if dict(raw.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    agg = (
+        stream.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n",
+        )
+    )
+    name = "events_stream_session_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+ORACLE["events_stream_session"] = ORACLE["events_session"]
