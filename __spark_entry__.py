@@ -86,12 +86,10 @@ def _registries():
 # list with (a) anything rewritten in round 7, then (b) the r5-green
 # corpus (oldest rows first).  If any r6 row is RED, keep it at the
 # head instead.  Note the r6 head grew mid-round: the continuation
-# session added 12 never-gated names (dedup_substring, quality_buckets,
-# sim_topk_ivfpq, embed_pca_power, text_bpe_merge,
-# corpus_source_divergence, embed_abtt, dedup_containment,
-# extra_lateral, events_stream_tumbling, dedup_winnowing, plus the
-# extra_stats rewrite) — if the r6 window cut off the tail of tier
-# (b''), those tail names lead tier (b) next round.
+# sessions added the never-gated names in tier (a) below (everything
+# from dedup_substring through text_tfidf_topk, incl. the extra_stats
+# rewrite and the two real-streaming gates) — if the r6 window cut off
+# the tail of tier (b''), those tail names lead tier (b) next round.
 _GATE_PRIORITY = [
     # (a) new / rewritten in round 6 — never gated in current form
     "dedup_substring",  # new: exact-LCS substring dedup
@@ -108,6 +106,7 @@ _GATE_PRIORITY = [
     "dedup_winnowing",  # new: MOSS winnowing fingerprint candidates
     "text_pmi_topk",  # new: PMI collocation top-k
     "embed_cluster_purity",  # new: trained-quantizer purity vs labels
+    "embed_covariance",  # new: exact upper-triangle covariance matrix
     "extra_stats",  # quantiles rewritten: histogram/rank-pick, new oracle
     "sim_topk_ivf_trained",
     "sim_topk_pq",

@@ -1484,10 +1484,10 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select(F.posexplode("v").alias("pos", "loading"))
 
 
-def _pca_centered_top(spark: SparkSession, sf_dir: str):
-    """(centered, v) — the fixed-point-centered frame and the T-iter
-    power-iteration top-component vector (1-row array frame); shared
-    by embed_pca_power and embed_abtt."""
+def _centered_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, x) with x = embedding − μ in doubles, μ the 2^20
+    fixed-point exact per-position mean — the shared centering step of
+    embed_pca_power / embed_abtt / embed_covariance."""
     emb = load_table(spark, sf_dir, "embeddings")
     comp = emb.select(
         F.posexplode("embedding").alias("pos", "v")
@@ -1511,12 +1511,19 @@ def _pca_centered_top(spark: SparkSession, sf_dir: str):
             ).alias("mu")
         )
     )
-    centered = emb.crossJoin(F.broadcast(mu)).select(
+    return emb.crossJoin(F.broadcast(mu)).select(
         "vec_id",
         F.zip_with(
             "embedding", "mu", lambda x, m: x.cast("double") - m
         ).alias("x"),
     )
+
+
+def _pca_centered_top(spark: SparkSession, sf_dir: str):
+    """(centered, v) — the fixed-point-centered frame and the T-iter
+    power-iteration top-component vector (1-row array frame); shared
+    by embed_pca_power and embed_abtt."""
+    centered = _centered_frame(spark, sf_dir)
     v = spark.range(1).select(
         F.array(*[F.lit(0.125)] * 64).alias("v")
     ).localCheckpoint()
@@ -1571,9 +1578,9 @@ v{t + 1} as (
   from a{t})"""
 
 
-def _sql_pca_prefix() -> str:
-    """Oracle CTE chain through `centered` and v{PCA_ITERS} — shared
-    by embed_pca_power and embed_abtt."""
+def _sql_centered_prefix() -> str:
+    """Oracle CTE chain through `centered` (fixed-point-exact mean
+    subtraction) — shared by the PCA chain and embed_covariance."""
     return f"""
 with comp as (
   select pos - 1 pos,
@@ -1590,7 +1597,13 @@ centered as (
   select vec_id,
          list_transform(list_zip(embedding, (select mu from muarr)),
                         p -> cast(p[1] as double) - p[2]) x
-  from embeddings),
+  from embeddings)"""
+
+
+def _sql_pca_prefix() -> str:
+    """Oracle CTE chain through `centered` and v{PCA_ITERS} — shared
+    by embed_pca_power and embed_abtt."""
+    return f"""{_sql_centered_prefix()},
 v0 as (select list_transform(range(0, 64), i -> 0.125) v),
 {','.join(_sql_pca_iter(t) for t in range(PCA_ITERS))}"""
 
@@ -1660,6 +1673,67 @@ select vec_id, norm_before, proj,
        sqrt(greatest(norm_before * norm_before - proj * proj, 0.0))
          norm_after
 from corrected
+"""
+
+
+# ----------------------------------------------------- embed_covariance
+@_q("embed_covariance")
+def embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact population covariance of the centered embeddings — the
+    upper triangle (i ≤ j) of the D×D matrix that whitening, full PCA,
+    and Mahalanobis-distance quality checks consume. Complements
+    embed_pca_power, which is deliberately matrix-free: at D=64 the
+    matrix is 2080 cells, so MATERIALIZING it is the right call — one
+    corpus pass however wide the cluster — while the matrix-free form
+    stays the tool once D² outgrows a broadcast.
+
+    Shape: per row, emit the D(D+1)/2 upper-triangle products as
+    (i, j, floor(x_i·x_j·2^20)) triples from ONE expression (no join,
+    no window), then ONE map-side-combining hash aggregate over 2080
+    cells. At 100 TB the reduction stays 2080 output rows regardless
+    of corpus size; the explode volume is N·2080, linear in N with a
+    constant an executor amortizes across its partition.
+
+    Determinism: products floor to 2^20 fixed point before the bigint
+    sum (associative, order-independent); |sum| stays far inside 2^53
+    (|x_i·x_j|·2^20 ≲ 10^7 per row), so the final cast-double and two
+    IEEE divisions are exact and engine-independent."""
+    centered = _centered_frame(spark, sf_dir)
+    d = 64
+    tri = centered.select(
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(0, {d - 1}), i -> "
+                f"transform(sequence(i, {d - 1}), j -> named_struct("
+                f"'i', i, 'j', j, "
+                f"'p', cast(floor(element_at(x, i + 1) "
+                f"* element_at(x, j + 1) * {_FP_SCALE}) as bigint)))))"
+            )
+        ).alias("t")
+    ).select("t.i", "t.j", "t.p")
+    return tri.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum("p").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(float(_FP_SCALE))
+        ).alias("cov"),
+    )
+
+
+ORACLE["embed_covariance"] = f"""{_sql_centered_prefix()},
+tri as (
+  select ii.i, jj.j,
+         cast(floor(x[ii.i + 1] * x[jj.j + 1] * {_FP_SCALE}) as bigint) p
+  from centered,
+       (select unnest(range(0, 64)) i) ii,
+       (select unnest(range(0, 64)) j) jj
+  where jj.j >= ii.i)
+select i, j, count(*) n,
+       cast(sum(p) as double) / cast(count(*) as double)
+         / {float(_FP_SCALE)} cov
+from tri
+group by i, j
 """
 
 

@@ -29,6 +29,7 @@ BNLJ_ALLOWED = {
     "text_lm_score",  # 1-row vocab-size scalar broadcast for smoothing
     "text_bpe_merge",  # 1-row winning-pair scalar broadcast (merge apply)
     "embed_abtt",  # 1-row mean + 1-row component vector broadcasts
+    "embed_covariance",  # same 1-row mean broadcast (shared centering)
     "text_pmi_topk",  # 1-row total-bigram-count scalar broadcast
     "corpus_source_divergence",  # dense sources×vocab grid: both sides
     #   are POST-AGGREGATE frames (|sources| × |vocab types|), never the
