@@ -603,6 +603,36 @@ def test_pca_power_rayleigh(spark, sf_dir):
     assert ratio >= 0.75, f"Rayleigh capture {ratio:.3f} < 0.75"
 
 
+def test_embed_covariance_matches_numpy(spark, sf_dir):
+    """embed_covariance numerical gate, independent of the SQL oracle:
+    every upper-triangle cell must match numpy's population covariance
+    of the centered embeddings within the 2^-20 fixed-point floor bias
+    (the per-row floor loses < 1 ulp of 2^-20 each, so |err| <= 2^-20),
+    the output must be exactly D(D+1)/2 cells, and the trace must equal
+    the mean squared centered norm."""
+    from duckdb_wasm_spark.operators import similarity as S
+    from duckdb_wasm_spark.tables import load_table
+
+    rows = S.QUERIES["embed_covariance"](spark, sf_dir).collect()
+    d = 64
+    assert len(rows) == d * (d + 1) // 2
+    X = np.array(
+        [
+            r["embedding"]
+            for r in load_table(spark, sf_dir, "embeddings").collect()
+        ],
+        dtype=np.float64,
+    )
+    Xc = X - X.mean(0)
+    C = (Xc.T @ Xc) / len(X)
+    tol = 1.0 / (1 << 20)
+    for r in rows:
+        assert abs(r["cov"] - C[r["i"], r["j"]]) <= tol, (r["i"], r["j"])
+    trace = sum(r["cov"] for r in rows if r["i"] == r["j"])
+    msn = float((Xc * Xc).sum()) / len(X)
+    assert abs(trace - msn) <= d * tol
+
+
 def test_winnowing_guarantee_covers_substring_pairs(spark, sf_dir):
     """Winnowing theorem, empirically pinned: every doc pair sharing an
     exact token run >= WIN_K + WIN_W - 1 (= 8; dedup_substring pairs
