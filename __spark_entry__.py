@@ -107,6 +107,7 @@ _GATE_PRIORITY = [
     "text_pmi_topk",  # new: PMI collocation top-k
     "embed_cluster_purity",  # new: trained-quantizer purity vs labels
     "embed_covariance",  # new: exact upper-triangle covariance matrix
+    "events_key_skew",  # new: exact join-key skew audit (salting decision)
     "extra_stats",  # quantiles rewritten: histogram/rank-pick, new oracle
     "sim_topk_ivf_trained",
     "sim_topk_pq",

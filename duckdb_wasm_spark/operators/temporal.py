@@ -347,3 +347,102 @@ select step, event_type, n_users,
          / (select n_users from counts where step = 1) conv_from_first
 from counts
 """
+
+
+# --------------------------------------------------- events_key_skew
+SKEW_TOPK = 10  # heavy hitters in the concentration numerator
+
+
+@_q("events_key_skew")
+def events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact join-key skew audit over events.user_id — the measurement
+    that DECIDES the mitigation: whether a key needs `skew.salted_join`
+    salting (and with how many salts), whether AQE's skew-join split
+    will trigger, or whether the key is safe to shuffle raw. One row:
+    key cardinality, total events, the max/p50/p99 per-key frequency,
+    and the share of all events held by the SKEW_TOPK heaviest keys.
+
+    Scale (100 TB): per-key counts are ONE map-side-combining hash
+    aggregate; the quantiles run over the counts-OF-counts histogram
+    (≤ O(√total) distinct frequency values by pigeonhole, so the
+    ordered window is over a provably tiny frame — never the keys);
+    the heavy hitters are a distributed top-k (TakeOrderedAndProject),
+    not a global sort. Nothing in the plan is proportional to key
+    cardinality except the initial hash agg.
+
+    Determinism: integer counts end-to-end; percentile_disc ranks are
+    integer-fraction comparisons (2·cum ≥ N, 100·cum ≥ 99·N — no float
+    literal); the top-k tie order is (n desc, user_id asc), total; the
+    single share division is one IEEE op rounded to 12 decimals."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    hist = counts.groupBy("n").agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.orderBy("n").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "n",
+        "c",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("tot"),
+    )
+    stats = cum.groupBy().agg(
+        F.sum("c").alias("n_keys"),
+        F.sum(F.col("n") * F.col("c")).alias("n_events"),
+        F.max("n").alias("max_per_key"),
+        F.min(
+            F.when(F.lit(2) * F.col("cum") >= F.col("tot"), F.col("n"))
+        ).alias("p50_per_key"),
+        F.min(
+            F.when(
+                F.lit(100) * F.col("cum") >= F.lit(99) * F.col("tot"),
+                F.col("n"),
+            )
+        ).alias("p99_per_key"),
+    )
+    top = (
+        counts.orderBy(F.col("n").desc(), F.col("user_id").asc())
+        .limit(SKEW_TOPK)
+        .groupBy()
+        .agg(F.sum("n").alias("topk_events"))
+    )
+    return stats.crossJoin(F.broadcast(top)).select(
+        "n_keys",
+        "n_events",
+        "max_per_key",
+        "p50_per_key",
+        "p99_per_key",
+        "topk_events",
+        F.round(
+            F.col("topk_events").cast("double")
+            / F.col("n_events").cast("double"),
+            12,
+        ).alias("topk_share"),
+    )
+
+
+ORACLE["events_key_skew"] = f"""
+with counts as (select user_id, count(*) n from events group by user_id),
+hist as (select n, count(*) c from counts group by n),
+cum as (
+  select n, c,
+         sum(c) over (order by n rows unbounded preceding) cum,
+         sum(c) over () tot
+  from hist),
+stats as (
+  select cast(sum(c) as bigint) n_keys,
+         cast(sum(n * c) as bigint) n_events,
+         max(n) max_per_key,
+         min(case when 2 * cum >= tot then n end) p50_per_key,
+         min(case when 100 * cum >= 99 * tot then n end) p99_per_key
+  from cum),
+top as (
+  select cast(sum(n) as bigint) topk_events
+  from (select n from counts
+        order by n desc, user_id asc limit {SKEW_TOPK}))
+select s.n_keys, s.n_events, s.max_per_key, s.p50_per_key, s.p99_per_key,
+       t.topk_events,
+       round(cast(t.topk_events as double) / cast(s.n_events as double), 12)
+         topk_share
+from stats s, top t
+"""

@@ -31,6 +31,7 @@ BNLJ_ALLOWED = {
     "embed_abtt",  # 1-row mean + 1-row component vector broadcasts
     "embed_covariance",  # same 1-row mean broadcast (shared centering)
     "text_pmi_topk",  # 1-row total-bigram-count scalar broadcast
+    "events_key_skew",  # 1-row stats × 1-row top-k scalar broadcast
     "corpus_source_divergence",  # dense sources×vocab grid: both sides
     #   are POST-AGGREGATE frames (|sources| × |vocab types|), never the
     #   corpus — the zero-fill support cross is the operator's design
