@@ -108,6 +108,7 @@ _GATE_PRIORITY = [
     "embed_cluster_purity",  # new: trained-quantizer purity vs labels
     "embed_covariance",  # new: exact upper-triangle covariance matrix
     "events_key_skew",  # new: exact join-key skew audit (salting decision)
+    "extra_unpivot",  # new: UNPIVOT wide-to-long melt
     "extra_stats",  # quantiles rewritten: histogram/rank-pick, new oracle
     "sim_topk_ivf_trained",
     "sim_topk_pq",

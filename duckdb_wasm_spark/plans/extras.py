@@ -1221,6 +1221,43 @@ def extra_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["extra_lateral"] = _LATERAL_SQL
 
 
+# ----------------------------------------------------- extra_unpivot
+@_q("extra_unpivot")
+def extra_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT — the wide→long reshape (the inverse of extra_pivot_json's
+    PIVOT): three per-returnflag measures melt into (measure, value)
+    rows. Spark's native `DataFrame.unpivot` (the melt/stack operator)
+    against DuckDB's SQL-standard `UNPIVOT (value FOR measure IN …)` —
+    same measure names (the column names), values unified to double.
+
+    Scale: unpivot is a zero-shuffle per-row map (each input row emits
+    k rows); the only shuffle is the upstream aggregate's."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        dsum(dec("l_quantity")).alias("sum_qty"),
+        dsum(dec("l_extendedprice")).alias("sum_price"),
+        F.count(F.lit(1)).cast("double").alias("n_items"),
+    )
+    return agg.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "n_items"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+ORACLE["extra_unpivot"] = f"""
+with agg as (
+  select l_returnflag,
+         {sql_dsum(sql_dec('l_quantity'))} sum_qty,
+         {sql_dsum(sql_dec('l_extendedprice'))} sum_price,
+         cast(count(*) as double) n_items
+  from lineitem group by l_returnflag)
+select l_returnflag, measure, value
+from agg unpivot (value for measure in (sum_qty, sum_price, n_items))
+"""
+
+
 # =====================================================================
 # Registry split: ALL_QUERIES/ALL_ORACLE carry every query above (the
 # pytest parity corpus — tests/test_extras.py walks this); QUERIES/
@@ -1241,6 +1278,7 @@ _REGISTERED = (
     "extra_full_outer",
     "extra_recursive_walk",
     "extra_lateral",        # correlated LATERAL subquery
+    "extra_unpivot",        # wide→long melt (inverse of PIVOT)
 )
 QUERIES = {k: ALL_QUERIES[k] for k in _REGISTERED}
 ORACLE = {k: ALL_ORACLE[k] for k in _REGISTERED}
