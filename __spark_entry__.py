@@ -103,6 +103,7 @@ _GATE_PRIORITY = [
     "extra_lateral",  # new: correlated LATERAL subquery
     "events_stream_tumbling",  # new: REAL streaming execution, driver-gated
     "events_stream_session",  # new: streaming session_window merge, gated
+    "events_stream_stateful",  # new: applyInPandasWithState, driver-gated
     "dedup_winnowing",  # new: MOSS winnowing fingerprint candidates
     "text_pmi_topk",  # new: PMI collocation top-k
     "embed_cluster_purity",  # new: trained-quantizer purity vs labels

@@ -503,3 +503,33 @@ def events_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["events_stream_session"] = ORACLE["events_session"]
+
+
+# ------------------------------------------------- events_stream_stateful
+@_q("events_stream_stateful")
+def events_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandasWithState CUSTOM stateful operator, driver-
+    gated: live.run_stateful_counts streams the events table as 4
+    micro-batches through a per-event-type GroupState running total
+    (update-mode memory sink keeps every per-batch emission). The
+    running totals are MONOTONE, so max(total) per key is the final
+    state — and the final state of a running count IS the batch
+    count(*), which makes the custom operator's result SQL-expressible
+    and hash-checkable against the oracle even though the operator
+    itself (arbitrary Python state transitions) is beyond SQL.
+
+    Scale / determinism: state is per-key and partition-local
+    (per-type longs, constant size); totals are integers and the
+    final max is batch-order-independent, so the gate does not depend
+    on micro-batch boundaries."""
+    from duckdb_wasm_spark.streaming.live import run_stateful_counts
+
+    got = run_stateful_counts(spark, sf_dir)
+    return got.groupBy("event_type").agg(F.max("total").alias("n"))
+
+
+ORACLE["events_stream_stateful"] = """
+select event_type, cast(count(*) as bigint) n
+from events
+group by event_type
+"""
