@@ -81,71 +81,34 @@ def _registries():
 # corpus in its original emission order.  The 50 r5-green names fall
 # to tier (c) registry order.
 #
-# ROUND-7 ROTATION: if CORRECTNESS_r06 shows the names below green,
-# every query's newest green row is dated r5 or r6 — replace this
-# list with (a) anything rewritten in round 7, then (b) the r5-green
-# corpus (oldest rows first).  If any r6 row is RED, keep it at the
-# head instead.  Note the r6 head grew mid-round: the continuation
-# sessions added the never-gated names in tier (a) below (everything
-# from dedup_substring through text_tfidf_topk, incl. the extra_stats
-# rewrite and the two real-streaming gates) — if the r6 window cut off
-# the tail of tier (b''), those tail names lead tier (b) next round.
+# ROUND-7 ROTATION (applied): CORRECTNESS_r06 came back 50/50 green;
+# the r6 window cut off after text_vocab_topk, leaving exactly the 17
+# r4-green tail names two rounds stale (r6 verdict "what's wrong" #2).
+# This window is therefore: (a) new / rewritten-since-green in round 7
+# — embed_covariance (its r6 green row predates the late-r6 mapInPandas
+# rewrite at HEAD) plus every query added or replanned this round, and
+# ann_brp_ml, which has NEVER had a driver row (rows-only by design;
+# the priority loop below now admits no-oracle names so it can finally
+# be emitted — r6 verdict "what's wrong" #1); (b) the 17 r4-stale
+# names, oldest emission first; (c) the r5-green corpus (q1, q5–q22,
+# micro_*, extras), whose rows are now two rounds old themselves.
+# ROUND-8: if r07 gates the names below green, rotate to (a) anything
+# rewritten in round 8, (b) the r5-green corpus tail the r7 window cut
+# off, then the r6-green names oldest-first.
 _GATE_PRIORITY = [
-    # (a) new / rewritten in round 6 — never gated in current form
-    "dedup_substring",  # new: exact-LCS substring dedup
-    "quality_buckets",  # new: fixed-decile quality bucketing
-    "sim_topk_ivfpq",  # new: IVF-PQ composite ANN
-    "embed_pca_power",  # new: matrix-free PCA power iteration
-    "text_bpe_merge",  # new: full BPE merge iteration (count-merge-recount)
-    "corpus_source_divergence",  # new: pairwise JS divergence between sources
-    "embed_abtt",  # new: all-but-the-top postprocessing
-    "dedup_containment",  # new: asymmetric containment near-dup
-    "extra_lateral",  # new: correlated LATERAL subquery
-    "events_stream_tumbling",  # new: REAL streaming execution, driver-gated
-    "events_stream_session",  # new: streaming session_window merge, gated
-    "events_stream_stateful",  # new: applyInPandasWithState, driver-gated
-    "dedup_winnowing",  # new: MOSS winnowing fingerprint candidates
-    "text_pmi_topk",  # new: PMI collocation top-k
-    "embed_cluster_purity",  # new: trained-quantizer purity vs labels
-    "embed_covariance",  # new: exact upper-triangle covariance matrix
-    # (rewritten late-r6: mapInPandas partial sums, 2.4s -> 1.0s)
-    "events_key_skew",  # new: exact join-key skew audit (salting decision)
-    "extra_unpivot",  # new: UNPIVOT wide-to-long melt
-    "extra_stats",  # quantiles rewritten: histogram/rank-pick, new oracle
-    "sim_topk_ivf_trained",
-    "sim_topk_pq",
-    "sim_topk_pq_rerank",
-    "text_ngram_entropy",
-    "corpus_zipf_slope",
-    "embed_random_projection",
-    "text_bpe_pair_counts",
-    "text_tfidf_topk",
-    # (b) r4-green, oracle text refactored in r5 (_emb_lsh_sql_prefix)
-    "dedup_embedding_lsh",
-    "dedup_embedding_clusters",
-    # (b') r4-green TPC-H / reference-dialect stragglers
-    "q2",
-    "q3",
-    "q4",
-    "ref_q7_sqlite",
-    "ref_q8_sqlite",
-    # (b'') r4-green LLM corpus, original r4 emission order
-    "pipeline_clean_corpus",
-    "sample_balanced",
-    "decontaminate_ngram",
-    "asof_click_attribution",
-    "range_join_price_bands",
-    "events_retention",
-    "events_funnel",
-    "events_tumbling",
-    "events_sliding",
-    "events_session",
-    "events_daily_pruned",
-    "events_rolling",
-    "dedup_ngram_jaccard_capped",
-    "dedup_clusters",
-    "embed_centroid_outliers",
-    "text_vocab_topk",
+    # (a) new / rewritten in round 7 — never gated in current form
+    "embed_covariance",  # rewritten late-r6 (Arrow partial sums); r6 green predates HEAD
+    "ann_brp_ml",  # rows-only Spark-ML BRP-LSH comparison; first-ever driver row
+    "multimodal_decode_stats",  # new: real PPM/BMP decoders in the gate path
+    "dedup_substring_capped",  # new: df-capped substring candidate gen
+    "dedup_winnowing_capped",  # new: df-capped winnowing candidate gen
+    "ref_q8_sqlite",  # translate-path plan fix (r6 perf-weak row)
+    "dedup_minhash",  # signature build rewritten to F.expr fast path (also r4-stale)
+    "dedup_simhash",  # 64-bit map rewritten to F.expr fast path (also r4-stale)
+    "sim_topk_pq",  # ADC construction rewritten to F.expr fast path
+    "sim_topk_pq_rerank",  # shares the rewritten ADC builder
+    "sim_topk_ivfpq",  # shares the rewritten ADC builder
+    # (b) r4-green rows, two rounds stale (r6 verdict list, emission order)
     "text_repetition",
     "multimodal_thumbnail",
     "multimodal_frames",
@@ -157,12 +120,52 @@ _GATE_PRIORITY = [
     "text_fingerprint",
     "text_tokens",
     "dedup_exact",
-    "dedup_minhash",
-    "dedup_simhash",
     "sim_topk_brute",
     "sim_topk_ivf",
     "multimodal_meta",
     "multimodal_features",
+    # (c) r5-green corpus, oldest rows first — backfill to window edge
+    "q1",
+    "q5",
+    "q6",
+    "q7",
+    "q8",
+    "q9",
+    "q10",
+    "q11",
+    "q12",
+    "q13",
+    "q14",
+    "q15",
+    "q16",
+    "q17",
+    "q18",
+    "q19",
+    "q20",
+    "q21",
+    "q22",
+    "micro_sort",
+    "micro_topk",
+    "micro_join2",
+    "micro_join3",
+    "micro_grouped_sum",
+    "micro_regex",
+    "micro_scalar_fns",
+    "ref_q7_sqlite",
+    "text_stats",
+    "text_gopher_flags",
+    "text_lm_score",
+    "text_dup_spans",
+    "corpus_stats",
+    "sample_token_budget",
+    "sample_split",
+    "corpus_mix_weights",
+    "sample_pack_sequences",
+    "doc_chunking",
+    "corpus_length_quantiles",
+    "decontaminate_semantic",
+    "sim_topk_ivf_probe",
+    "ivf_centroid_refine",
 ]
 
 
@@ -181,7 +184,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         oracles.update(m.ORACLE)
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for k in _GATE_PRIORITY:
-        if k in merged and k in oracles:
+        # No-oracle names are admitted on purpose: the driver records a
+        # rows-only check for them, which is still a driver row (r6
+        # verdict: ann_brp_ml was starved of ANY row for six rounds
+        # because this loop used to require an oracle entry).
+        if k in merged:
             out[k] = merged[k]
     out.update({k: v for k, v in merged.items() if k in oracles})
     out.update({k: v for k, v in merged.items() if k not in oracles})
