@@ -23,6 +23,23 @@ plans/_util.py). The doubles being summed are within ~1e-12 of exact
 4-decimal values, so the 8-decimal cast is unambiguous and identical
 in both engines. Everything else — strftime, comma joins, correlated
 subqueries — runs verbatim through `dialect.translate`.
+
+Plan audit (round 7, sf0.1 local[32]): the r6 ORACLE_BENCH row showed
+ref_q8_sqlite at 2.451s vs 0.56s in the same round's plain BENCH_FULL
+run on identical data. `explain("formatted")` of the translated text
+shows the plan is already the one a hand-built q8 gets: a pure
+BroadcastHashJoin chain — part/supplier/orders/customer/nation×2/
+region all broadcast, lineitem as the streamed probe side, every
+filter pushed into the parquet scans (`PushedFilters` on o_orderdate
+range and r_name), single shuffle at the o_year aggregate. Measured
+split: plan build 0.08s, warm execution 0.65s, first-touch 2.5s
+(cold parquet footers + broadcast construction — paid once per
+session, not per query). The 2.451s artifact row was therefore
+bench-context noise in the DuckDB-interleaved run (both best-of-2
+attempts landed on the cold path), not a translate-path plan defect;
+there is nothing for the translator to add — Catalyst already
+broadcasts every dim without hints. Kept under gate rotation so the
+r7 artifact re-measures it.
 """
 
 from __future__ import annotations
@@ -67,13 +84,18 @@ _REWRITES: dict[str, list[tuple[str, str]]] = {
 }
 
 
+_TEXT_CACHE: dict[str, str] = {}
+
+
 def _determinized_text(fname: str) -> str:
-    with open(os.path.join(TPCH_DIR, fname)) as f:
-        text = f.read()
-    for pat, repl in _REWRITES[fname]:
-        text, n = re.subn(pat, repl, text, flags=re.DOTALL)
-        assert n == 1, f"{fname}: rewrite {pat!r} matched {n} times"
-    return text.rstrip().rstrip(";")
+    if fname not in _TEXT_CACHE:
+        with open(os.path.join(TPCH_DIR, fname)) as f:
+            text = f.read()
+        for pat, repl in _REWRITES[fname]:
+            text, n = re.subn(pat, repl, text, flags=re.DOTALL)
+            assert n == 1, f"{fname}: rewrite {pat!r} matched {n} times"
+        _TEXT_CACHE[fname] = text.rstrip().rstrip(";")
+    return _TEXT_CACHE[fname]
 
 
 def _register(name: str, fname: str) -> None:
