@@ -336,10 +336,12 @@ def _minhash_sigs(docs: DataFrame) -> DataFrame:
     g = _gram_sets(docs).withColumn(
         "gh", tok_hash60(F.col("gram")) % MH_PRIME
     )
+    # F.expr strings, not Column chains — one JVM parse per hash fn
+    # instead of ~5 py4j round trips each (see _simhash_bands note)
     return g.groupBy("doc_id").agg(
         *[
-            F.min(
-                (F.lit(_mh_a(j)) * F.col("gh") + F.lit(_mh_b(j))) % MH_PRIME
+            F.expr(
+                f"min(({_mh_a(j)}L * gh + {_mh_b(j)}L) % {MH_PRIME}L)"
             ).alias(f"s{j}")
             for j in range(N_HASHES)
         ]
@@ -636,45 +638,48 @@ def _simhash_bands(docs: DataFrame) -> DataFrame:
     whole-stage-codegen hash-agg instead of 60 interpreted per-row array
     folds (integer sums are order-insensitive, so the result is
     unchanged)."""
+    # All generated expressions are F.expr STRINGS, not Column-builder
+    # chains: the 60 vote sums + 64 band/simhash terms cost ~500 py4j
+    # round trips as Columns (~1.5s of plan-build wall per call,
+    # measured r7) vs one JVM parse each as strings — identical trees.
     exploded = _gram_sets(docs).select(
         "doc_id", tok_hash60(F.col("gram")).alias("h")
     )
     votes = exploded.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1
-            ).alias(f"v{b}")
+            # majority-vote accumulator for bit b: +1 if set else -1
+            F.expr(f"sum((shiftright(h, {b}) & 1) * 2 - 1)").alias(f"v{b}")
             for b in range(SIM_BITS)
         ]
     )
 
-    def bit(b: int):
-        # majority vote of bit b across shingle hashes: +1 if set else -1
-        return (
-            F.when(F.col(f"v{b}") >= 0, F.lit(1))
-            .otherwise(F.lit(0))
-            .cast("long")
-        )
+    def bit_sql(b: int) -> str:
+        # majority vote of bit b across shingle hashes: 1 if >= 0 votes
+        return f"(case when v{b} >= 0 then 1L else 0L end)"
 
     band_vals = [
-        sum(
-            (bit(band * SIM_BAND_BITS + i) * F.lit(1 << i))
-            for i in range(SIM_BAND_BITS)
+        F.expr(
+            " + ".join(
+                f"{bit_sql(band * SIM_BAND_BITS + i)} * {1 << i}L"
+                for i in range(SIM_BAND_BITS)
+            )
         ).alias(f"band_{band}")
         for band in range(SIM_BANDS)
     ]
     d = votes.select("doc_id", *band_vals)
-    simhash = sum(
-        F.col(f"band_{band}") * F.lit(1 << (band * SIM_BAND_BITS))
-        for band in range(SIM_BANDS)
-    ).alias("simhash")
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(band).alias("band"), F.col(f"band_{band}").alias("band_val")
-            )
+    simhash = F.expr(
+        " + ".join(
+            f"band_{band} * {1 << (band * SIM_BAND_BITS)}L"
             for band in range(SIM_BANDS)
-        ]
+        )
+    ).alias("simhash")
+    bands = F.expr(
+        "array("
+        + ", ".join(
+            f"struct({band} as band, band_{band} as band_val)"
+            for band in range(SIM_BANDS)
+        )
+        + ")"
     )
     return d.select("doc_id", simhash, F.explode(bands).alias("bk")).select(
         "doc_id", "simhash", "bk.band", "bk.band_val"
@@ -786,12 +791,24 @@ def dot_fold(a, b):
     `F.expr` hands the JVM one string to parse (~1 ms) and resolves to
     the same ArrayAggregate/ZipWith tree, so results are bit-identical.
     Lambda params are underscore-prefixed to dodge any real column."""
-    if isinstance(a, str) and isinstance(b, str):
+    if (
+        isinstance(a, str)
+        and isinstance(b, str)
+        # Names are interpolated into raw SQL, so only plain
+        # identifiers qualify — a dotted/spaced/keyword name would
+        # parse wrong or resolve elsewhere; those take the slow path.
+        and a.isidentifier()
+        and b.isidentifier()
+    ):
         return F.expr(
             f"aggregate(zip_with({a}, {b}, (_dx, _dy) -> "
             f"cast(_dx as double) * cast(_dy as double)), 0.0D, "
             f"(_dacc, _dv) -> _dacc + _dv)"
         )
+    if isinstance(a, str):
+        a = F.col(a)
+    if isinstance(b, str):
+        b = F.col(b)
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),

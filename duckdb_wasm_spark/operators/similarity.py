@@ -756,7 +756,30 @@ def _sq_flat(a, b, n: int):
     far inside the JIT method-size budget and whole-stage codegen
     keeps them compiled (the higher-order aggregate form runs
     interpreted per element: swapping it for this cut sim_topk_pq
-    5.08s → 4.13s at sf0.1 across its ~2.6M-row assignment fan-outs)."""
+    5.08s → 4.13s at sf0.1 across its ~2.6M-row assignment fan-outs).
+
+    Plain-identifier column NAMES take an F.expr fast path (same
+    left-assoc `0.0 + t_0 + …` grouping, so values are bit-identical):
+    the Column-builder form costs ~25 py4j round trips per call, and
+    the PQ chain builds it four times per run (see dot_fold's note)."""
+    if (
+        isinstance(a, str)
+        and isinstance(b, str)
+        and a.isidentifier()
+        and b.isidentifier()
+    ):
+        terms = " + ".join(
+            f"((cast(element_at({a}, {j + 1}) as double) - "
+            f"cast(element_at({b}, {j + 1}) as double)) * "
+            f"(cast(element_at({a}, {j + 1}) as double) - "
+            f"cast(element_at({b}, {j + 1}) as double)))"
+            for j in range(n)
+        )
+        return F.expr(f"0.0D + {terms}")
+    if isinstance(a, str):
+        a = F.col(a)
+    if isinstance(b, str):
+        b = F.col(b)
     acc = F.lit(0.0)
     for j in range(n):
         d = F.element_at(a, j + 1).cast("double") - F.element_at(
@@ -793,15 +816,18 @@ def _pq_encoded(spark: SparkSession, sf_dir: str):
         F.sqrt(dot_fold("embedding", "embedding")).alias("nrm"),
     ).select(
         "vec_id",
-        F.transform(
-            "embedding", lambda v: v.cast("double") / F.col("nrm")
+        # F.expr, not a Python lambda: same tree, ~27ms less py4j
+        F.expr(
+            "transform(embedding, _v -> cast(_v as double) / nrm)"
         ).alias("en"),
     )
-    slices = F.array(
-        *[
-            F.slice("en", m * PQ_SUBDIM + 1, PQ_SUBDIM)
+    slices = F.expr(
+        "array("
+        + ", ".join(
+            f"slice(en, {m * PQ_SUBDIM + 1}, {PQ_SUBDIM})"
             for m in range(PQ_M)
-        ]
+        )
+        + ")"
     )
     # checkpoint: 3 consumers (codebook training, corpus encode, query
     # LUT) would each re-run the normalize + 16-slice scan
@@ -829,8 +855,7 @@ def _pq_encoded(spark: SparkSession, sf_dir: str):
                 "sub",
                 "c_id",
                 F.floor(
-                    _sq_flat(F.col("sub"), F.col("csub"), PQ_SUBDIM)
-                    * _FP_SCALE
+                    _sq_flat("sub", "csub", PQ_SUBDIM) * _FP_SCALE
                 ).alias("d2fp"),
             )
             .groupBy("vec_id", "m")
@@ -866,9 +891,9 @@ def _pq_encoded(spark: SparkSession, sf_dir: str):
         )
         .groupBy("m", "c_id")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "c"))),
-                lambda x: x["c"],
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, c))), "
+                "_x -> _x.c)"
             ).alias("csub")
         )
         .localCheckpoint()  # ≤ M×K rows; flat lineage for the 2 consumers
@@ -882,8 +907,7 @@ def _pq_encoded(spark: SparkSession, sf_dir: str):
             "m",
             "c_id",
             F.floor(
-                _sq_flat(F.col("sub"), F.col("csub"), PQ_SUBDIM)
-                    * _FP_SCALE
+                _sq_flat("sub", "csub", PQ_SUBDIM) * _FP_SCALE
             ).alias("d2fp"),
         )
     )
