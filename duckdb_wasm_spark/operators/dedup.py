@@ -1206,7 +1206,9 @@ DUP_SUBSTR_N = 12  # window width (tokens): the seed length for LCS runs
 
 
 @_q("dedup_substring")
-def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_substring(
+    spark: SparkSession, sf_dir: str, max_df: int | None = None
+) -> DataFrame:
     """Exact-substring dedup (the "Deduplicating Training Data Makes
     Language Models Better" signal, Lee et al. 2021): for every doc
     pair sharing at least one exact DUP_SUBSTR_N-token window, report
@@ -1233,7 +1235,11 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew hazard is boilerplate windows shared by millions of docs;
     production adds the max_df stop-gram cap exactly as
     dedup_ngram_jaccard_capped does (kept off here so the oracle
-    states the pure definition). The islands window shuffles by
+    states the pure definition; dedup_substring_capped is the scale
+    entry point — max_df drops windows with more than max_df postings
+    BEFORE pair expansion, bounding every key's fan-out at max_df²;
+    a capped pair's runs can only shrink or split, never grow, which
+    tests/test_operators.py pins). The islands window shuffles by
     (doc_a, doc_b, diag) — collision-bounded, never corpus-bounded.
 
     The window key is the 12-token ARRAY SLICE, not a joined string:
@@ -1264,6 +1270,11 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     posts = w.groupBy("gram").agg(
         F.collect_list(F.struct("doc_id", "pos")).alias("ds")
     )
+    if max_df is not None:
+        # stop-window guard: a boilerplate window shared by max_df+
+        # postings would make its pair expansion quadratic-huge; the
+        # posting array already exists, so the cap is one size() test
+        posts = posts.where(F.size("ds") <= max_df)
     m = (
         posts.select(
             F.explode(
@@ -1304,11 +1315,25 @@ def _sql_pos_ngrams(t: str, n: int) -> str:
     )
 
 
-ORACLE["dedup_substring"] = f"""
-with t as (select doc_id, {sql_toks('text')} toks from documents),
-w as (
+def substring_oracle_sql(max_df: int | None = None) -> str:
+    """dedup_substring oracle; max_df mirrors the Spark-side posting
+    cap (windows with more than max_df postings dropped before the
+    pair join). Tests bind a tiny cap so the filter fires at
+    sf0.001; the registered capped query binds SUBSTR_MAX_DF."""
+    if max_df is None:
+        w_cte = f"""w as (
+  select doc_id, u.s.pos pos, u.s.gram gram
+  from t, unnest({_sql_pos_ngrams('toks', DUP_SUBSTR_N)}) u(s))"""
+    else:
+        w_cte = f"""w0 as (
   select doc_id, u.s.pos pos, u.s.gram gram
   from t, unnest({_sql_pos_ngrams('toks', DUP_SUBSTR_N)}) u(s)),
+rare as (select gram from w0 group by gram
+         having count(*) <= {max_df}),
+w as (select w0.* from w0 join rare using (gram))"""
+    return f"""
+with t as (select doc_id, {sql_toks('text')} toks from documents),
+{w_cte},
 m as (
   select a.doc_id doc_a, b.doc_id doc_b, a.pos pa, b.pos pb,
          a.pos - b.pos diag
@@ -1329,6 +1354,30 @@ select doc_a, doc_b,
 from r
 group by doc_a, doc_b
 """
+
+
+ORACLE["dedup_substring"] = substring_oracle_sql()
+
+
+SUBSTR_MAX_DF = 100  # posting cap: bounds any window's fan-out at 100²
+
+
+@_q("dedup_substring_capped")
+def dedup_substring_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB entry point for exact-substring dedup: identical
+    positional-window inverted index with the posting cap ON — windows
+    carried by more than SUBSTR_MAX_DF (doc, pos) postings (license
+    headers, boilerplate navigation) are dropped before pair
+    expansion, bounding every key's fan-out at SUBSTR_MAX_DF² where
+    the uncapped query goes quadratic on hot boilerplate. The cap
+    changes the measure (runs riding solely on stop-windows shrink or
+    vanish), so this variant carries its own oracle stating exactly
+    that semantics; capped pairs/runs are always a subset of the
+    uncapped result (pytest-pinned)."""
+    return dedup_substring(spark, sf_dir, max_df=SUBSTR_MAX_DF)
+
+
+ORACLE["dedup_substring_capped"] = substring_oracle_sql(SUBSTR_MAX_DF)
 
 
 # -------------------------------------------------- dedup_containment
@@ -1395,7 +1444,9 @@ WIN_W = 4  # winnowing window in consecutive gram hashes
 
 
 @_q("dedup_winnowing")
-def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_winnowing(
+    spark: SparkSession, sf_dir: str, max_df: int | None = None
+) -> DataFrame:
     """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
     scheme): hash every WIN_K-token gram, keep the MINIMUM hash of
     each WIN_W-wide window of consecutive gram hashes, and report doc
@@ -1434,6 +1485,11 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     fps = d.select("doc_id", F.explode(F.array_distinct(acc)).alias("fp"))
     posts = fps.groupBy("fp").agg(F.collect_list("doc_id").alias("ds"))
+    if max_df is not None:
+        # stop-fingerprint guard: a boilerplate fingerprint shared by
+        # max_df+ docs would go quadratic in the pair expansion; ds is
+        # per-doc distinct, so size(ds) IS the document frequency
+        posts = posts.where(F.size("ds") <= max_df)
     pairs = posts.select(
         F.explode(
             F.expr(
@@ -1448,7 +1504,17 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE["dedup_winnowing"] = f"""
+def winnowing_oracle_sql(max_df: int | None = None) -> str:
+    """dedup_winnowing oracle; max_df mirrors the Spark-side cap
+    (fingerprints in more than max_df docs dropped before the pair
+    join — fps are per-doc distinct, so plain count(*) is df)."""
+    if max_df is None:
+        e_cte = "e as (select doc_id, unnest(fps) fp from m)"
+    else:
+        e_cte = f"""e0 as (select doc_id, unnest(fps) fp from m),
+rare as (select fp from e0 group by fp having count(*) <= {max_df}),
+e as (select e0.* from e0 join rare using (fp))"""
+    return f"""
 with t as (select doc_id, {sql_toks('text')} toks from documents),
 g as (select doc_id, {sql_ngrams_all('toks', WIN_K)} grams from t),
 h as (
@@ -1461,8 +1527,30 @@ m as (
            range(1, greatest(len(hs) - {WIN_W - 2}, 1)),
            i -> least({', '.join(f'hs[i+{j}]' for j in range(WIN_W))}))) fps
   from h),
-e as (select doc_id, unnest(fps) fp from m)
+{e_cte}
 select a.doc_id doc_a, b.doc_id doc_b, count(*) n_shared_fp
 from e a join e b on a.fp = b.fp and a.doc_id < b.doc_id
 group by 1, 2
 """
+
+
+ORACLE["dedup_winnowing"] = winnowing_oracle_sql()
+
+
+WIN_MAX_DF = 100  # fingerprint df cap: bounds any key's fan-out at 100²
+
+
+@_q("dedup_winnowing_capped")
+def dedup_winnowing_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB entry point for winnowing near-dup: identical
+    fingerprint index with the df cap ON — a fingerprint present in
+    more than WIN_MAX_DF documents (boilerplate the min-sampling
+    happened to keep) is dropped before pair expansion, bounding every
+    key's fan-out at WIN_MAX_DF² where the uncapped query goes
+    quadratic on hot boilerplate. Capped pairs are a subset of the
+    uncapped result with n_shared_fp never larger (pytest-pinned);
+    the variant carries its own oracle stating the capped measure."""
+    return dedup_winnowing(spark, sf_dir, max_df=WIN_MAX_DF)
+
+
+ORACLE["dedup_winnowing_capped"] = winnowing_oracle_sql(WIN_MAX_DF)
