@@ -377,6 +377,120 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------- decode_stats (real codecs)
+DS_BASE = 8  # decode-stats geometry: w,h in [8, 15] keeps the oracle cheap
+
+
+@_q("multimodal_decode_stats")
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decoder gate (r6 verdict task #6): synthesize a genuine
+    binary PPM (even doc_ids) or 24-bit BMP (odd doc_ids) payload whose
+    RGB pixels are the doc's text bytes tiled row-major, then decode it
+    back through `decode_image` — the actual `_decode_ppm`/`_decode_bmp`
+    parsers, not fake_decode — and emit pixel aggregates. The stats are
+    deliberately ORDER-SENSITIVE: `row_wsum` weights each pixel row by
+    its 1-based row index (a BMP bottom-up flip bug flips it),
+    `chan_wsum` weights each channel (a BGR→RGB bug flips that), so a
+    decoder that merely preserves the multiset of bytes cannot pass.
+    The oracle recomputes all three sums from the text codepoints with
+    the same tiling arithmetic — format-independent, because a CORRECT
+    decode of either container recovers the identical RGB array.
+
+    Scale (100 TB): encode and decode are two chained mapInPandas
+    stages — partition-local Arrow batches, no shuffle, narrow output;
+    swap the synthesis stage for a real media scan and the decode
+    stage is unchanged."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def encode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, fmts, payloads = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w = DS_BASE + doc_id % 8
+                h = DS_BASE + (doc_id * 3) % 8
+                img = fake_decode(text.encode("utf-8"), w, h)
+                fmt = "ppm" if doc_id % 2 == 0 else "bmp"
+                payloads.append(
+                    encode_ppm(img) if fmt == "ppm" else encode_bmp(img)
+                )
+                ids.append(doc_id)
+                fmts.append(fmt)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "fmt": fmts,
+                    "payload": payloads,
+                }
+            )
+
+    def decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "doc_id": [], "fmt": [], "width": [], "height": [],
+                "px_sum": [], "row_wsum": [], "chan_wsum": [],
+            }
+            for doc_id, fmt, payload in zip(
+                pdf["doc_id"], pdf["fmt"], pdf["payload"]
+            ):
+                img = decode_image(bytes(payload), fmt).astype(np.int64)
+                h, w = img.shape[0], img.shape[1]
+                out["doc_id"].append(doc_id)
+                out["fmt"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["px_sum"].append(int(img.sum()))
+                out["row_wsum"].append(
+                    int((img.sum(axis=(1, 2)) * np.arange(1, h + 1)).sum())
+                )
+                out["chan_wsum"].append(
+                    int((img.sum(axis=(0, 1)) * np.arange(1, 4)).sum())
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "fmt": out["fmt"],
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    "px_sum": pd.Series(out["px_sum"], dtype="int64"),
+                    "row_wsum": pd.Series(out["row_wsum"], dtype="int64"),
+                    "chan_wsum": pd.Series(out["chan_wsum"], dtype="int64"),
+                }
+            )
+
+    encoded = docs.mapInPandas(
+        encode_batches, "doc_id long, fmt string, payload binary"
+    )
+    return encoded.mapInPandas(
+        decode_batches,
+        "doc_id long, fmt string, width int, height int, "
+        "px_sum long, row_wsum long, chan_wsum long",
+    )
+
+
+ORACLE["multimodal_decode_stats"] = f"""
+with dims as (
+  select doc_id, text,
+         cast({DS_BASE} + doc_id % 8 as int) w,
+         cast({DS_BASE} + (doc_id * 3) % 8 as int) h,
+         octet_length(encode(text)) n
+  from documents),
+px as (
+  select doc_id, w, h,
+         list_transform(range(0, w * h * 3), k ->
+           unicode(substr(text, 1 + k % n, 1))) b
+  from dims)
+select doc_id,
+       case when doc_id % 2 = 0 then 'ppm' else 'bmp' end fmt,
+       w width, h height,
+       cast(list_sum(b) as bigint) px_sum,
+       cast(list_sum(list_transform(range(0, w * h * 3), k ->
+         (1 + k // (w * 3)) * b[k + 1])) as bigint) row_wsum,
+       cast(list_sum(list_transform(range(0, w * h * 3), k ->
+         (1 + k % 3) * b[k + 1])) as bigint) chan_wsum
+from px
+"""
+
+
 ORACLE["multimodal_frames"] = f"""
 with docs as (
   select doc_id, text, octet_length(encode(text)) n from documents),

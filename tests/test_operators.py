@@ -557,6 +557,51 @@ def test_decode_ppm_through_map_in_pandas(spark):
         assert got[i]["px_mean"] == pytest.approx(float(img.mean()))
 
 
+def test_decode_stats_are_order_sensitive(spark, sf_dir):
+    """multimodal_decode_stats' weighted sums must DETECT decoder
+    orientation bugs, or the gate proves nothing: a bottom-up flip
+    changes row_wsum and a BGR swap changes chan_wsum on asymmetric
+    images, while the permutation-invariant px_sum alone would not."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    h = img.shape[0]
+
+    def row_wsum(a):
+        return int((a.sum(axis=(1, 2)) * np.arange(1, a.shape[0] + 1)).sum())
+
+    def chan_wsum(a):
+        return int((a.sum(axis=(0, 1)) * np.arange(1, 4)).sum())
+
+    flipped, swapped = img[::-1], img[:, :, ::-1]
+    assert int(flipped.sum()) == int(img.sum())  # px_sum is blind to both
+    assert row_wsum(flipped) != row_wsum(img)
+    assert chan_wsum(swapped) != chan_wsum(img)
+    # and the real decoders recover the exact orientation
+    dec = multimodal.decode_image(multimodal.encode_bmp(img), "bmp")
+    assert row_wsum(dec) == row_wsum(img)
+    assert chan_wsum(dec) == chan_wsum(img)
+    from duckdb_wasm_spark.tables import load_table
+
+    # end-to-end: the registered query's row for doc 0 matches numpy
+    row0 = (
+        multimodal.QUERIES["multimodal_decode_stats"](spark, sf_dir)
+        .where("doc_id = 0")
+        .collect()[0]
+    )
+    text = (
+        load_table(spark, sf_dir, "documents")
+        .where("doc_id = 0")
+        .collect()[0]
+        .text
+    )
+    w0, h0 = multimodal.DS_BASE, multimodal.DS_BASE
+    truth = multimodal.fake_decode(text.encode(), w0, h0).astype(np.int64)
+    assert row0.fmt == "ppm" and row0.width == w0 and row0.height == h0
+    assert row0.px_sum == int(truth.sum())
+    assert row0.row_wsum == row_wsum(truth)
+    assert row0.chan_wsum == chan_wsum(truth)
+
+
 def test_pq_rerank_recall(spark, sf_dir):
     """PQ two-stage gate: the exact rerank over the ADC shortlist must
     reach recall@5 >= 0.8 vs sim_topk_brute and strictly beat the
