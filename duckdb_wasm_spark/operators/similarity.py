@@ -1407,6 +1407,10 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return q.join(n, "c_id").select("query_id", "neighbor_id")
 
+    # pre-warm the load_table memo before the two driver threads race
+    # it: its check-then-insert is unsynchronized (benign today — both
+    # writes are equivalent — but not worth leaving latent; r6 ADVICE)
+    load_table(spark, sf_dir, "embeddings")
     with ThreadPoolExecutor(max_workers=2) as pool:
         f_cand = pool.submit(coarse_cand)
         f_enc = pool.submit(_pq_encoded, spark, sf_dir)

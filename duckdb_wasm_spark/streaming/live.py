@@ -15,7 +15,9 @@ code runs against a Kafka source on a cluster unchanged.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 from typing import Iterator
 
@@ -47,6 +49,9 @@ def _staged_stream_source(
         # the mapping is the identity a naive event log means.
         ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
         out = tempfile.mkdtemp(prefix="events_stream_")
+        # staged copies must not accumulate across sessions (r6 ADVICE):
+        # the dir dies with the process, like Spark's own local dirs
+        atexit.register(shutil.rmtree, out, ignore_errors=True)
         ev.repartition(n_files).write.mode("overwrite").parquet(out)
         memo[key] = (out, ev.schema)
     return memo[key]

@@ -18,6 +18,8 @@ algorithm spelled out).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -417,7 +419,8 @@ def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    name = "events_stream_tumbling_sink"
+    # suffixed + try/finally for the same reasons as events_stream_session
+    name = f"events_stream_tumbling_{os.getpid()}_{abs(hash(sf_dir)) % 10000}"
     q = (
         agg.writeStream.format("memory")
         .queryName(name)
@@ -425,7 +428,10 @@ def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
     return spark.table(name)
 
 
@@ -490,7 +496,10 @@ def events_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
-    name = "events_stream_session_sink"
+    # pid/hash-suffixed like live.py's sinks (a fixed name would
+    # collide with a concurrent run in the same session), and stopped
+    # in a finally so a mid-query failure can't leak a running stream
+    name = f"events_stream_session_{os.getpid()}_{abs(hash(sf_dir)) % 10000}"
     q = (
         agg.writeStream.format("memory")
         .queryName(name)
@@ -498,7 +507,10 @@ def events_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
     return spark.table(name)
 
 

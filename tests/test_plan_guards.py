@@ -14,27 +14,32 @@ import pytest
 
 import __spark_entry__ as entry
 
-# non-equi joins against a broadcast side that is small by construction
+# Non-equi joins against a broadcast side that is small by construction.
+# Every entry MUST state the size bound of the broadcast side — why it
+# stays constant (or near-constant) as the corpus scales to 100 TB —
+# so the allowlist cannot silently accumulate unaudited BNLJs (r6
+# verdict task #8). The failure message below quotes this contract.
 BNLJ_ALLOWED = {
-    "q11",  # scalar-subquery threshold (1 row) broadcast to the agg
-    "q22",  # scalar-subquery avg balance (1 row) broadcast
-    "sim_topk_brute",  # 50-vector query panel broadcast (self != cond)
-    "sim_topk_ivf",  # 8-centroid panel broadcast for assignment
-    "sim_topk_ivf_probe",  # same 8-centroid broadcast assignment fan-out
-    "sim_topk_ivf_trained",  # same broadcast fan-out, per Lloyd iteration
-    "ivf_centroid_refine",  # same 8-centroid broadcast assignment fan-out
-    "embed_cluster_purity",  # same trained-centroid broadcast assignment
-    "range_join_price_bands",  # 12-row derived band table broadcast
-    "text_tfidf_topk",  # 1-row corpus-size scalar broadcast for idf
-    "text_lm_score",  # 1-row vocab-size scalar broadcast for smoothing
-    "text_bpe_merge",  # 1-row winning-pair scalar broadcast (merge apply)
-    "embed_abtt",  # 1-row mean + 1-row component vector broadcasts
-    "embed_covariance",  # same 1-row mean broadcast (shared centering)
-    "text_pmi_topk",  # 1-row total-bigram-count scalar broadcast
-    "events_key_skew",  # 1-row stats × 1-row top-k scalar broadcast
-    "corpus_source_divergence",  # dense sources×vocab grid: both sides
-    #   are POST-AGGREGATE frames (|sources| × |vocab types|), never the
-    #   corpus — the zero-fill support cross is the operator's design
+    "q11": "scalar-subquery threshold: exactly 1 row broadcast to the agg",
+    "q22": "scalar-subquery avg balance: exactly 1 row broadcast",
+    "sim_topk_brute": "query panel: N_QUERIES=50 rows, fixed by the API",
+    "sim_topk_ivf": "centroid panel: IVF_CELLS=8 rows, a config constant",
+    "sim_topk_ivf_probe": "same 8-row centroid panel, probe variant",
+    "sim_topk_ivf_trained": "same 8-row panel per Lloyd iteration",
+    "ivf_centroid_refine": "same 8-row centroid panel",
+    "embed_cluster_purity": "trained centroids: IVF_CELLS=8 rows",
+    "range_join_price_bands": "derived band table: 12 rows, fixed grid",
+    "text_tfidf_topk": "corpus-size scalar: exactly 1 row for idf",
+    "text_lm_score": "vocab-size scalar: exactly 1 row for smoothing",
+    "text_bpe_merge": "winning-pair scalar: exactly 1 row per merge",
+    "embed_abtt": "mean + top component: two 1-row vector broadcasts",
+    "embed_covariance": "shared centering mean: exactly 1 row",
+    "text_pmi_topk": "total-bigram-count scalar: exactly 1 row",
+    "events_key_skew": "1-row stats frame x 1-row top-k scalar",
+    "corpus_source_divergence": (
+        "post-aggregate |sources| x |vocab types| zero-fill grid — both "
+        "sides aggregates, never the corpus; the cross IS the design"
+    ),
 }
 
 # queries whose WHERE is selective on a scanned column — parquet scan
@@ -69,8 +74,15 @@ def test_bnlj_only_on_allowlist(plans):
         if "BroadcastNestedLoopJoin" in p and n not in BNLJ_ALLOWED
     ]
     assert offenders == [], (
-        f"non-equi broadcast joins outside the audited allowlist: {offenders}"
+        f"non-equi broadcast joins outside the audited allowlist: "
+        f"{offenders}. A BNLJ is only acceptable against a side whose "
+        f"size is BOUNDED BY CONSTRUCTION (a scalar aggregate, a "
+        f"config-constant panel) — if this one qualifies, add it to "
+        f"BNLJ_ALLOWED with a one-line size-bound justification like "
+        f"the existing entries; if not, restructure the join."
     )
+    stale = sorted(set(BNLJ_ALLOWED) - set(plans))
+    assert stale == [], f"BNLJ_ALLOWED entries no longer registered: {stale}"
 
 
 def test_filters_pushed_to_scan(plans):
