@@ -102,6 +102,9 @@ _GATE_PRIORITY = [
     "multimodal_decode_stats",  # new: real PPM/BMP decoders in the gate path
     "dedup_substring_capped",  # new: df-capped substring candidate gen
     "dedup_winnowing_capped",  # new: df-capped winnowing candidate gen
+    "sketch_hll_distinct",  # new: HyperLogLog distinct estimator, md5-derived
+    "sketch_cms_heavy_hitters",  # new: Count-Min point estimates vs exact
+    "sketch_bloom_decontaminate",  # new: Bloom membership pre-filter vs exact
     "ref_q8_sqlite",  # translate-path plan fix (r6 perf-weak row)
     "dedup_minhash",  # signature build rewritten to F.expr fast path (also r4-stale)
     "dedup_simhash",  # 64-bit map rewritten to F.expr fast path (also r4-stale)

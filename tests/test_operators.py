@@ -602,6 +602,46 @@ def test_decode_stats_are_order_sensitive(spark, sf_dir):
     assert row0.chan_wsum == chan_wsum(truth)
 
 
+def test_sketch_properties(spark, sf_dir):
+    """The three md5-derived sketches must honor their structural
+    guarantees, not just hash-match: HLL lands within its standard
+    error regime, CMS never underestimates, Bloom never yields a
+    false negative."""
+    from duckdb_wasm_spark.operators import sketches
+
+    hll = sketches.QUERIES["sketch_hll_distinct"](spark, sf_dir).collect()
+    assert hll, "no sources"
+    for r in hll:
+        # 1.04/sqrt(256) ~ 6.5% standard error; 5 sigma of slack
+        assert abs(r.rel_err) < 0.33, f"{r.source}: rel_err {r.rel_err}"
+        assert r.n_hll > 2.5 * sketches.HLL_M, (
+            "estimate fell into the small-range ln-correction regime — "
+            "cross-engine determinism no longer guaranteed, demote the "
+            "row to rows-only (see docstring)"
+        )
+
+    cms = sketches.QUERIES["sketch_cms_heavy_hitters"](
+        spark, sf_dir
+    ).collect()
+    assert len(cms) == sketches.CMS_TOPK
+    assert all(r.overestimate >= 0 for r in cms), "CMS underestimated"
+    assert any(r.overestimate > 0 for r in cms) or len(cms) < 5, (
+        "sketch so large no collision occurred — w is mis-sized for the "
+        "corpus and the gate is not exercising CMS error behavior"
+    )
+
+    bloom = sketches.QUERIES["sketch_bloom_decontaminate"](
+        spark, sf_dir
+    ).collect()
+    assert bloom
+    for r in bloom:
+        assert r.n_bloom_hits >= r.n_exact_hits, (
+            f"doc {r.train_id}: Bloom false negative"
+        )
+        assert r.n_false_pos >= 0
+        assert r.n_bloom_hits <= r.n_grams
+
+
 def test_pq_rerank_recall(spark, sf_dir):
     """PQ two-stage gate: the exact rerank over the ADC shortlist must
     reach recall@5 >= 0.8 vs sim_topk_brute and strictly beat the
