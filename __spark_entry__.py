@@ -105,6 +105,9 @@ _GATE_PRIORITY = [
     "sketch_hll_distinct",  # new: HyperLogLog distinct estimator, md5-derived
     "sketch_cms_heavy_hitters",  # new: Count-Min point estimates vs exact
     "sketch_bloom_decontaminate",  # new: Bloom membership pre-filter vs exact
+    "events_stream_dedup",  # new: dropDuplicatesWithinWatermark, driver-gated
+    "events_salted_join",  # new: skew-salted shuffle join ≡ plain join
+    "source_orc_roundtrip",  # new: ORC write+read gated via parquet oracle
     "ref_q8_sqlite",  # translate-path plan fix (r6 perf-weak row)
     "dedup_minhash",  # signature build rewritten to F.expr fast path (also r4-stale)
     "dedup_simhash",  # 64-bit map rewritten to F.expr fast path (also r4-stale)

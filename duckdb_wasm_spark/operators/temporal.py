@@ -446,3 +446,64 @@ select s.n_keys, s.n_events, s.max_per_key, s.p50_per_key, s.p99_per_key,
          topk_share
 from stats s, top t
 """
+
+
+# ------------------------------------------------- events_salted_join
+SALT_BUCKETS = 16  # spread each hot key over this many sub-partitions
+
+
+@_q("events_salted_join")
+def events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXECUTION side of the skew story events_key_skew audits:
+    join the events fact to its per-user activity dimension through
+    skew.salted_join — every fact row gets a pseudo-random salt in
+    [0, SALT_BUCKETS); the dimension is replicated once per salt; the
+    join runs on (user_id, salt), so a pathological hot user spreads
+    over SALT_BUCKETS shuffle partitions instead of landing on one
+    executor. The oracle states the PLAIN join — salting must be
+    result-invisible, and the hash gate proves it on every row-derived
+    aggregate (integer counts/sums, no float path).
+
+    The dim side carries a merge (sort-merge) hint: at gate scale
+    Catalyst would broadcast the tiny dim and the salt would never
+    route a shuffle — the hint forces the shuffle-join shape the
+    mitigation exists for, so the gated plan is the 100 TB plan.
+
+    Scale (100 TB): replication cost is |dim| x SALT_BUCKETS rows —
+    salting always replicates the SMALLER side; AQE's skew-join split
+    (on in this repo's sessions) handles moderate skew at runtime, and
+    explicit salting is the deterministic fallback for the
+    single-key-overwhelms-an-executor regime events_key_skew's
+    max_per_key/topk_share columns detect."""
+    from duckdb_wasm_spark.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("user_events"))
+        .hint("merge")
+    )
+    joined = salted_join(
+        ev.select("event_id", "user_id", "event_type"),
+        dim,
+        "user_id",
+        "user_id",
+        n_salts=SALT_BUCKETS,
+    ).drop(dim["user_id"])
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("user_events").alias("sum_user_events"),
+        F.max("user_events").alias("max_user_events"),
+    )
+
+
+ORACLE["events_salted_join"] = """
+with dim as (
+  select user_id, count(*) user_events from events group by 1)
+select event_type,
+       count(*) n,
+       cast(sum(user_events) as bigint) sum_user_events,
+       max(user_events) max_user_events
+from events e join dim using (user_id)
+group by event_type
+"""

@@ -220,3 +220,60 @@ def CARDINALITY(spark: SparkSession, sf_dir: str) -> dict[str, int]:
         .join(cust_b, F.col("o_custkey") == F.col("c_custkey"))
         .count(),
     }
+
+
+# --------------------------------------------------- source_orc_roundtrip
+def _orc_staged(spark: SparkSession, sf_dir: str) -> str:
+    """lineitem staged once per (session, sf_dir) as ORC; dies with the
+    process (atexit), like streaming/live.py's staged stream source."""
+    import atexit
+    import shutil
+    import tempfile
+
+    memo: dict = spark.__dict__.setdefault("_dws_orc_src", {})
+    if sf_dir not in memo:
+        out = tempfile.mkdtemp(prefix="lineitem_orc_")
+        atexit.register(shutil.rmtree, out, ignore_errors=True)
+        load_table(spark, sf_dir, "lineitem").write.mode(
+            "overwrite"
+        ).orc(out)
+        memo[sf_dir] = out
+    return memo[sf_dir]
+
+
+@_q("source_orc_roundtrip")
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source gate: lineitem is written to ORC once and read back
+    through spark.read.orc, then aggregated with the q1 column set —
+    the oracle states the same aggregate over the PARQUET table, so a
+    lossy round-trip of any column type (bigint keys, double money,
+    flag strings, TIMESTAMP_NTZ ship dates) breaks the hash. DuckDB
+    has no ORC reader; gating through a parquet-side oracle is exactly
+    how a format gate should work — the format must be semantics-
+    preserving, and the semantics are stated in SQL.
+
+    Scale: ORC is a first-class splittable columnar source in Spark
+    (predicate pushdown, column pruning, row-group parallelism like
+    parquet); the roundtrip staging here stands in for reading an
+    existing ORC lake."""
+    orc = spark.read.orc(_orc_staged(spark, sf_dir))
+    return (
+        orc.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(dec("l_quantity")).alias("sum_qty"),
+            dsum(dec("l_extendedprice")).alias("sum_price"),
+            F.max("l_shipdate").alias("max_shipdate"),
+        )
+    )
+
+
+ORACLE["source_orc_roundtrip"] = f"""
+select l_returnflag, l_linestatus,
+       count(*) n,
+       {sql_dsum(sql_dec('l_quantity'))} sum_qty,
+       {sql_dsum(sql_dec('l_extendedprice'))} sum_price,
+       max(l_shipdate) max_shipdate
+from lineitem
+group by l_returnflag, l_linestatus
+"""

@@ -552,3 +552,39 @@ select event_type, cast(count(*) as bigint) n
 from events
 group by event_type
 """
+
+
+# --------------------------------------------------- events_stream_dedup
+@_q("events_stream_dedup")
+def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EXACT DEDUP through the engine's
+    ``dropDuplicatesWithinWatermark`` operator, driver-gated:
+    live.stream_dedup_keys streams the events table as 4 micro-batches
+    and drops repeated (user_id, event_type) keys across batches in
+    watermarked dedup state (append-mode memory sink = first
+    occurrence of each key). The watermark delay exceeds the staged
+    data's span, so no state is evicted mid-replay and the kept key
+    set equals the batch DISTINCT exactly — the per-type count of
+    deduped keys is then count(distinct user_id), which makes the
+    streaming operator's result hash-checkable in SQL. (The final
+    count over the sink is batch-side presentation; the DEDUP — the
+    stateful operator under test — ran on the stream.)
+
+    Scale (100 TB feed): the watermark delay is what bounds dedup
+    state on an unbounded stream — keys older than the delay are
+    evicted, so state follows the distinct-key arrival rate within
+    the window, not stream length (the eviction law itself is pinned
+    by tests/test_streaming.py's late-data cases)."""
+    from duckdb_wasm_spark.streaming.live import stream_dedup_keys
+
+    got, _ = stream_dedup_keys(spark, sf_dir)
+    return got.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+ORACLE["events_stream_dedup"] = """
+select event_type, count(distinct user_id) n_users
+from events
+group by event_type
+"""
