@@ -108,6 +108,9 @@ _GATE_PRIORITY = [
     "events_stream_dedup",  # new: dropDuplicatesWithinWatermark, driver-gated
     "events_salted_join",  # new: skew-salted shuffle join ≡ plain join
     "source_orc_roundtrip",  # new: ORC write+read gated via parquet oracle
+    "source_csv_roundtrip",  # new: CSV text round-trip gated via oracle
+    "source_json_roundtrip",  # new: JSONL round-trip gated via oracle
+    "extra_variant_json",  # new: Spark 4 VARIANT typed extraction
     "ref_q8_sqlite",  # translate-path plan fix (r6 perf-weak row)
     "dedup_minhash",  # signature build rewritten to F.expr fast path (also r4-stale)
     "dedup_simhash",  # 64-bit map rewritten to F.expr fast path (also r4-stale)

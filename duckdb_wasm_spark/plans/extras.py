@@ -523,6 +523,51 @@ group by event_type
 """
 
 
+# ------------------------------------------------------ extra_variant_json
+@_q("extra_variant_json")
+def extra_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT-typed semi-structured extraction over
+    events.props: parse_json builds the binary variant encoding ONCE,
+    then variant_get does typed path extraction from the encoded form
+    — the modern scale path for JSON columns (the string is parsed
+    once per row, not once per extraction; shredded variant columns
+    push this into the scan at the storage layer). Same aggregate
+    surface as extra_json_fns' string-path version so the two gates
+    pin identical semantics through both APIs; absent-path extraction
+    must yield NULL, pinned by n_missing == n.
+
+    Oracle: DuckDB json_extract on the raw string — variant encoding
+    is representation, not semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json(F.col("props")).alias("v")
+    ).select(
+        "event_type",
+        F.expr("variant_get(v, '$.k', 'int')").alias("k"),
+        F.expr("variant_get(v, '$.absent', 'int')").alias("absent"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.count(F.when(F.col("absent").isNull(), 1)).alias("n_missing"),
+    )
+
+
+ORACLE["extra_variant_json"] = """
+select event_type, count(*) n,
+       cast(sum(cast(json_extract_string(props, '$.k') as integer))
+            as bigint) sum_k,
+       min(cast(json_extract_string(props, '$.k') as integer)) min_k,
+       max(cast(json_extract_string(props, '$.k') as integer)) max_k,
+       count(case when json_extract_string(props, '$.absent') is null
+                  then 1 end) n_missing
+from events
+group by event_type
+"""
+
+
 # ----------------------------------------------------------- extra_pivot
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
@@ -1279,6 +1324,7 @@ _REGISTERED = (
     "extra_recursive_walk",
     "extra_lateral",        # correlated LATERAL subquery
     "extra_unpivot",        # wide→long melt (inverse of PIVOT)
+    "extra_variant_json",   # Spark 4 VARIANT typed extraction
 )
 QUERIES = {k: ALL_QUERIES[k] for k in _REGISTERED}
 ORACLE = {k: ALL_ORACLE[k] for k in _REGISTERED}

@@ -277,3 +277,90 @@ select l_returnflag, l_linestatus,
 from lineitem
 group by l_returnflag, l_linestatus
 """
+
+
+# --------------------------------------- source_csv/json_roundtrip
+def _fmt_staged(spark: SparkSession, sf_dir: str, fmt: str) -> str:
+    """orders staged once per (session, sf_dir, fmt) as CSV/JSON; dies
+    with the process (atexit), like _orc_staged."""
+    import atexit
+    import shutil
+    import tempfile
+
+    memo: dict = spark.__dict__.setdefault("_dws_fmt_src", {})
+    key = (sf_dir, fmt)
+    if key not in memo:
+        out = tempfile.mkdtemp(prefix=f"orders_{fmt}_")
+        atexit.register(shutil.rmtree, out, ignore_errors=True)
+        w = load_table(spark, sf_dir, "orders").write.mode("overwrite")
+        if fmt == "csv":
+            w.option("header", "true").csv(out)
+        else:
+            w.json(out)
+        memo[key] = out
+    return memo[key]
+
+
+def _roundtrip_agg(df: DataFrame) -> DataFrame:
+    """Shared aggregate pinning every orders column class through a
+    text round-trip: bigint keys, double money, flag/clerk strings,
+    timestamp order dates. Doubles survive because Spark's writers
+    emit shortest-roundtrip representations (Java Double.toString),
+    so read-back is the identical IEEE value."""
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_custkey").cast("long").alias("sum_cust"),
+        dsum(dec("o_totalprice")).alias("sum_price"),
+        F.min("o_orderdate").alias("min_date"),
+        F.max("o_orderdate").alias("max_date"),
+    )
+
+
+_ROUNDTRIP_SQL = f"""
+select o_orderstatus,
+       count(*) n,
+       cast(sum(o_custkey) as bigint) sum_cust,
+       {sql_dsum(sql_dec('o_totalprice'))} sum_price,
+       min(o_orderdate) min_date,
+       max(o_orderdate) max_date
+from orders
+group by o_orderstatus
+"""
+
+
+@_q("source_csv_roundtrip")
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source gate: orders written to headered CSV and read back
+    with schema (no inference ambiguity in the gate: the reader is
+    told the table schema, as a production pipeline with a catalog
+    would), aggregated and hash-checked against the parquet-side
+    oracle — a lossy text round-trip of any column (timestamp
+    formatting, double shortest-repr, string quoting/escaping)
+    breaks the hash. The schema-INFERENCE surface is covered
+    separately by sources/csv_source.py + tests/test_sources.py."""
+    src = _fmt_staged(spark, sf_dir, "csv")
+    schema = load_table(spark, sf_dir, "orders").schema
+    df = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .csv(src)
+    )
+    return _roundtrip_agg(df)
+
+
+ORACLE["source_csv_roundtrip"] = _ROUNDTRIP_SQL
+
+
+@_q("source_json_roundtrip")
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source gate: orders written to JSONL and read back
+    with schema, aggregated and hash-checked against the parquet-side
+    oracle (same column classes as the CSV gate; JSON adds field-name
+    round-trip and null-vs-absent semantics)."""
+    src = _fmt_staged(spark, sf_dir, "json")
+    schema = load_table(spark, sf_dir, "orders").schema
+    df = spark.read.schema(schema).json(src)
+    return _roundtrip_agg(df)
+
+
+ORACLE["source_json_roundtrip"] = _ROUNDTRIP_SQL
