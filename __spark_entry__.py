@@ -106,6 +106,7 @@ _GATE_PRIORITY = [
     "sketch_cms_heavy_hitters",  # new: Count-Min point estimates vs exact
     "sketch_bloom_decontaminate",  # new: Bloom membership pre-filter vs exact
     "events_stream_dedup",  # new: dropDuplicatesWithinWatermark, driver-gated
+    "events_stream_join",  # new: stream-stream interval join, driver-gated
     "events_salted_join",  # new: skew-salted shuffle join ≡ plain join
     "source_orc_roundtrip",  # new: ORC write+read gated via parquet oracle
     "source_csv_roundtrip",  # new: CSV text round-trip gated via oracle

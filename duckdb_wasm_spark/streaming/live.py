@@ -338,3 +338,82 @@ def stream_late_data_drop(
     )
     batch_naive = batch(all_rows)
     return got, batch_filtered, batch_naive
+
+
+def stream_interval_join(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """STREAM-STREAM inner interval join — the remaining hard streaming
+    class after windowed agg / session merge / custom state / dedup:
+    purchases join clicks of the same user whose event time falls in
+    the 30 minutes before the purchase. Both sides are watermarked
+    (required: the watermark + the time-range condition are what let
+    the engine bound join state on an unbounded feed); the delay here
+    exceeds the staged data's 30-day span, so no buffered row is
+    evicted mid-replay and the streamed match set equals the batch
+    join exactly. Inner stream-stream joins emit matches as soon as
+    both rows are buffered — nothing is withheld for watermark
+    advance (that is the OUTER-join behavior) — so append mode
+    delivers the complete result for a finite source.
+
+    Scale (100 TB feed): with a production-sized delay, each side
+    buffers only rows inside watermark + interval; state follows the
+    arrival rate times the join window, not stream length.
+    Returns (streamed pairs, batch expected pairs)."""
+    src_dir, schema = _staged_stream_source(spark, sf_dir)
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+            .where(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "60 days")
+        )
+
+    clicks, purchases = side("click", "c"), side("purchase", "p")
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user and "
+            "c_ts >= p_ts - interval 30 minutes and c_ts <= p_ts"
+        ),
+    ).select("p_id", "c_id", "p_user")
+    name = f"sjoin_{os.getpid()}_{abs(hash(src_dir)) % 10000}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table(name)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    c = ev.where("event_type = 'click'").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = ev.where("event_type = 'purchase'").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    expected = p.join(
+        c,
+        F.expr(
+            "p_user = c_user and "
+            "c_ts >= p_ts - interval 30 minutes and c_ts <= p_ts"
+        ),
+    ).select("p_id", "c_id", "p_user")
+    return got, expected

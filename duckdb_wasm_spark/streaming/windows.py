@@ -588,3 +588,45 @@ select event_type, count(distinct user_id) n_users
 from events
 group by event_type
 """
+
+
+# ---------------------------------------------------- events_stream_join
+@_q("events_stream_join")
+def events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join through the engine, driver-gated:
+    live.stream_interval_join runs purchases ⨝ clicks (same user,
+    click within the 30 minutes before the purchase) as two watermarked
+    readStreams over the staged 4-file source — the last hard streaming
+    operator class after windowed agg / session merge / custom state /
+    dedup. Inner stream-stream joins emit matches as both sides buffer
+    (no watermark withholding — that is outer-join behavior), and the
+    60-day delay exceeds the staged span so no buffered row is evicted
+    mid-replay: the streamed match set equals the batch join exactly,
+    hash-checked as per-purchase click counts (the count over the sink
+    is batch-side presentation; the JOIN ran on the stream).
+
+    Scale (100 TB feed): with a production delay, each side buffers
+    arrival-rate × (delay + interval) rows — the watermark plus the
+    time-range predicate are precisely what make an unbounded
+    stream-stream join's state finite."""
+    from duckdb_wasm_spark.streaming.live import stream_interval_join
+
+    got, _ = stream_interval_join(spark, sf_dir)
+    return got.groupBy("p_id").agg(
+        F.any_value("p_user").alias("user_id"),
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.min("c_id").alias("first_click_id"),
+    )
+
+
+ORACLE["events_stream_join"] = """
+with c as (select event_id c_id, user_id, ts c_ts from events
+           where event_type = 'click'),
+p as (select event_id p_id, user_id, ts p_ts from events
+      where event_type = 'purchase')
+select p_id, any_value(p.user_id) user_id, count(*) n_clicks,
+       min(c_id) first_click_id
+from p join c on p.user_id = c.user_id
+ and c_ts >= p_ts - interval 30 minutes and c_ts <= p_ts
+group by p_id
+"""
