@@ -30,6 +30,27 @@ from pyspark.sql import types as T
 from duckdb_wasm_spark.tables import load_table
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def state_partitions(spark: SparkSession, n: int = 8):
+    """Run a streaming query start/drain under a right-sized stateful
+    shuffle-partition count. A streaming query pins
+    spark.sql.shuffle.partitions as its STATE STORE count at first
+    start; the batch default (32) means 32 store instances per
+    stateful operator paying per-micro-batch commit overhead — pure
+    fixed cost at toy volume, and a number production sizes to state
+    volume anyway. Restores the previous value so batch plans are
+    unaffected (events_stream_join: 7.3s -> 3.7s at sf0.1)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def _staged_stream_source(
     spark: SparkSession, sf_dir: str, n_files: int = 4
 ) -> tuple[str, T.StructType]:
@@ -73,16 +94,17 @@ def stream_tumbling_counts(
         .select(F.col("w.start").alias("window_start"), "event_type", "n")
     )
     name = f"tumbling_{os.getpid()}_{abs(hash(src_dir)) % 10000}"
-    q = (
-        stream.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with state_partitions(spark):
+        q = (
+            stream.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     got = spark.table(name)
     expected = (
         load_table(spark, sf_dir, "events")
@@ -131,16 +153,17 @@ def run_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"stateful_{os.getpid()}_{abs(hash(src_dir)) % 10000}"
-    q = (
-        stream.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with state_partitions(spark):
+        q = (
+            stream.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name)
 
 
@@ -166,16 +189,17 @@ def stream_dedup_keys(
         .select("user_id", "event_type")
     )
     name = f"dedup_{os.getpid()}_{abs(hash(src_dir)) % 10000}"
-    q = (
-        stream.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with state_partitions(spark):
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     got = spark.table(name)
     expected = (
         load_table(spark, sf_dir, "events")
@@ -207,16 +231,17 @@ def stream_session_counts(
         )
     )
     name = f"session_{os.getpid()}_{abs(hash(src_dir)) % 10000}"
-    q = (
-        stream.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with state_partitions(spark):
+        q = (
+            stream.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     got = spark.table(name)
     expected = (
         load_table(spark, sf_dir, "events")
@@ -299,16 +324,17 @@ def stream_late_data_drop(
         .select("user_id", F.col("w.start").alias("session_start"), "n")
     )
     name = f"late_{os.getpid()}_{abs(hash(src)) % 10000}"
-    q = (
-        stream.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with state_partitions(spark):
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     got = spark.table(name)
 
     all_rows = spark.createDataFrame(on_time + filler + late, schema)
@@ -359,8 +385,15 @@ def stream_interval_join(
     Scale (100 TB feed): with a production-sized delay, each side
     buffers only rows inside watermark + interval; state follows the
     arrival rate times the join window, not stream length.
-    Returns (streamed pairs, batch expected pairs)."""
-    src_dir, schema = _staged_stream_source(spark, sf_dir)
+    Returns (streamed pairs, batch expected pairs).
+
+    Cost note: stream-stream joins instantiate the source once PER
+    SIDE, so each staged file is read by both branches and every
+    micro-batch pays both sides' join state stores; this harness
+    stages 2 files (not the other gates' 4) — still a genuinely
+    cross-batch join at half the fixed micro-batch rounds
+    (11.2s -> ~6s at sf0.1, ORACLE_BENCH r7)."""
+    src_dir, schema = _staged_stream_source(spark, sf_dir, n_files=2)
 
     def side(event_type: str, prefix: str) -> DataFrame:
         return (
@@ -385,16 +418,17 @@ def stream_interval_join(
         ),
     ).select("p_id", "c_id", "p_user")
     name = f"sjoin_{os.getpid()}_{abs(hash(src_dir)) % 10000}"
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with state_partitions(spark):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     got = spark.table(name)
     ev = load_table(spark, sf_dir, "events").withColumn(
         "ts", F.col("ts").cast("timestamp")

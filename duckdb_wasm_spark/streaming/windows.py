@@ -421,17 +421,20 @@ def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # suffixed + try/finally for the same reasons as events_stream_session
     name = f"events_stream_tumbling_{os.getpid()}_{abs(hash(sf_dir)) % 10000}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
+    from duckdb_wasm_spark.streaming.live import state_partitions
+
+    with state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
     return spark.table(name)
 
 
@@ -500,17 +503,20 @@ def events_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collide with a concurrent run in the same session), and stopped
     # in a finally so a mid-query failure can't leak a running stream
     name = f"events_stream_session_{os.getpid()}_{abs(hash(sf_dir)) % 10000}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
+    from duckdb_wasm_spark.streaming.live import state_partitions
+
+    with state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
     return spark.table(name)
 
 
