@@ -111,6 +111,7 @@ _GATE_PRIORITY = [
     "source_orc_roundtrip",  # new: ORC write+read gated via parquet oracle
     "source_csv_roundtrip",  # new: CSV text round-trip gated via oracle
     "source_json_roundtrip",  # new: JSONL round-trip gated via oracle
+    "source_pydatasource",  # new: custom Python DataSource extension point
     "extra_variant_json",  # new: Spark 4 VARIANT typed extraction
     "ref_q8_sqlite",  # translate-path plan fix (r6 perf-weak row)
     "dedup_minhash",  # signature build rewritten to F.expr fast path (also r4-stale)

@@ -364,3 +364,47 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["source_json_roundtrip"] = _ROUNDTRIP_SQL
+
+
+# ------------------------------------------------ source_pydatasource
+PYDS_N = 100_000  # rows the custom source generates for the gate
+
+
+@_q("source_pydatasource")
+def source_pydatasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource gate (Spark 4 extension point,
+    SPARK-44076): the `docrange` connector declares a schema, plans 8
+    contiguous InputPartitions, and yields its rows arithmetically on
+    the executors (sources/pydatasource.py); the aggregate is
+    hash-checked against a DuckDB generate_series oracle replaying the
+    same arithmetic — so registration, option plumbing, schema,
+    partition planning, and per-partition reads are all on the value
+    hash, not just a row count. This is the extension surface a user
+    reaches for when the lake has a source Spark lacks (REST cursors,
+    queue shards, KV ranges)."""
+    from duckdb_wasm_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    df = (
+        spark.read.format("docrange")
+        .option("n", PYDS_N)
+        .option("partitions", 8)
+        .load()
+    )
+    return df.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("val").cast("long").alias("sum_val"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+    )
+
+
+ORACLE["source_pydatasource"] = f"""
+select cast(i % 10 as int) grp,
+       count(*) n,
+       cast(sum((i * i) % 997) as bigint) sum_val,
+       min(i) min_id,
+       max(i) max_id
+from (select unnest(range(0, {PYDS_N})) i)
+group by 1
+"""

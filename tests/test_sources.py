@@ -213,3 +213,27 @@ def test_typename_grammar():
         parse_type("union")
     with pytest.raises(TypeNameError):
         parse_type("no_such_type")
+
+
+def test_pydatasource_partitions_and_values(spark):
+    """Custom Python DataSource (docrange): partition planning must
+    honor the option (contiguous non-overlapping ranges), values must
+    follow the declared arithmetic, and a partitions count that
+    doesn't divide n must not drop or duplicate rows."""
+    from duckdb_wasm_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    df = (
+        spark.read.format("docrange")
+        .option("n", 103)  # deliberately not divisible by partitions
+        .option("partitions", 4)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    rows = df.collect()
+    assert len(rows) == 103
+    ids = sorted(r.id for r in rows)
+    assert ids == list(range(103))
+    for r in rows:
+        assert r.grp == r.id % 10
+        assert r.val == (r.id * r.id) % pydatasource.DOCRANGE_MOD
