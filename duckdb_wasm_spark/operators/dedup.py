@@ -795,13 +795,14 @@ def dot_fold(a, b):
         isinstance(a, str)
         and isinstance(b, str)
         # Names are interpolated into raw SQL, so only plain
-        # identifiers qualify — a dotted/spaced/keyword name would
-        # parse wrong or resolve elsewhere; those take the slow path.
+        # identifiers qualify — a dotted/spaced name would parse wrong
+        # or resolve elsewhere; those take the slow path. Backtick
+        # quoting makes SQL-keyword names (e.g. `order`) safe too.
         and a.isidentifier()
         and b.isidentifier()
     ):
         return F.expr(
-            f"aggregate(zip_with({a}, {b}, (_dx, _dy) -> "
+            f"aggregate(zip_with(`{a}`, `{b}`, (_dx, _dy) -> "
             f"cast(_dx as double) * cast(_dy as double)), 0.0D, "
             f"(_dacc, _dv) -> _dacc + _dv)"
         )

@@ -768,11 +768,13 @@ def _sq_flat(a, b, n: int):
         and a.isidentifier()
         and b.isidentifier()
     ):
+        # Backtick quoting makes SQL-keyword names (e.g. `order`)
+        # safe in the interpolated string too.
         terms = " + ".join(
-            f"((cast(element_at({a}, {j + 1}) as double) - "
-            f"cast(element_at({b}, {j + 1}) as double)) * "
-            f"(cast(element_at({a}, {j + 1}) as double) - "
-            f"cast(element_at({b}, {j + 1}) as double)))"
+            f"((cast(element_at(`{a}`, {j + 1}) as double) - "
+            f"cast(element_at(`{b}`, {j + 1}) as double)) * "
+            f"(cast(element_at(`{a}`, {j + 1}) as double) - "
+            f"cast(element_at(`{b}`, {j + 1}) as double)))"
             for j in range(n)
         )
         return F.expr(f"0.0D + {terms}")

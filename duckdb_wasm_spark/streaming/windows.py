@@ -602,7 +602,9 @@ def events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM-STREAM interval join through the engine, driver-gated:
     live.stream_interval_join runs purchases ⨝ clicks (same user,
     click within the 30 minutes before the purchase) as two watermarked
-    readStreams over the staged 4-file source — the last hard streaming
+    readStreams over the staged 2-file source (stream-stream joins read
+    the source once per side, so live.py stages n_files=2) — the last
+    hard streaming
     operator class after windowed agg / session merge / custom state /
     dedup. Inner stream-stream joins emit matches as both sides buffer
     (no watermark withholding — that is outer-join behavior), and the

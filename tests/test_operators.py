@@ -61,17 +61,27 @@ def test_entry_registry_exposes_operators():
 def test_entry_gate_priority_order():
     """The driver walks queries() in insertion order under a bounded
     correctness window (~50 rows/round) — the emission order IS the
-    gating policy (round-3 verdict #2). Registered _GATE_PRIORITY names
-    must lead the registry in priority order (unregistered names are
-    tolerated mid-round: the list may name queries still being built);
-    no-oracle names ARE allowed in the priority tier (the driver
-    records a rows-only check — r6 verdict: ann_brp_ml was starved of
-    any driver row because the old loop required an oracle); rows-only
-    queries outside the priority tier must come last."""
+    gating policy (round-3 verdict #2). Every _GATE_PRIORITY name must
+    exist in the merged registry (a typo'd rotation entry would
+    silently lose that query its gate slot — r7 advice; queries still
+    being built go in _GATE_PRIORITY_BUILDING explicitly) and lead the
+    registry in priority order; no-oracle names ARE allowed in the
+    priority tier (the driver records a rows-only check — r6 verdict:
+    ann_brp_ml was starved of any driver row because the old loop
+    required an oracle); rows-only queries outside the priority tier
+    must come last."""
     import __spark_entry__ as e
 
     qs, osql = e.queries(), e.oracle_sql()
     names = list(qs)
+    building = set(getattr(e, "_GATE_PRIORITY_BUILDING", ()))
+    unknown = [
+        n for n in e._GATE_PRIORITY if n not in qs and n not in building
+    ]
+    assert not unknown, (
+        f"_GATE_PRIORITY names missing from the registry (typo'd "
+        f"rotation entries lose their gate slot silently): {unknown}"
+    )
     prio = [n for n in e._GATE_PRIORITY if n in qs]
     assert names[: len(prio)] == prio, "priority names must lead queries()"
     rows_only_tail = [
