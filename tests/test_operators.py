@@ -811,3 +811,78 @@ def test_winnowing_guarantee_covers_substring_pairs(spark, sf_dir):
     }
     assert sub, "corpus has no exact-window duplicate pairs"
     assert sub <= win, f"winnowing lost true pairs: {sorted(sub - win)[:5]}"
+
+
+def test_pagerank_matches_python_fixed_point(spark, sf_dir):
+    """Independent oracle for the graph family: rerun the exact bigint
+    fixed-point recurrence in pure Python over the collected edge list
+    — every rank in the registered top-20 must match bit-for-bit
+    (floor division over non-negative ints is engine-independent, so
+    any mismatch is a plan bug, not float noise)."""
+    from collections import defaultdict
+
+    from duckdb_wasm_spark.operators import graph
+
+    pairs = {
+        (r["a"], r["b"])
+        for r in graph._trade_pairs(spark, sf_dir).collect()
+    }
+    out = defaultdict(list)
+    for a, b in pairs:
+        out[a].append(b)
+        out[b].append(a)
+    n = len(out)
+    rank = {v: graph.PR_SCALE // n for v in out}
+    teleport = (15 * graph.PR_SCALE) // (100 * n)
+    for _ in range(graph.PR_ITERS):
+        inc = defaultdict(int)
+        for v, nbrs in out.items():
+            c = rank[v] // len(nbrs)
+            for w in nbrs:
+                inc[w] += c
+        rank = {
+            v: teleport + (graph.PR_DAMP_NUM * inc[v]) // 100 for v in out
+        }
+    expected = sorted(rank.items(), key=lambda kv: (-kv[1], kv[0]))[
+        : graph.PR_TOPK
+    ]
+    got = [
+        (r["node"], r["rank"])
+        for r in graph.QUERIES["graph_pagerank"](spark, sf_dir).collect()
+    ]
+    assert got == expected
+    # supplier tagging: odd ids are suppliers by construction
+    for r in graph.QUERIES["graph_pagerank"](spark, sf_dir).collect():
+        assert r["is_supplier"] == (r["node"] % 2 == 1)
+
+
+def test_common_neighbors_matches_python(spark, sf_dir):
+    """Pure-Python recompute of the capped common-neighbor counts; also
+    pins that the CAP is not binding at test scale (so the capped
+    result IS the exact answer the SQL oracle states)."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    from duckdb_wasm_spark.operators import graph
+
+    by_cust = defaultdict(set)
+    for r in graph._trade_pairs(spark, sf_dir).collect():
+        by_cust[r["a"]].add(r["b"])
+    assert max(len(s) for s in by_cust.values()) <= graph.CN_CAP, (
+        "CN_CAP binds at test scale — the parity test would no longer "
+        "pin the exact answer"
+    )
+    counts = defaultdict(int)
+    for supps in by_cust.values():
+        for s1, s2 in combinations(sorted(supps), 2):
+            counts[(s1, s2)] += 1
+    expected = sorted(
+        counts.items(), key=lambda kv: (-kv[1], kv[0])
+    )[: graph.CN_TOPK]
+    got = [
+        ((r["s1"], r["s2"]), r["n_shared"])
+        for r in graph.QUERIES["graph_common_neighbors"](
+            spark, sf_dir
+        ).collect()
+    ]
+    assert got == expected
