@@ -438,3 +438,248 @@ from per_doc p
 left join bloom_hits using (train_id)
 left join exact_hits using (train_id)
 """
+
+
+# ---------------------------------------------------- sketch_kmv_distinct
+KMV_K = 128  # bottom-k size
+KMV_N = 3  # shingle width
+# 2^60 as an exact double (power of two): dividing the 60-bit hash by
+# it is ONE exact-operand IEEE division in both engines
+KMV_DENOM = 1 << 60
+
+
+@_q("sketch_kmv_distinct")
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k / k-minimum-values) distinct-trigram estimate per
+    source next to the exact count — the second classic mergeable
+    distinct sketch after HLL, gated the same way: the estimator's
+    arithmetic is pinned, not just a number.
+
+    Estimator: with h = 60-bit md5 fold mapped to u = h / 2^60 in
+    (0,1), the k-th smallest u over the distinct shingle set gives
+    E = (k-1) / u_k (Bar-Yossef et al. 2002); sources with fewer than
+    k distinct shingles fall back to the exact count (the sketch IS
+    the full set there). Ordering ties on (h, gram) so the k-th
+    element is total-order deterministic even under 60-bit collisions.
+
+    Determinism: u_k = h_k / 2^60 is one IEEE division with a
+    power-of-two denominator (exact operand), then E is one more
+    division — the identical two-op sequence in both engines.
+
+    Scale: the per-source bottom-k is a rank-filtered window; Spark
+    >= 3.5 executes it as WindowGroupLimit (map-side partial top-k
+    per partition BEFORE the shuffle), so state per source is k rows
+    at every stage — the mergeable-sketch property executed by the
+    engine itself. Merging sketches across splits = keeping the k
+    smallest of the union, which is exactly what the group-limit
+    does."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "source", F.explode(ngrams(toks(), KMV_N)).alias("gram")
+    ).distinct()
+    hashed = grams.select(
+        "source",
+        "gram",
+        F.expr("conv(substring(md5(gram), 1, 15), 16, 10)")
+        .cast("long")
+        .alias("h"),
+    )
+    w = Window.partitionBy("source").orderBy("h", "gram")
+    bottom = hashed.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= KMV_K
+    )
+    per = bottom.groupBy("source").agg(
+        F.max(F.when(F.col("rn") == KMV_K, F.col("h"))).alias("h_k"),
+        F.count(F.lit(1)).alias("n_in"),
+    )
+    exact = hashed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    return (
+        per.join(exact, "source")
+        .select(
+            "source",
+            F.expr(
+                f"if(n_in < {KMV_K}, cast(n_exact as double), "
+                f"cast({KMV_K - 1} as double) / "
+                f"(cast(h_k as double) / cast({KMV_DENOM} as double)))"
+            ).alias("n_kmv"),
+            "n_exact",
+        )
+        .select(
+            "source",
+            "n_kmv",
+            "n_exact",
+            ((F.col("n_kmv") - F.col("n_exact")) / F.col("n_exact")).alias(
+                "rel_err"
+            ),
+        )
+    )
+
+
+ORACLE["sketch_kmv_distinct"] = f"""
+with grams as (
+  select distinct source, unnest({sql_ngrams(sql_toks('text'), KMV_N)}) gram
+  from documents),
+hashed as (
+  select source, gram, ('0x' || substr(md5(gram), 1, 15))::bigint h
+  from grams),
+bottom as (
+  select source, h,
+         row_number() over (partition by source order by h, gram) rn
+  from hashed
+  qualify rn <= {KMV_K}),
+per as (
+  select source,
+         max(case when rn = {KMV_K} then h end) h_k,
+         count(*) n_in
+  from bottom group by 1),
+exact as (
+  select source, count(*) n_exact from hashed group by 1),
+est as (
+  select source,
+         case when n_in < {KMV_K} then cast(n_exact as double)
+              else cast({KMV_K - 1} as double)
+                   / (cast(h_k as double) / cast({KMV_DENOM} as double))
+         end n_kmv,
+         n_exact
+  from per join exact using (source))
+select source, n_kmv, n_exact,
+       (n_kmv - n_exact) / n_exact rel_err
+from est
+"""
+
+
+# ------------------------------------------------------- sketch_hll_merge
+@_q("sketch_hll_merge")
+def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL MERGEABILITY gate: per-source register vectors max-merged
+    into one global sketch must estimate exactly what a direct global
+    register build estimates — sketch union is register-wise max, the
+    property that lets a 100 TB pipeline build per-split sketches
+    map-side and combine them without rescanning. One output row pins
+    both estimates bit-for-bit plus the exact global distinct count.
+
+    The two folds are 1-row aggregates crossed into one row (BNLJ
+    allowlist: both sides are scalar frames by construction).
+
+    Same register/rho/fold arithmetic as sketch_hll_distinct (module
+    header); the merged path groups (source, register) first — the
+    map-side-combinable partial state — then maxes registers across
+    sources, while the direct path maxes over the raw stream."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "source", F.explode(ngrams(toks(), HLL_N)).alias("gram")
+    )
+    hashed = grams.select(
+        "source",
+        F.expr("conv(substring(md5(gram), 1, 15), 16, 10)")
+        .cast("long")
+        .alias("h"),
+    ).select(
+        "source",
+        (F.col("h") % HLL_M).alias("register"),
+        F.expr(
+            f"if(h div {HLL_M} = 0, 53, "
+            f"53 - length(bin(h div {HLL_M})))"
+        ).alias("rho"),
+    )
+    per_source = hashed.groupBy("source", "register").agg(
+        F.max("rho").alias("m_j")
+    )
+    merged = per_source.groupBy("register").agg(
+        F.max("m_j").alias("m_j")
+    )
+    direct = hashed.groupBy("register").agg(F.max("rho").alias("m_j"))
+
+    def fold(regs: DataFrame, out: str) -> DataFrame:
+        grid = spark.range(1).select(
+            F.explode(F.sequence(F.lit(0), F.lit(HLL_M - 1))).alias(
+                "register"
+            )
+        )
+        filled = grid.join(regs, "register", "left").select(
+            F.coalesce(F.col("m_j"), F.lit(0)).alias("m_j")
+        )
+        return filled.agg(
+            F.expr("sum(cast(pow(2, 53 - m_j) as bigint))").alias("s_int"),
+            F.expr("sum(if(m_j = 0, 1, 0))").alias("v_zero"),
+        ).select(
+            F.expr(
+                f"cast({HLL_ALPHA!r} as double) * {HLL_M * HLL_M} "
+                f"/ (cast(s_int as double) / cast(pow(2, 53) as bigint))"
+            ).alias("e_raw"),
+            "v_zero",
+        ).select(
+            F.expr(
+                f"if(e_raw <= {2.5 * HLL_M!r} and v_zero > 0, "
+                f"{HLL_M} * ln({HLL_M} / cast(v_zero as double)), e_raw)"
+            ).alias(out)
+        )
+
+    exact = grams.agg(F.countDistinct("gram").alias("n_exact"))
+    return (
+        fold(merged, "n_merged")
+        .crossJoin(F.broadcast(fold(direct, "n_direct")))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "n_merged",
+            "n_direct",
+            (F.col("n_merged") == F.col("n_direct")).alias(
+                "merge_consistent"
+            ),
+            "n_exact",
+            ((F.col("n_merged") - F.col("n_exact")) / F.col("n_exact")).alias(
+                "rel_err"
+            ),
+        )
+    )
+
+
+def _sql_hll_fold(regs_cte: str, out: str) -> str:
+    """DuckDB text of the register->estimate fold (same ops as Spark)."""
+    return f"""
+  select case when e_raw <= {2.5 * HLL_M!r} and v_zero > 0
+              then {HLL_M} * ln({HLL_M} / cast(v_zero as double))
+              else e_raw end {out}
+  from (
+    select cast({HLL_ALPHA!r} as double) * {HLL_M * HLL_M}
+             / (cast(s_int as double) / cast(2 ** 53 as double)) e_raw,
+           v_zero
+    from (
+      select sum(cast(2 ** (53 - m_j) as bigint)) s_int,
+             sum(case when m_j = 0 then 1 else 0 end) v_zero
+      from (
+        select coalesce(m_j, 0) m_j
+        from (select unnest(range(0, {HLL_M})) register) g
+        left join {regs_cte} using (register))))"""
+
+
+ORACLE["sketch_hll_merge"] = f"""
+with grams as (
+  select source, unnest({sql_ngrams(sql_toks('text'), HLL_N)}) gram
+  from documents),
+hashed as (
+  select source,
+         ('0x' || substr(md5(gram), 1, 15))::bigint % {HLL_M} register,
+         case when ('0x' || substr(md5(gram), 1, 15))::bigint // {HLL_M} = 0
+              then 53
+              else 53 - length(to_base(
+                ('0x' || substr(md5(gram), 1, 15))::bigint // {HLL_M}, 2))
+         end rho
+  from grams),
+per_source as (
+  select source, register, max(rho) m_j from hashed group by 1, 2),
+merged as (select register, max(m_j) m_j from per_source group by 1),
+direct as (select register, max(rho) m_j from hashed group by 1),
+f_merged as ({_sql_hll_fold('merged', 'n_merged')}),
+f_direct as ({_sql_hll_fold('direct', 'n_direct')}),
+exact as (select count(distinct gram) n_exact from grams)
+select n_merged, n_direct,
+       n_merged = n_direct merge_consistent,
+       n_exact,
+       (n_merged - n_exact) / n_exact rel_err
+from f_merged, f_direct, exact
+"""

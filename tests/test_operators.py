@@ -886,3 +886,25 @@ def test_common_neighbors_matches_python(spark, sf_dir):
         ).collect()
     ]
     assert got == expected
+
+
+def test_kmv_and_hll_merge_properties(spark, sf_dir):
+    """Estimator-quality pins the oracle can't express: KMV relative
+    error within the theoretical few-sigma band for k=128, the <k
+    exact-fallback actually engaged where it should be, and HLL merge
+    == direct (bit-equal, not approximately)."""
+    from duckdb_wasm_spark.operators import sketches
+
+    rows = sketches.QUERIES["sketch_kmv_distinct"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r["n_exact"] < sketches.KMV_K:
+            # exact fallback: the sketch holds the whole set
+            assert r["n_kmv"] == float(r["n_exact"]), r
+        else:
+            # std err ~ 1/sqrt(k-2) ~ 8.9%; allow 5 sigma
+            assert abs(r["rel_err"]) < 0.45, r
+    m = sketches.QUERIES["sketch_hll_merge"](spark, sf_dir).collect()[0]
+    assert m["merge_consistent"] is True
+    assert m["n_merged"] == m["n_direct"]
+    assert abs(m["rel_err"]) < 0.3

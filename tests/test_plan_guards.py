@@ -36,6 +36,10 @@ BNLJ_ALLOWED = {
     "embed_covariance": "shared centering mean: exactly 1 row",
     "text_pmi_topk": "total-bigram-count scalar: exactly 1 row",
     "events_key_skew": "1-row stats frame x 1-row top-k scalar",
+    "sketch_hll_merge": (
+        "two 1-row HLL estimate folds x 1-row exact count — all scalar "
+        "frames by construction"
+    ),
     "corpus_source_divergence": (
         "post-aggregate |sources| x |vocab types| zero-fill grid — both "
         "sides aggregates, never the corpus; the cross IS the design"
