@@ -941,3 +941,82 @@ select src_a, src_b,
 from terms
 group by src_a, src_b
 """
+
+
+# ----------------------------------------------------- corpus_source_overlap
+OVL_N = 3  # shingle width of the compared vocabularies
+
+
+@_q("corpus_source_overlap")
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise EXACT vocabulary Jaccard between every source pair —
+    the cross-source contamination / overlap matrix a mixture designer
+    reads before setting corpus_mix_weights (two sources with ~1.0
+    trigram-vocab Jaccard are the same crawl twice; near-0 means
+    genuinely disjoint registers).
+
+    Plan: distinct (source, trigram) vocabulary — a fraction of the
+    corpus token stream — then a self-equi-join on the trigram key,
+    co-partitioned on one exchange of the (deduplicated) vocab, and a
+    |sources|^2-bounded aggregate. A shingle present in all S sources
+    emits S*(S-1)/2 pairs, so the expansion is bounded by the SOURCE
+    count squared per vocabulary entry — never doc x doc. At 100 TB
+    the vocab frame is the term dictionary (quadratic only in the ~
+    dozens of sources), the same shape as corpus_source_divergence's
+    grid but computed from the join side.
+
+    Jaccard = inter / (n_a + n_b - inter), one double division."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = docs.select(
+        "source", F.explode(ngrams(toks(), OVL_N)).alias("gram")
+    ).distinct()
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("n_vocab"))
+    a = vocab.select(F.col("source").alias("src_a"), "gram")
+    b = vocab.select(F.col("source").alias("src_b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sz = F.broadcast(sizes)  # |sources| rows — a post-aggregate dim
+    return (
+        inter.join(sz.withColumnRenamed("source", "src_a"), "src_a")
+        .withColumnRenamed("n_vocab", "n_a")
+        .join(
+            sz.withColumnRenamed("source", "src_b").withColumnRenamed(
+                "n_vocab", "n_b"
+            ),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_inter",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), F.col("src_a"), F.col("src_b"))
+    )
+
+
+ORACLE["corpus_source_overlap"] = f"""
+with vocab as (
+  select distinct source, unnest({sql_ngrams(sql_toks('text'), OVL_N)}) gram
+  from documents),
+sizes as (select source, count(*) n_vocab from vocab group by 1),
+inter as (
+  select a.source src_a, b.source src_b, count(*) n_inter
+  from vocab a join vocab b on a.gram = b.gram and a.source < b.source
+  group by 1, 2)
+select src_a, src_b, n_inter, sa.n_vocab n_a, sb.n_vocab n_b,
+       cast(n_inter as double) / (sa.n_vocab + sb.n_vocab - n_inter) jaccard
+from inter
+join sizes sa on sa.source = src_a
+join sizes sb on sb.source = src_b
+order by jaccard desc, src_a, src_b
+"""

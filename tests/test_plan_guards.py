@@ -99,3 +99,18 @@ def test_filters_pushed_to_scan(plans):
             for seg in plan.split("PushedFilters: [")[1:]
         ]
         assert any(seg.strip() for seg in pushed), f"{name}: no pushed filters"
+
+
+def test_bucketed_gate_join_is_exchange_free(plans):
+    """source_bucketed_join: both scans must read `Bucketed: true` and
+    NO exchange may sit between a scan and the SortMergeJoin — the
+    co-located layout is the thing the query gates, so a silent
+    regression to shuffle-both-sides must fail here even though the
+    result hash would still match."""
+    plan = plans["source_bucketed_join"]
+    assert plan.count("Bucketed: true") == 2, plan
+    assert "SortMergeJoin" in plan, plan
+    join_input = plan.split("SortMergeJoin", 1)[1]
+    # the subtree printed after the join node is its two children;
+    # hashpartitioning exchanges there would mean buckets were ignored
+    assert "Exchange hashpartitioning" not in join_input, join_input
