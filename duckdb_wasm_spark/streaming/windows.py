@@ -638,3 +638,81 @@ from p join c on p.user_id = c.user_id
  and c_ts >= p_ts - interval 30 minutes and c_ts <= p_ts
 group by p_id
 """
+
+
+# ---------------------------------------------------- events_stream_sink
+@_q("events_stream_sink")
+def events_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE FILE SINK gate, the sixth real streaming execution:
+    a stateless watermark-free stream (filter + projection) is written
+    micro-batch by micro-batch to a PARQUET DIRECTORY SINK with a
+    checkpoint, then read back as a batch table and aggregated against
+    the batch oracle. What this gates is the sink's transactional
+    contract: FileStreamSink records each micro-batch's files in the
+    _spark_metadata commit log, and the batch read consults that log —
+    so a replayed/duplicated micro-batch, an orphan task file, or a
+    torn commit shows up as a row-count/hash mismatch. This is the
+    missing sink-side half of the stream≡batch law (the five existing
+    gates all prove operator state through a memory sink; production
+    pipelines land on files).
+
+    Fresh sink/checkpoint dirs per invocation (a second AvailableNow
+    run over the same checkpoint would be a no-op and stage nothing),
+    atexit-reaped like every staging dir here.
+
+    Scale: the file sink is the standard lakehouse landing pattern —
+    per-batch manifests commute with any executor parallelism, and the
+    downstream batch read is an ordinary pruned parquet scan."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from duckdb_wasm_spark.streaming.live import (
+        _staged_stream_source,
+        state_partitions,
+    )
+
+    src_dir, schema = _staged_stream_source(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="events_sink_")
+    cp = tempfile.mkdtemp(prefix="events_sink_cp_")
+    for d in (out, cp):
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    with state_partitions(spark):
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    sunk = spark.read.parquet(out)  # reads via the _spark_metadata log
+    return sunk.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("user_id").cast("long").alias("sum_user"),
+        dsum(dec("value")).alias("sum_value"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+ORACLE["events_stream_sink"] = f"""
+select event_type, count(*) n,
+       cast(sum(user_id) as bigint) sum_user,
+       {sql_dsum(sql_dec('value'))} sum_value,
+       min(event_id) min_id,
+       max(event_id) max_id
+from events
+where event_type in ('click', 'purchase')
+group by event_type
+"""
