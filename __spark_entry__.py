@@ -92,63 +92,43 @@ def _registries():
 # be emitted — r6 verdict "what's wrong" #1); (b) the 17 r4-stale
 # names, oldest emission first; (c) the r5-green corpus (q1, q5–q22,
 # micro_*, extras), whose rows are now two rounds old themselves.
-# ROUND-8: if r07 gates the names below green, rotate to (a) anything
-# rewritten in round 8, (b) the r5-green corpus tail the r7 window cut
-# off, then the r6-green names oldest-first.
+# ROUND-8 ROTATION (applied): CORRECTNESS_r07 came back 50/50 green
+# (ann_brp_ml got its first driver row, recorded no_oracle as
+# designed), so the stalest greens are now: dedup_minhash_ml (r2 —
+# six rounds), the 36 r5-green corpus names the r7 window cut off
+# (q17–q22, micro_*, text_stats family, sampling/chunking corpus,
+# extras), then the 45 r6-green names. This window is therefore:
+# (a) the seven queries ADDED in round 8 (graph family, KMV/HLL-merge
+# sketches, source-overlap matrix, bucketed-join gate, parquet stream
+# sink); (b) changed-since-green — the r8 advice commit backtick-
+# quoted the dot_fold/_sq_flat F.expr fast paths, textually changing
+# the generated expressions of every embedding-similarity plan, so
+# one representative per consumer family re-gates (embedding-LSH
+# dedup pair, brute/IVF/PQ similarity); (c) dedup_minhash_ml;
+# (d) the 36 r5-green names in emission order; (e) backfill from the
+# r6-green corpus oldest-first.
+# ROUND-9: rotate to (a) anything rewritten in round 9, (b) the
+# r6-green names this window could not reach (q2–q4, extras, text_*,
+# dedup capped/containment family, embed_*, events_* — oldest first),
+# then the r7-green corpus.
 _GATE_PRIORITY = [
-    # (a) new / rewritten in round 7 — never gated in current form
-    "embed_covariance",  # rewritten late-r6 (Arrow partial sums); r6 green predates HEAD
-    "ann_brp_ml",  # rows-only Spark-ML BRP-LSH comparison; first-ever driver row
-    "multimodal_decode_stats",  # new: real PPM/BMP decoders in the gate path
-    "dedup_substring_capped",  # new: df-capped substring candidate gen
-    "dedup_winnowing_capped",  # new: df-capped winnowing candidate gen
-    "sketch_hll_distinct",  # new: HyperLogLog distinct estimator, md5-derived
-    "sketch_cms_heavy_hitters",  # new: Count-Min point estimates vs exact
-    "sketch_bloom_decontaminate",  # new: Bloom membership pre-filter vs exact
-    "events_stream_dedup",  # new: dropDuplicatesWithinWatermark, driver-gated
-    "events_stream_join",  # new: stream-stream interval join, driver-gated
-    "events_salted_join",  # new: skew-salted shuffle join ≡ plain join
-    "source_orc_roundtrip",  # new: ORC write+read gated via parquet oracle
-    "source_csv_roundtrip",  # new: CSV text round-trip gated via oracle
-    "source_json_roundtrip",  # new: JSONL round-trip gated via oracle
-    "source_pydatasource",  # new: custom Python DataSource extension point
-    "extra_variant_json",  # new: Spark 4 VARIANT typed extraction
-    "ref_q8_sqlite",  # translate-path plan fix (r6 perf-weak row)
-    "dedup_minhash",  # signature build rewritten to F.expr fast path (also r4-stale)
-    "dedup_simhash",  # 64-bit map rewritten to F.expr fast path (also r4-stale)
-    "sim_topk_pq",  # ADC construction rewritten to F.expr fast path
-    "sim_topk_pq_rerank",  # shares the rewritten ADC builder
-    "sim_topk_ivfpq",  # shares the rewritten ADC builder
-    # (b) r4-green rows, two rounds stale (r6 verdict list, emission order)
-    "text_repetition",
-    "multimodal_thumbnail",
-    "multimodal_frames",
-    "text_pii_scan",
-    "events_anomaly",
-    "embed_quantize_int8",
-    "dedup_ngram_jaccard",
-    "text_langid",
-    "text_fingerprint",
-    "text_tokens",
-    "dedup_exact",
+    # (a) new in round 8 — never gated
+    "graph_pagerank",  # new: bigint fixed-point PageRank, unrolled-CTE oracle
+    "graph_common_neighbors",  # new: capped co-occurrence pairs
+    "sketch_kmv_distinct",  # new: bottom-k distinct estimator
+    "sketch_hll_merge",  # new: HLL register-max mergeability gate
+    "corpus_source_overlap",  # new: pairwise source vocab Jaccard
+    "source_bucketed_join",  # new: exchange-free bucketed join gate
+    "events_stream_sink",  # new: exactly-once parquet file sink
+    # (b) changed-since-green: dot_fold/_sq_flat backtick quoting (r8)
+    "dedup_embedding_lsh",
+    "dedup_embedding_clusters",
     "sim_topk_brute",
     "sim_topk_ivf",
-    "multimodal_meta",
-    "multimodal_features",
-    # (c) r5-green corpus, oldest rows first — backfill to window edge
-    "q1",
-    "q5",
-    "q6",
-    "q7",
-    "q8",
-    "q9",
-    "q10",
-    "q11",
-    "q12",
-    "q13",
-    "q14",
-    "q15",
-    "q16",
+    "sim_topk_pq",
+    # (c) rows-only row is six rounds old
+    "dedup_minhash_ml",
+    # (d) r5-green corpus, three rounds stale (emission order)
     "q17",
     "q18",
     "q19",
@@ -162,7 +142,6 @@ _GATE_PRIORITY = [
     "micro_grouped_sum",
     "micro_regex",
     "micro_scalar_fns",
-    "ref_q7_sqlite",
     "text_stats",
     "text_gopher_flags",
     "text_lm_score",
@@ -177,6 +156,17 @@ _GATE_PRIORITY = [
     "decontaminate_semantic",
     "sim_topk_ivf_probe",
     "ivf_centroid_refine",
+    "extra_windows",
+    "extra_set_ops",
+    "extra_grouping",
+    "extra_string_fns",
+    "extra_date_fns",
+    "extra_string_aggs",
+    "extra_pivot_json",
+    "extra_full_outer",
+    "extra_recursive_walk",
+    # (e) backfill: r6-green corpus, oldest emission first
+    "ref_q7_sqlite",
 ]
 
 
