@@ -120,6 +120,8 @@ _GATE_PRIORITY = [
     "corpus_source_overlap",  # new: pairwise source vocab Jaccard
     "source_bucketed_join",  # new: exchange-free bucketed join gate
     "events_stream_sink",  # new: exactly-once parquet file sink
+    "events_sessionize",  # new: gap sessionization with stable session ids
+    "profile_columns",  # new: single-pass column profiling (Expand plan)
     # (b) changed-since-green: dot_fold/_sq_flat backtick quoting (r8)
     "dedup_embedding_lsh",
     "dedup_embedding_clusters",

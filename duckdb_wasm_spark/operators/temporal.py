@@ -507,3 +507,91 @@ select event_type,
 from events e join dim using (user_id)
 group by event_type
 """
+
+
+# ----------------------------------------------------- events_sessionize
+SESS_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap, in micros
+
+
+@_q("events_sessionize")
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based SESSIONIZATION with stable per-event session ids —
+    the batch form of the session window that emits the session KEY
+    (user_id, session_seq) rather than only the merged aggregate, so
+    downstream joins can attribute any event back to its session (the
+    classic gaps-and-islands cumulative-flag construction).
+
+    Construction: per user, events ordered by (ts, event_id); a row
+    opens a new session iff it is the user's first event or the gap
+    to the previous event exceeds 30 minutes; session_seq is the
+    running sum of open flags. One window partition per user — a
+    single hash shuffle by user_id, state linear in the user's events,
+    no self-join (the join-based alternative is quadratic per user).
+    This keyed-session shape is exactly what the streaming session
+    window (events_stream_session) maintains incrementally; here the
+    driver gates the batch law it must agree with.
+
+    Determinism: gaps compare MICROSECOND integers (unix_micros /
+    epoch_us) — no float time arithmetic, no seconds truncation
+    disagreement; the order (ts, event_id) is total."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | (F.col("us") - F.lag("us").over(w) > SESS_GAP_US),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        flagged.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("us").alias("start_us"),
+            F.max("us").alias("end_us"),
+        )
+        .select(
+            "user_id",
+            "session_seq",
+            "n_events",
+            (F.col("end_us") - F.col("start_us")).alias("duration_us"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+ORACLE["events_sessionize"] = f"""
+with ev as (
+  select event_id, user_id, ts, epoch_us(ts) us from events),
+flagged as (
+  select user_id, us,
+         case when lag(us) over w is null
+                   or us - lag(us) over w > {SESS_GAP_US}
+              then 1 else 0 end new_sess
+  from ev
+  window w as (partition by user_id order by ts, event_id)),
+numbered as (
+  select user_id, us,
+         cast(sum(new_sess) over (partition by user_id order by us
+                                  rows unbounded preceding)
+              as bigint) session_seq
+  from flagged)
+select user_id, session_seq, count(*) n_events,
+       max(us) - min(us) duration_us
+from numbered
+group by user_id, session_seq
+order by user_id, session_seq
+"""

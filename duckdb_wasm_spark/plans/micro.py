@@ -487,3 +487,60 @@ select o_orderstatus,
 from lineitem join orders on l_orderkey = o_orderkey
 group by o_orderstatus
 """
+
+
+# ------------------------------------------------------- profile_columns
+PROFILE_COLS = (
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_linenumber",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+    "l_returnflag",
+    "l_linestatus",
+    "l_shipdate",
+)
+
+
+@_q("profile_columns")
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass COLUMN PROFILING of lineitem — per column: null
+    count and exact distinct count, one row per column. The data-
+    quality sweep every ingestion pipeline runs before trusting a new
+    drop, expressed as ONE scan: all 11 count/count-distinct pairs sit
+    in one aggregate (Catalyst plans the multi-distinct via a single
+    Expand — the row stream is replicated per distinct group and
+    partially aggregated map-side, which IS the one-pass profiling
+    plan at 100 TB; the alternative, one scan per column, reads the
+    table 11 times). The 1-row aggregate then unpivots via stack() —
+    driver-free, 11 rows out.
+
+    Determinism: counts only — no floats, no engine-specific
+    min/max-over-strings formatting."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in PROFILE_COLS:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', n_rows - nn_{c}, nd_{c}" for c in PROFILE_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(PROFILE_COLS)}, {stack_args}) "
+            "as (column_name, n_nulls, n_distinct)"
+        )
+    ).orderBy("column_name")
+
+
+ORACLE["profile_columns"] = "\nunion all\n".join(
+    f"""select '{c}' column_name,
+       count(*) - count({c}) n_nulls,
+       count(distinct {c}) n_distinct
+from lineitem"""
+    for c in PROFILE_COLS
+) + "\norder by column_name"
