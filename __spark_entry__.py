@@ -122,6 +122,7 @@ _GATE_PRIORITY = [
     "events_stream_sink",  # new: exactly-once parquet file sink
     "events_sessionize",  # new: gap sessionization with stable session ids
     "profile_columns",  # new: single-pass column profiling (Expand plan)
+    "source_pydatasource_stream",  # new: streaming Python DataSource
     # (b) changed-since-green: dot_fold/_sq_flat backtick quoting (r8)
     "dedup_embedding_lsh",
     "dedup_embedding_clusters",

@@ -544,3 +544,70 @@ ORACLE["profile_columns"] = "\nunion all\n".join(
 from lineitem"""
     for c in PROFILE_COLS
 ) + "\norder by column_name"
+
+
+# ---------------------------------------- source_pydatasource_stream
+PYDS_STREAM_N = 50_000
+PYDS_STREAM_BATCH = 12_500  # -> 4 micro-batches
+
+
+@_q("source_pydatasource_stream")
+def source_pydatasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Python DataSource gate (the seventh real streaming
+    execution, and the streaming half of the SPARK-44076 extension
+    point): `docrange` registers a SimpleDataSourceStreamReader whose
+    offsets are row positions — four micro-batches of 12.5k
+    arithmetic rows flow through a stateful complete-mode aggregate
+    into a memory sink, and the result is hash-checked against the
+    same generate_series oracle as the batch reader. What this gates:
+    offset initialization/advance, per-batch reads, the replayable
+    readBetweenOffsets contract (Spark's prefetch cache copies the
+    iterator), and stream≡batch equality of the produced rows.
+
+    Scale: a production feed implements the same offset contract
+    against a real cursor (queue position, change-feed LSN); the
+    partition-planned batch half of this source covers the
+    executor-parallel shape."""
+    from duckdb_wasm_spark.sources import pydatasource
+    from duckdb_wasm_spark.streaming.live import state_partitions
+
+    pydatasource.register(spark)
+    stream = (
+        spark.readStream.format("docrange")
+        .option("n", PYDS_STREAM_N)
+        .option("batch", PYDS_STREAM_BATCH)
+        .load()
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("val").cast("long").alias("sum_val"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+        )
+    )
+    import os
+
+    name = f"pyds_stream_{os.getpid()}"
+    with state_partitions(spark):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.table(name)
+
+
+ORACLE["source_pydatasource_stream"] = f"""
+select cast(i % 10 as int) grp,
+       count(*) n,
+       cast(sum((i * i) % 997) as bigint) sum_val,
+       min(i) min_id,
+       max(i) max_id
+from (select unnest(range(0, {PYDS_STREAM_N})) i)
+group by 1
+"""

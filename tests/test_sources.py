@@ -237,3 +237,23 @@ def test_pydatasource_partitions_and_values(spark):
     for r in rows:
         assert r.grp == r.id % 10
         assert r.val == (r.id * r.id) % pydatasource.DOCRANGE_MOD
+
+
+def test_docrange_stream_offsets_replay():
+    """The streaming half's exactly-once contract, pinned without an
+    engine: read(start) and readBetweenOffsets(start, end) must yield
+    the identical rows, offsets advance by `batch` and clamp at n."""
+    from duckdb_wasm_spark.sources.pydatasource import DocRangeStreamReader
+
+    r = DocRangeStreamReader({"n": "100", "batch": "30"})
+    assert r.initialOffset() == {"i": 0}
+    it, off = r.read({"i": 0})
+    rows1 = list(it)
+    assert off == {"i": 30} and len(rows1) == 30
+    assert rows1 == list(r.readBetweenOffsets({"i": 0}, off))
+    # clamp: final partial batch stops exactly at n
+    it, off = r.read({"i": 90})
+    assert off == {"i": 100} and len(list(it)) == 10
+    # drained source: no rows, offset unchanged (processAllAvailable halts)
+    it, off = r.read({"i": 100})
+    assert off == {"i": 100} and list(it) == []
