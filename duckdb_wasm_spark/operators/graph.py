@@ -243,8 +243,15 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     At the gated scales no customer reaches the cap, so the capped
     result equals the uncapped one and the oracle states the same
     filter."""
-    cs = _trade_pairs(spark, sf_dir).select(
-        F.col("a").alias("cust"), F.col("b").alias("supp")
+    # checkpoint the deduplicated edge list ONCE: Catalyst does not
+    # dedupe common subtrees, so without it each self-join side (and
+    # the degree frame) would re-derive the orders x lineitem distinct
+    # — three scans instead of one materialization
+    cs = (
+        _trade_pairs(spark, sf_dir)
+        .select(F.col("a").alias("cust"), F.col("b").alias("supp"))
+        .repartition("cust")
+        .localCheckpoint()
     )
     deg = cs.groupBy("cust").agg(F.count(F.lit(1)).alias("n_supp"))
     kept = cs.join(deg.where(F.col("n_supp") <= CN_CAP), "cust")
