@@ -115,6 +115,7 @@ _GATE_PRIORITY = [
     # (a) new in round 8 — never gated
     "graph_pagerank",  # new: bigint fixed-point PageRank, unrolled-CTE oracle
     "graph_common_neighbors",  # new: capped co-occurrence pairs
+    "graph_degree_distribution",  # new: log2-binned degree skew audit
     "sketch_kmv_distinct",  # new: bottom-k distinct estimator
     "sketch_hll_merge",  # new: HLL register-max mergeability gate
     "corpus_source_overlap",  # new: pairwise source vocab Jaccard

@@ -12,6 +12,9 @@ per-iteration joins as bounded shuffles).
                           count (co-occurrence / common-neighbor
                           similarity), with a per-customer degree cap
                           so hub customers cannot go quadratic
+  graph_degree_distribution  log2-binned degree histogram per side —
+                          the skew diagnostic that sizes CN_CAP and
+                          the partitioning strategy
 
 Graph: an undirected bipartite trade graph. Node ids share one bigint
 space: customer c -> 2c, supplier s -> 2s+1; an edge (2c, 2s+1) exists
@@ -44,11 +47,11 @@ Scale notes (100 TB framing):
     the oracle is a 5-deep chained-CTE pipeline generated from the
     same Python constants, so the texts cannot drift.
   - common-neighbors pairs expand per-customer degree d as d*(d-1)/2;
-    the CAP=64 guard (plus an n_capped audit column reported in the
-    first output row's lineage — see docstring) bounds the expansion
-    exactly like dedup_ngram_jaccard_capped's max_df posting-list cap
-    (dedup.py): hot keys are DROPPED by a stated, audited rule, not
-    silently exploded.
+    the CAP=64 guard bounds the expansion exactly like
+    dedup_ngram_jaccard_capped's max_df posting-list cap (dedup.py):
+    hot keys are DROPPED by a stated rule the oracle text shares, not
+    silently exploded, and graph_degree_distribution is the audit
+    that shows what the cap excludes (its top bins are the hubs).
 
 Reference parity: the reference engine's users run iterative analytics
 as recursive CTEs (duckdb-wasm ships full recursive-CTE support —
@@ -278,4 +281,61 @@ select l.supp s1, r.supp s2, count(*) n_shared
 from kept l join kept r on l.cust = r.cust and l.supp < r.supp
 group by 1, 2
 order by n_shared desc, s1, s2 limit {CN_TOPK}
+"""
+
+
+# ----------------------------------------------- graph_degree_distribution
+@_q("graph_degree_distribution")
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-binned degree histogram of each bipartite side — the first
+    diagnostic a graph pipeline runs (skew detection for partitioning
+    and the cap settings of the pair-expansion operators: the top bin
+    IS the hub population graph_common_neighbors' CN_CAP must bound).
+
+    Two aggregates over the deduplicated edge list (degree per node,
+    then nodes per (side, bin)); bins via integer bit-length
+    (length(bin(d)) - 1 = floor(log2 d)) — no float log, so bin edges
+    are engine-exact. Output is |sides| x |bins| rows, corpus-free."""
+    pairs = _trade_pairs(spark, sf_dir)
+    deg = (
+        pairs.select(F.col("a").alias("node"), F.lit("customer").alias("side"))
+        .unionByName(
+            pairs.select(
+                F.col("b").alias("node"), F.lit("supplier").alias("side")
+            )
+        )
+        .groupBy("side", "node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return (
+        deg.select(
+            "side", F.expr("length(bin(d)) - 1").alias("bin"), "d"
+        )
+        .groupBy("side", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("d").cast("long").alias("sum_deg"),
+            F.min("d").alias("min_deg"),
+            F.max("d").alias("max_deg"),
+        )
+        .orderBy("side", "bin")
+    )
+
+
+ORACLE["graph_degree_distribution"] = f"""
+with pairs as ({_SQL_TRADE_PAIRS}),
+deg as (
+  select side, node, count(*) d from (
+    select a node, 'customer' side from pairs
+    union all
+    select b node, 'supplier' side from pairs)
+  group by 1, 2)
+select side, length(to_base(d, 2)) - 1 bin,
+       count(*) n_nodes,
+       cast(sum(d) as bigint) sum_deg,
+       min(d) min_deg,
+       max(d) max_deg
+from deg
+group by 1, 2
+order by side, bin
 """
