@@ -1555,3 +1555,170 @@ def dedup_winnowing_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["dedup_winnowing_capped"] = winnowing_oracle_sql(WIN_MAX_DF)
+
+
+# ------------------------------------------------------- dedup_lsh_tuning
+LSH_TUNE_CONFIGS = ((16, 1), (8, 2), (4, 4), (2, 8))
+
+
+@_q("dedup_lsh_tuning")
+def dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAND-CONFIGURATION SWEEP for the MinHash index — the tuning
+    table a pipeline owner reads before fixing (bands, rows): for
+    each way of splitting the 16-hash signature, the candidate-pair
+    count (cost) and how many true Jaccard>=0.2 pairs the banding
+    catches (recall). More rows per band = sharper threshold, fewer
+    candidates, lower recall — this query MEASURES that curve on the
+    actual corpus instead of trusting the 1-(1-s^r)^b formula.
+
+    Plan: signatures are built once and localCheckpoint'd (each config
+    re-bands the same 16 columns — md5 of the row-concat per band);
+    per config the candidate join is the same (band, key) equi-join as
+    dedup_minhash, and the truth set (the posting-list exact query,
+    checkpointed once) flags true positives via a left join. Every
+    per-config frame ends in a 1-row aggregate, so the sweep's output
+    is |configs| rows regardless of corpus size; the only corpus-scale
+    work is the signature build and the exact ground truth — both
+    single-pass plans documented on their own operators. One driver
+    scalar (the truth count) rides into the recall expression as a
+    literal, CC-loop-style."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = _minhash_sigs(docs).localCheckpoint()
+    truth = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    n_true = truth.count()
+    outs = []
+    for nb, rpb in LSH_TUNE_CONFIGS:
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"s{b * rpb + r}").cast("string")
+                                for r in range(rpb)
+                            ],
+                        )
+                    ).alias("key"),
+                )
+                for b in range(nb)
+            ]
+        )
+        bands = sigs.select(
+            "doc_id", F.explode(band_structs).alias("bk")
+        ).select("doc_id", "bk.band", "bk.key")
+        a = bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
+        b2 = bands.select(F.col("doc_id").alias("doc_b"), "band", "key")
+        cand = (
+            a.join(b2, ["band", "key"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        flagged = cand.join(
+            truth.withColumn("is_true", F.lit(1)),
+            ["doc_a", "doc_b"],
+            "left",
+        )
+        outs.append(
+            flagged.agg(
+                F.count(F.lit(1)).alias("n_candidates"),
+                F.coalesce(F.sum("is_true"), F.lit(0))
+                .cast("long")
+                .alias("n_true_pos"),
+            ).select(
+                F.lit(nb).alias("n_bands"),
+                F.lit(rpb).alias("rows_per_band"),
+                "n_candidates",
+                "n_true_pos",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    recall = F.when(
+        F.lit(n_true) > 0,
+        F.col("n_true_pos").cast("double") / F.lit(n_true),
+    )
+    return out.select(
+        "n_bands",
+        "rows_per_band",
+        "n_candidates",
+        "n_true_pos",
+        F.lit(n_true).cast("long").alias("n_true"),
+        recall.alias("recall"),
+    ).orderBy(F.col("n_bands").desc())
+
+
+def _lsh_tuning_sql() -> str:
+    sigs = ",\n       ".join(
+        f"min(({_mh_a(j)} * gh + {_mh_b(j)}) % {MH_PRIME}) s{j}"
+        for j in range(N_HASHES)
+    )
+    ctes = [
+        f"""with grams as ({_SQL_GRAM_SETS}),
+sizes as (select doc_id, count(*) n from grams group by 1),
+inter as (
+  select a.doc_id doc_a, b.doc_id doc_b, count(*) n_common
+  from grams a join grams b on a.gram = b.gram and a.doc_id < b.doc_id
+  group by 1, 2),
+truth as (
+  select doc_a, doc_b from inter
+  join sizes sa on doc_a = sa.doc_id
+  join sizes sb on doc_b = sb.doc_id
+  where cast(n_common as double) / (sa.n + sb.n - n_common)
+        >= {JACCARD_THRESHOLD}),
+gh as (
+  select doc_id, {sql_tok_hash60('gram')} % {MH_PRIME} gh from grams),
+sigs as (
+  select doc_id,
+       {sigs}
+  from gh group by doc_id),"""
+    ]
+    stats = []
+    for i, (nb, rpb) in enumerate(LSH_TUNE_CONFIGS):
+        band_rows = "\n  union all\n".join(
+            "  select doc_id, {b} band, md5({expr}) bkey from sigs".format(
+                b=b,
+                expr=" || '|' || ".join(
+                    f"cast(s{b * rpb + r} as varchar)" for r in range(rpb)
+                ),
+            )
+            for b in range(nb)
+        )
+        ctes.append(f"bands_{i} as (\n{band_rows}),")
+        ctes.append(
+            f"""cand_{i} as (
+  select distinct a.doc_id doc_a, b.doc_id doc_b
+  from bands_{i} a join bands_{i} b
+    on a.band = b.band and a.bkey = b.bkey and a.doc_id < b.doc_id),"""
+        )
+        ctes.append(
+            f"""stat_{i} as (
+  select {nb} n_bands, {rpb} rows_per_band,
+         count(*) n_candidates,
+         cast(coalesce(sum(case when t.doc_a is not null
+                                then 1 end), 0) as bigint) n_true_pos
+  from cand_{i} c left join truth t using (doc_a, doc_b)),"""
+        )
+        stats.append(f"select * from stat_{i}")
+    body = "\n".join(ctes).rstrip(",")
+    union = "\nunion all\n".join(stats)
+    return f"""{body},
+stats as (
+{union})
+select n_bands, rows_per_band, n_candidates, n_true_pos,
+       cast((select count(*) from truth) as bigint) n_true,
+       case when (select count(*) from truth) > 0
+            then cast(n_true_pos as double)
+                 / (select count(*) from truth) end recall
+from stats
+order by n_bands desc"""
+
+
+ORACLE["dedup_lsh_tuning"] = _lsh_tuning_sql()
