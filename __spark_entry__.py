@@ -98,10 +98,10 @@ def _registries():
 # six rounds), the 36 r5-green corpus names the r7 window cut off
 # (q17–q22, micro_*, text_stats family, sampling/chunking corpus,
 # extras), then the 45 r6-green names. This window is therefore:
-# (a) the twelve queries ADDED in round 8 (graph family x3, KMV/HLL-
+# (a) the thirteen queries ADDED in round 8 (graph family x3, KMV/HLL-
 # merge sketches, source-overlap matrix, bucketed-join gate, parquet
 # stream sink, sessionization, column profiling, streaming Python
-# DataSource, LSH band-tuning sweep); (b) changed-since-green — the r8 advice commit backtick-
+# DataSource, LSH band-tuning sweep, Python UDTF); (b) changed-since-green — the r8 advice commit backtick-
 # quoted the dot_fold/_sq_flat F.expr fast paths, textually changing
 # the generated expressions of every embedding-similarity plan, so
 # one representative per consumer family re-gates (embedding-LSH
@@ -126,6 +126,7 @@ _GATE_PRIORITY = [
     "profile_columns",  # new: single-pass column profiling (Expand plan)
     "source_pydatasource_stream",  # new: streaming Python DataSource
     "dedup_lsh_tuning",  # new: band-config recall/cost sweep
+    "extra_udtf_ngrams",  # new: Python UDTF lateral-join gate
     # (b) changed-since-green: dot_fold/_sq_flat backtick quoting (r8)
     "dedup_embedding_lsh",
     "dedup_embedding_clusters",

@@ -1328,3 +1328,82 @@ _REGISTERED = (
 )
 QUERIES = {k: ALL_QUERIES[k] for k in _REGISTERED}
 ORACLE = {k: ALL_ORACLE[k] for k in _REGISTERED}
+
+
+# ------------------------------------------------------ extra_udtf_ngrams
+UDTF_N = 3
+UDTF_TOPK = 20
+
+
+def _register_ngrams_udtf(spark: SparkSession) -> None:
+    """Idempotent per-session registration of the positional-n-gram
+    Python UDTF (Arrow-optimized)."""
+    if spark.__dict__.get("_dws_udtf_registered"):
+        return
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, gram: string", useArrow=True)
+    class NgramUDTF:
+        def eval(self, text: str, n: int):
+            toks = [t for t in (text or "").split(" ") if t]
+            for i in range(len(toks) - n + 1):
+                yield i, " ".join(toks[i : i + n])
+
+    spark.udtf.register("ngrams_udtf", NgramUDTF)
+    spark.__dict__["_dws_udtf_registered"] = True
+
+
+@_q("extra_udtf_ngrams")
+def extra_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF gate (the second Spark 4 Python extension surface
+    after the DataSource): a user-defined TABLE function yielding
+    positional n-grams is invoked through SQL as a correlated LATERAL
+    table reference, and the top-20 gram counts (with position spread)
+    are hash-checked against a DuckDB oracle that replays the same
+    positional shingling via range+list indexing. What this gates:
+    UDTF registration, the lateral-join plan (one generator call per
+    input row, no driver round trip), Arrow-optimized batch transfer,
+    and the yield contract.
+
+    Scale/honesty note: a UDTF is Python-side row generation — the
+    registered hot path for shingling remains the codegen slice/zip
+    builder (operators/_text.py ngrams); this query exists because the
+    reference's users can extend the engine with table functions, and
+    THIS is Spark's equivalent extension point, gated on values."""
+    _register_ngrams_udtf(spark)
+    return spark.sql(
+        f"""
+        select g.gram,
+               count(*) as n,
+               min(g.pos) as min_pos,
+               max(g.pos) as max_pos
+        from parquet.`{sf_dir}/documents.parquet` d,
+             lateral ngrams_udtf(d.text, {UDTF_N}) g
+        group by g.gram
+        order by n desc, g.gram
+        limit {UDTF_TOPK}
+        """
+    )
+
+
+ORACLE["extra_udtf_ngrams"] = f"""
+with toks as (
+  select doc_id, list_filter(string_split(text, ' '), x -> x != '') t
+  from documents),
+grams as (
+  select doc_id, cast(u.i as int) pos,
+         t[u.i + 1] || ' ' || t[u.i + 2] || ' ' || t[u.i + 3] gram
+  from toks, unnest(range(0, greatest(len(t) - {UDTF_N - 1}, 0))) u(i))
+select gram, count(*) n,
+       min(pos) min_pos,
+       max(pos) max_pos
+from grams
+group by gram
+order by n desc, gram
+limit {UDTF_TOPK}
+"""
+
+
+# defined after the registry split, so mirror it into the pytest corpus
+ALL_QUERIES["extra_udtf_ngrams"] = extra_udtf_ngrams
+ALL_ORACLE["extra_udtf_ngrams"] = ORACLE["extra_udtf_ngrams"]
