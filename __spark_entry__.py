@@ -98,10 +98,11 @@ def _registries():
 # six rounds), the 36 r5-green corpus names the r7 window cut off
 # (q17–q22, micro_*, text_stats family, sampling/chunking corpus,
 # extras), then the 45 r6-green names. This window is therefore:
-# (a) the thirteen queries ADDED in round 8 (graph family x3, KMV/HLL-
+# (a) the fourteen queries ADDED in round 8 (graph family x3, KMV/HLL-
 # merge sketches, source-overlap matrix, bucketed-join gate, parquet
 # stream sink, sessionization, column profiling, streaming Python
-# DataSource, LSH band-tuning sweep, Python UDTF); (b) changed-since-green — the r8 advice commit backtick-
+# DataSource, LSH band-tuning sweep, Python UDTF, end-to-end
+# near-dedup composition); (b) changed-since-green — the r8 advice commit backtick-
 # quoted the dot_fold/_sq_flat F.expr fast paths, textually changing
 # the generated expressions of every embedding-similarity plan, so
 # one representative per consumer family re-gates (embedding-LSH
@@ -127,6 +128,11 @@ _GATE_PRIORITY = [
     "source_pydatasource_stream",  # new: streaming Python DataSource
     "dedup_lsh_tuning",  # new: band-config recall/cost sweep
     "extra_udtf_ngrams",  # new: Python UDTF lateral-join gate
+    "pipeline_near_dedup_corpus",  # new: end-to-end near-dup curation
+    # (b2) minhash body moved into minhash_pairs() for the composition
+    # (pure code motion, identical plan) — re-gate the family
+    "dedup_minhash",
+    "dedup_clusters",
     # (b) changed-since-green: dot_fold/_sq_flat backtick quoting (r8)
     "dedup_embedding_lsh",
     "dedup_embedding_clusters",

@@ -357,7 +357,13 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: the band-bucket join shuffles only (doc_id, band, key) —
     the shingle arrays are joined back per candidate doc afterwards, so
     the wide payload never rides the bucket shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
+    return minhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def minhash_pairs(docs: DataFrame) -> DataFrame:
+    """dedup_minhash's pipeline over an arbitrary (doc_id, text) frame —
+    pure code motion so pipeline compositions (near-dedup over a
+    quality-filtered corpus) run the identical plan on a subset."""
     sigs = _minhash_sigs(docs)
     gram_sets = _gram_arrays(docs)
     band_structs = F.array(
@@ -416,7 +422,10 @@ def _minhash_ctes() -> str:
     return _minhash_sql_parts()[0]
 
 
-def _minhash_sql_parts() -> tuple[str, str]:
+def _minhash_sql_parts(source: str = "documents") -> tuple[str, str]:
+    """source: the table/CTE the doc frame reads from — "documents"
+    for the registered queries, a filtered CTE name for pipeline
+    compositions (the chain text is otherwise identical)."""
     sigs = ",\n       ".join(
         f"min(({_mh_a(j)} * gh + {_mh_b(j)}) % {MH_PRIME}) s{j}"
         for j in range(N_HASHES)
@@ -434,7 +443,7 @@ def _minhash_sql_parts() -> tuple[str, str]:
     )
     return f"""
 with docs as (
-  select doc_id, {sql_trigrams(sql_toks('text'))} grams from documents),
+  select doc_id, {sql_trigrams(sql_toks('text'))} grams from {source}),
 gh as (
   select doc_id, {sql_tok_hash60('g')} % {MH_PRIME} gh
   from (select doc_id, unnest(grams) g from docs)),

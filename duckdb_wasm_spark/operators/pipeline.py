@@ -1020,3 +1020,123 @@ join sizes sa on sa.source = src_a
 join sizes sb on sb.source = src_b
 order by jaccard desc, src_a, src_b
 """
+
+
+# ----------------------------------------------- pipeline_near_dedup_corpus
+@_q("pipeline_near_dedup_corpus")
+def pipeline_near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL near-dup curation pipeline in one gated query — the
+    chain a production corpus actually runs, composed from the gated
+    stages: quality score → threshold cut → banded MinHash-LSH
+    near-dup pairs OVER THE SURVIVORS → connected components →
+    canonical (min-doc_id) keeper per cluster → per-language yield
+    report. Where pipeline_clean_corpus deduplicates exact fingerprint
+    matches, this composition removes near-duplicate CLUSTERS, the
+    step that actually shrinks a crawled corpus.
+
+    Plan: one scored pass (tokenizer runs once, text dropped before
+    any shuffle wider than the shingle pipeline needs), the
+    dedup_minhash plan on the filtered frame (identical shape — pure
+    code motion via minhash_pairs), the pointer-jumping CC loop on the
+    resulting edge list, and two rollup aggregates. Every stage's
+    scale story is documented on its own operator; the composition
+    adds only a broadcast-size label join.
+
+    Oracle: the same chain as SQL — scored/surviving CTEs feeding the
+    parametrized MinHash chain (source='surviving') and the
+    recursive-CTE closure, then the identical rollup. Per language:
+    total docs, quality-cut count, near-dup-cut count, kept count,
+    kept tokens."""
+    from duckdb_wasm_spark.operators.dedup import (
+        connected_components,
+        minhash_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = _scored(docs)
+    surviving = scored.where(F.col("quality") >= QUALITY_MIN)
+    pairs = minhash_pairs(surviving).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .toDF("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    labels = connected_components(surviving.select("doc_id"), edges)
+    kept = surviving.join(
+        labels.where(F.col("doc_id") == F.col("cluster_id")).select(
+            "doc_id"
+        ),
+        "doc_id",
+    )
+    tot = scored.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    surv = surviving.groupBy("lang").agg(F.count(F.lit(1)).alias("n_surv"))
+    keptagg = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tokens").cast("long").alias("n_tokens_kept"),
+    )
+    return (
+        tot.join(surv, "lang", "left")
+        .join(keptagg, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            (F.col("n_docs") - F.coalesce("n_surv", F.lit(0))).alias(
+                "n_quality_cut"
+            ),
+            (
+                F.coalesce("n_surv", F.lit(0))
+                - F.coalesce("n_kept", F.lit(0))
+            ).alias("n_neardup_cut"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("n_tokens_kept", F.lit(0)).alias("n_tokens_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _near_dedup_sql() -> str:
+    from duckdb_wasm_spark.operators.dedup import _minhash_sql_parts
+
+    ctes, pair_select = _minhash_sql_parts(source="surviving")
+    ctes = ctes.lstrip()
+    assert ctes.startswith("with ")
+    return f"""
+with recursive scored as ({_SQL_SCORED}),
+surviving as (select * from scored where quality >= {QUALITY_MIN}),
+{ctes[len("with "):]},
+pairs as ({pair_select}),
+edges as (
+  select doc_a src, doc_b dst from pairs
+  union
+  select doc_b src, doc_a dst from pairs),
+reach(a, b) as (
+  select doc_id, doc_id from surviving
+  union
+  select r.a, e.dst from reach r join edges e on r.b = e.src),
+labels as (select a doc_id, min(b) cluster_id from reach group by a),
+kept as (
+  select s.* from surviving s
+  join labels l on s.doc_id = l.doc_id and s.doc_id = l.cluster_id),
+tot as (select lang, count(*) n_docs from scored group by 1),
+surv as (select lang, count(*) n_surv from surviving group by 1),
+keptagg as (
+  select lang, count(*) n_kept,
+         cast(sum(n_tokens) as bigint) n_tokens_kept
+  from kept group by 1)
+select t.lang, n_docs,
+       n_docs - coalesce(n_surv, 0) n_quality_cut,
+       coalesce(n_surv, 0) - coalesce(n_kept, 0) n_neardup_cut,
+       coalesce(n_kept, 0) n_kept,
+       coalesce(n_tokens_kept, 0) n_tokens_kept
+from tot t
+left join surv using (lang)
+left join keptagg using (lang)
+order by lang
+"""
+
+
+ORACLE["pipeline_near_dedup_corpus"] = _near_dedup_sql()
