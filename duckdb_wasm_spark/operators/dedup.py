@@ -1731,3 +1731,107 @@ order by n_bands desc"""
 
 
 ORACLE["dedup_lsh_tuning"] = _lsh_tuning_sql()
+
+
+# -------------------------------------------------------- embed_knn_graph
+KNN_K = 5
+
+
+@_q("embed_knn_graph")
+def embed_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN GRAPH over the embedding column — per vector,
+    its top-5 cosine neighbors among the hyperplane-LSH bucket
+    candidates. The near-dup operators emit threshold PAIRS; the k-NN
+    graph is the other consumer of the same index (semantic
+    clustering, graph-based agglomeration, link-prediction features)
+    and is approximate BY CONSTRUCTION: a neighbor never sharing any
+    of the 12 band buckets is invisible, which is the stated LSH
+    recall trade (same bands as dedup_embedding_lsh, so the two
+    operators' candidate sets are identical and auditable together).
+
+    Plan: one signature pass, symmetric band-bucket equi-join (cost =
+    real collisions), ONE exact dot per candidate pair (vectorized
+    pandas_udf, columnar fold — bit-identical to the oracle's
+    list_reduce), then a per-vector rank-filtered window that executes
+    as WindowGroupLimit (map-side partial top-k). Output is <= K rows
+    per vector at any scale.
+
+    Determinism: sim ties rank by neighbor id; the dot is the same
+    IEEE left fold in both engines."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.window import Window
+
+    @pandas_udf("double")
+    def pair_dot(ea: pd.Series, eb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(ea) == 0:
+            return pd.Series([], dtype=np.float64)
+        A = np.stack(ea.to_numpy()).astype(np.float64)
+        B = np.stack(eb.to_numpy()).astype(np.float64)
+        return pd.Series(_columnar_fold_dot(A, B))
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sigs = _emb_signatures(emb)
+    a = sigs.select(
+        F.col("vec_id").alias("src"), F.col("norm").alias("norm_a"),
+        "band", "band_val",
+    )
+    b = sigs.select(
+        F.col("vec_id").alias("nbr"), F.col("norm").alias("norm_b"),
+        "band", "band_val",
+    )
+    cand = (
+        a.join(b, ["band", "band_val"])
+        .where(F.col("src") != F.col("nbr"))
+        .dropDuplicates(["src", "nbr"])
+        .select("src", "nbr", "norm_a", "norm_b")
+    )
+    ea = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("nbr"), F.col("embedding").alias("eb"))
+    sims = (
+        cand.join(ea, "src")
+        .join(eb, "nbr")
+        .withColumn(
+            "sim",
+            pair_dot(F.col("ea"), F.col("eb"))
+            / (F.col("norm_a") * F.col("norm_b")),
+        )
+        .select("src", "nbr", "sim")
+    )
+    w = Window.partitionBy("src").orderBy(F.col("sim").desc(), F.col("nbr"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= KNN_K)
+        .select(F.col("src").alias("vec_id"), "rank",
+                F.col("nbr").alias("nbr_id"), "sim")
+        .orderBy("vec_id", "rank")
+    )
+
+
+def _knn_graph_sql() -> str:
+    prefix = _emb_lsh_sql_prefix()
+    return f"""{prefix},
+cand as (
+  select distinct a.vec_id src, b.vec_id nbr,
+         a.embedding ea, b.embedding eb, a.nrm norm_a, b.nrm norm_b
+  from we a join we b
+    on a.band = b.band and a.band_val = b.band_val
+   and a.vec_id != b.vec_id),
+sims as (
+  select src, nbr, {sql_dot('ea', 'eb')} / (norm_a * norm_b) sim
+  from cand),
+ranked as (
+  select src, nbr, sim,
+         row_number() over (partition by src
+                            order by sim desc, nbr) rnk
+  from sims)
+select src vec_id, cast(rnk as int) rank, nbr nbr_id, sim
+from ranked
+where rnk <= {KNN_K}
+order by vec_id, rank
+"""
+
+
+ORACLE["embed_knn_graph"] = _knn_graph_sql()
