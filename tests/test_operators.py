@@ -908,3 +908,69 @@ def test_kmv_and_hll_merge_properties(spark, sf_dir):
     assert m["merge_consistent"] is True
     assert m["n_merged"] == m["n_direct"]
     assert abs(m["rel_err"]) < 0.3
+
+
+def test_lsh_tuning_configs_nest(spark, sf_dir):
+    """Theorem pinned: the sweep's configs split the SAME 16-hash
+    signature into prefix-aligned bands, and each config's bands
+    refine the next coarser one's (a (2,8) band match requires both
+    (4,4) halves to match, and so on) — so candidate sets are NESTED:
+    cand(2,8) ⊆ cand(4,4) ⊆ cand(8,2) ⊆ cand(16,1), and therefore
+    n_candidates and n_true_pos are monotone non-increasing in
+    rows_per_band. A banding-key bug (wrong hash slice, band offset)
+    breaks the nesting even if each config's counts look plausible."""
+    from pyspark.sql import functions as F
+
+    from duckdb_wasm_spark.operators.dedup import (
+        LSH_TUNE_CONFIGS,
+        _minhash_sigs,
+    )
+    from duckdb_wasm_spark.tables import load_table
+
+    sigs = _minhash_sigs(
+        load_table(spark, sf_dir, "documents")
+    ).localCheckpoint()
+    cand_sets = {}
+    for nb, rpb in LSH_TUNE_CONFIGS:
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"s{b * rpb + r}").cast("string")
+                                for r in range(rpb)
+                            ],
+                        )
+                    ).alias("key"),
+                )
+                for b in range(nb)
+            ]
+        )
+        bands = sigs.select(
+            "doc_id", F.explode(band_structs).alias("bk")
+        ).select("doc_id", "bk.band", "bk.key")
+        a = bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
+        b2 = bands.select(F.col("doc_id").alias("doc_b"), "band", "key")
+        cand_sets[(nb, rpb)] = {
+            (r["doc_a"], r["doc_b"])
+            for r in a.join(b2, ["band", "key"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+            .collect()
+        }
+    ordered = list(LSH_TUNE_CONFIGS)  # (16,1) ... (2,8)
+    for coarse, fine in zip(ordered, ordered[1:]):
+        assert cand_sets[fine] <= cand_sets[coarse], (fine, coarse)
+    # and the registered sweep's counts must agree with these sets
+    from duckdb_wasm_spark.operators import dedup
+
+    rows = {
+        (r["n_bands"], r["rows_per_band"]): r["n_candidates"]
+        for r in dedup.QUERIES["dedup_lsh_tuning"](spark, sf_dir).collect()
+    }
+    for cfg, cand in cand_sets.items():
+        assert rows[cfg] == len(cand), cfg
