@@ -1140,3 +1140,95 @@ order by lang
 
 
 ORACLE["pipeline_near_dedup_corpus"] = _near_dedup_sql()
+
+
+# -------------------------------------------------- corpus_health_report
+@_q("corpus_health_report")
+def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE curation health dashboard — the one-page report a
+    pipeline owner reads before admitting a source into the mixture,
+    composing the gated signals: volume (docs, tokens), quality-cut
+    exposure (docs below QUALITY_MIN), exact-duplicate rate
+    (non-keeper docs per normalized-text fingerprint group), held-out
+    split size, and benchmark contamination (train docs flagged by the
+    5-gram overlap check). Every column is an integer count, so the
+    report is hash-exact with no float policy needed.
+
+    Plan: one scored pass (+ fingerprint, map-side), one window over
+    the fingerprint partition for keeper marking, the
+    decontaminate_ngram broadcast-index join for flags, then a single
+    per-source aggregate — the report costs one corpus pass plus the
+    decon check it embeds; nothing is per-pair beyond the inverted-
+    index join documented on decontaminate_ngram."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = (
+        _scored(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .withColumn("fp", F.md5(F.lower(F.trim(F.col("text")))))
+        .drop("text")
+    )
+    w = Window.partitionBy("fp")
+    base = base.withColumn("keeper", F.min("doc_id").over(w))
+    flagged = decontaminate_ngram(spark, sf_dir).select(
+        F.col("train_id").alias("doc_id"), F.lit(1).alias("contaminated")
+    )
+    return (
+        base.join(flagged, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum(
+                (F.col("quality") < QUALITY_MIN).cast("long")
+            ).alias("n_low_quality"),
+            F.sum(
+                (F.col("doc_id") != F.col("keeper")).cast("long")
+            ).alias("n_exact_dup"),
+            F.sum(
+                (F.col("doc_id") % DECON_EVAL_MOD == 0).cast("long")
+            ).alias("n_eval"),
+            F.sum(F.coalesce("contaminated", F.lit(0)))
+            .cast("long")
+            .alias("n_contaminated"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["corpus_health_report"] = f"""
+with scored as ({_SQL_SCORED}),
+base as (
+  select s.doc_id, d.source, s.n_tokens, s.quality,
+         md5(lower(trim(d.text))) fp
+  from scored s join documents d using (doc_id)),
+keep as (select fp, min(doc_id) keeper from base group by 1),
+shingled as (
+  select doc_id, unnest({sql_ngrams(sql_toks('text'), DECON_N)}) gram
+  from documents),
+pairs as (
+  select t.doc_id train_id, e.doc_id eval_id, count(*) n_shared
+  from (select * from shingled where doc_id % {DECON_EVAL_MOD} != 0) t
+  join (select * from shingled where doc_id % {DECON_EVAL_MOD} = 0) e
+    using (gram)
+  group by 1, 2
+  having count(*) >= {DECON_MIN_SHARED}),
+flagged as (select distinct train_id doc_id from pairs)
+select source,
+       count(*) n_docs,
+       cast(sum(n_tokens) as bigint) n_tokens,
+       cast(sum(case when quality < {QUALITY_MIN} then 1 else 0 end)
+            as bigint) n_low_quality,
+       cast(sum(case when b.doc_id != keeper then 1 else 0 end)
+            as bigint) n_exact_dup,
+       cast(sum(case when b.doc_id % {DECON_EVAL_MOD} = 0 then 1 else 0 end)
+            as bigint) n_eval,
+       cast(sum(case when f.doc_id is not null then 1 else 0 end)
+            as bigint) n_contaminated
+from base b
+join keep using (fp)
+left join flagged f on b.doc_id = f.doc_id
+group by source
+order by source
+"""
