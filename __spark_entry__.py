@@ -98,7 +98,7 @@ def _registries():
 # six rounds), the 36 r5-green corpus names the r7 window cut off
 # (q17–q22, micro_*, text_stats family, sampling/chunking corpus,
 # extras), then the 45 r6-green names. This window is therefore:
-# (a) the sixteen queries ADDED in round 8 (graph family x3, KMV/HLL-
+# (a) the seventeen queries ADDED in round 8 (graph family x3, KMV/HLL-
 # merge sketches, source-overlap matrix, bucketed-join gate, parquet
 # stream sink, sessionization, column profiling, streaming Python
 # DataSource, LSH band-tuning sweep, Python UDTF, end-to-end
@@ -131,6 +131,7 @@ _GATE_PRIORITY = [
     "pipeline_near_dedup_corpus",  # new: end-to-end near-dup curation
     "embed_knn_graph",  # new: LSH-bucketed approximate k-NN graph
     "corpus_health_report",  # new: per-source curation dashboard
+    "sample_mixture_budget",  # new: mixture-weighted budget draw
     # (b2) minhash body moved into minhash_pairs() for the composition
     # (pure code motion, identical plan) — re-gate the family
     "dedup_minhash",

@@ -1232,3 +1232,116 @@ left join flagged f on b.doc_id = f.doc_id
 group by source
 order by source
 """
+
+
+# ------------------------------------------------ sample_mixture_budget
+MIXB_GLOBAL = 20_000  # global token budget split across sources
+MIXB_SCALE = 10**12  # fixed-point for weight -> budget conversion
+
+
+@_q("sample_mixture_budget")
+def sample_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIXTURE-WEIGHTED token-budget sampling over the CLEANED corpus —
+    the draw step of a pretraining run, composed from the gated
+    stages: quality cut + exact-dedup keepers (pipeline_clean_corpus's
+    rule), temperature-scaled source weights (corpus_mix_weights's
+    w_s ∝ tokens^0.7), a per-source token budget carved from the
+    global budget, and the deterministic hash-order walk
+    (sample_token_budget's rule) that admits documents while the
+    running total fits. Output: per-source budget, selected docs,
+    selected tokens.
+
+    Determinism at the weight→budget boundary: the float weight is
+    converted ONCE to fixed point (round(w * 10^12) as bigint — round
+    on identical doubles is identical) and the budget is pure bigint
+    arithmetic (GLOBAL * W div 10^12), so no float multiply can
+    straddle an integer boundary differently across engines.
+
+    Scale: the weight/budget frame is |sources| rows (broadcast); the
+    selection window is one partition per source over the cleaned
+    frame — the same single-shuffle shape as sample_token_budget."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = (
+        _scored(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .where(F.col("quality") >= QUALITY_MIN)
+        .withColumn("fp", F.md5(F.lower(F.trim(F.col("text")))))
+        .drop("text")
+    )
+    wfp = Window.partitionBy("fp")
+    clean = (
+        scored.withColumn("_min_id", F.min("doc_id").over(wfp))
+        .where(F.col("doc_id") == F.col("_min_id"))
+        .select("doc_id", "source", "n_tokens")
+    )
+    budgets = corpus_mix_weights(spark, sf_dir).select(
+        "source",
+        F.expr(
+            f"{MIXB_GLOBAL} * cast(round(mix_weight_t07 * {MIXB_SCALE}) "
+            f"as bigint) div {MIXB_SCALE}"
+        ).alias("budget_tokens"),
+    )
+    wsel = (
+        Window.partitionBy("source")
+        .orderBy(*_hash_order())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sel = (
+        clean.join(F.broadcast(budgets), "source")
+        .withColumn("cum_tokens", F.sum("n_tokens").over(wsel))
+        .where(F.col("cum_tokens") <= F.col("budget_tokens"))
+    )
+    return (
+        sel.groupBy("source")
+        .agg(
+            F.any_value("budget_tokens").alias("budget_tokens"),
+            F.count(F.lit(1)).alias("n_selected"),
+            F.sum("n_tokens").cast("long").alias("n_tokens_selected"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["sample_mixture_budget"] = f"""
+with scored as ({_SQL_SCORED}),
+surviving as (
+  select s.doc_id, d.source, s.n_tokens,
+         md5(lower(trim(d.text))) fp
+  from scored s join documents d using (doc_id)
+  where s.quality >= {QUALITY_MIN}),
+clean as (
+  select doc_id, source, n_tokens
+  from (select *, min(doc_id) over (partition by fp) _min_id
+        from surviving)
+  where doc_id = _min_id),
+w as (
+  select source,
+         round(pow(cast(n_tokens as double), {MIX_ALPHA})
+               / sum(pow(cast(n_tokens as double), {MIX_ALPHA})) over (),
+               12) mix_weight
+  from (select source,
+               cast(sum(len({sql_toks('text')})) as bigint) n_tokens
+        from documents group by source)),
+budgets as (
+  select source,
+         {MIXB_GLOBAL} * cast(round(mix_weight * {MIXB_SCALE}) as bigint)
+           // {MIXB_SCALE} budget_tokens
+  from w),
+sel as (
+  select c.source, c.n_tokens, b.budget_tokens,
+         cast(sum(c.n_tokens) over (partition by c.source
+                                    order by {_SQL_HASH_ORDER}
+                                    rows unbounded preceding) as bigint)
+           cum_tokens
+  from clean c join budgets b using (source))
+select source,
+       any_value(budget_tokens) budget_tokens,
+       count(*) n_selected,
+       cast(sum(n_tokens) as bigint) n_tokens_selected
+from sel
+where cum_tokens <= budget_tokens
+group by source
+order by source
+"""
