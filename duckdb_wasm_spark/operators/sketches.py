@@ -683,3 +683,207 @@ select n_merged, n_direct,
        (n_merged - n_exact) / n_exact rel_err
 from f_merged, f_direct, exact
 """
+
+
+# ----------------------------------------------------- sketch_kmv_jaccard
+@_q("sketch_kmv_jaccard")
+def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary Jaccard ESTIMATED FROM KMV SKETCHES,
+    reported next to the exact value — the set-operation face of the
+    bottom-k sketch (Beyer et al., SIGMOD 2007): where
+    sketch_kmv_distinct gates the cardinality estimator, this gates the
+    similarity estimator a mixture designer would actually run at
+    100 TB in place of corpus_source_overlap's exact self-join.
+
+    Estimator: for sources (a, b) with bottom-k sketches H(A), H(B),
+    let U = the k smallest of H(A) ∪ H(B) (dedup by shingle — the same
+    md5 hash in both sketches IS the same shingle).  Then
+    jaccard_kmv = |{h ∈ U : h ∈ H(A) ∧ h ∈ H(B)}| / |U| — an unbiased
+    Jaccard estimate because U is a uniform bottom-k sample of A ∪ B
+    and membership in both sketches over U is membership in A ∩ B.
+    k_used = |U| < k when the union itself is smaller than k (the
+    sketch is then the full set and the estimate is exact).
+
+    Plan: the per-source bottom-k is the WindowGroupLimit rank filter
+    of sketch_kmv_distinct (state per source = k rows at every stage).
+    Pair expansion touches ONLY sketch rows — |sources| × k, never the
+    vocabulary: the tiny source list self-pairs on the < inequality (an
+    audited BNLJ — both sides the distinct-source list, dozens of rows
+    by construction; tests/test_plan_guards.py BNLJ_ALLOWED), then two
+    broadcast equi-joins tag each sketch row onto the pairs whose left
+    or right side owns it; union-dedup by shingle, one rank window per
+    pair, one aggregate.  At 100 TB the sketches are a dashboard-sized
+    frame (dozens of sources × 128 rows) while the exact comparison
+    (corpus_source_overlap) shuffles the full term dictionary — that
+    cost gap is the point of the operator.  The exact columns ride
+    along here only as the gate's calibration target.
+
+    Determinism: integers end-to-end until two final IEEE divisions
+    (estimate and error), both engine-exact; bottom-k ties ordered by
+    (h, gram) as in sketch_kmv_distinct."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = docs.select(
+        "source", F.explode(ngrams(toks(), KMV_N)).alias("gram")
+    ).distinct()
+    hashed = vocab.select(
+        "source",
+        "gram",
+        F.expr("conv(substring(md5(gram), 1, 15), 16, 10)")
+        .cast("long")
+        .alias("h"),
+    )
+    w = Window.partitionBy("source").orderBy("h", "gram")
+    bottom = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= KMV_K)
+        .drop("rn")
+    )
+    # |S|² pair grid: allowlisted BNLJ — both sides the distinct-source
+    # list, dozens of rows at any corpus size (see BNLJ_ALLOWED entry)
+    srcs = bottom.select("source").distinct()
+    a = srcs.select(F.col("source").alias("src_a"))
+    b = srcs.select(F.col("source").alias("src_b"))
+    pairs = a.join(F.broadcast(b), F.col("src_a") < F.col("src_b"))
+    tag_a = pairs.join(
+        bottom.withColumnRenamed("source", "src_a"), "src_a"
+    ).select(
+        "src_a",
+        "src_b",
+        "gram",
+        "h",
+        F.lit(1).alias("in_a"),
+        F.lit(0).alias("in_b"),
+    )
+    tag_b = pairs.join(
+        bottom.withColumnRenamed("source", "src_b"), "src_b"
+    ).select(
+        "src_a",
+        "src_b",
+        "gram",
+        "h",
+        F.lit(0).alias("in_a"),
+        F.lit(1).alias("in_b"),
+    )
+    union_sketch = (
+        tag_a.unionByName(tag_b)
+        .groupBy("src_a", "src_b", "gram", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wp = Window.partitionBy("src_a", "src_b").orderBy("h", "gram")
+    per = (
+        union_sketch.withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") <= KMV_K)
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).alias("k_used"),
+            F.sum(F.col("in_a") * F.col("in_b"))
+            .cast("long")
+            .alias("n_both"),
+        )
+    )
+    # exact calibration target (corpus_source_overlap's inner shape)
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("n_vocab"))
+    inter = (
+        vocab.select(F.col("source").alias("src_a"), "gram")
+        .join(vocab.select(F.col("source").alias("src_b"), "gram"), "gram")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sz = F.broadcast(sizes)
+    exact = (
+        inter.join(sz.withColumnRenamed("source", "src_a"), "src_a")
+        .withColumnRenamed("n_vocab", "n_a")
+        .join(
+            sz.withColumnRenamed("source", "src_b").withColumnRenamed(
+                "n_vocab", "n_b"
+            ),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard_exact"),
+        )
+    )
+    return (
+        per.join(exact, ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            "k_used",
+            "n_both",
+            (F.col("n_both").cast("double") / F.col("k_used")).alias(
+                "jaccard_kmv"
+            ),
+            F.coalesce(F.col("jaccard_exact"), F.lit(0.0)).alias(
+                "jaccard_exact"
+            ),
+        )
+        .withColumn(
+            "abs_err", F.abs(F.col("jaccard_kmv") - F.col("jaccard_exact"))
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+ORACLE["sketch_kmv_jaccard"] = f"""
+with vocab as (
+  select distinct source, unnest({sql_ngrams(sql_toks('text'), KMV_N)}) gram
+  from documents),
+hashed as (
+  select source, gram, ('0x' || substr(md5(gram), 1, 15))::bigint h
+  from vocab),
+bottom as (
+  select source, gram, h,
+         row_number() over (partition by source order by h, gram) rn
+  from hashed
+  qualify rn <= {KMV_K}),
+srcs as (select distinct source from bottom),
+pairs as (
+  select a.source src_a, b.source src_b
+  from srcs a join srcs b on a.source < b.source),
+tagged as (
+  select p.src_a, p.src_b, bo.gram, bo.h, 1 in_a, 0 in_b
+  from pairs p join bottom bo on bo.source = p.src_a
+  union all
+  select p.src_a, p.src_b, bo.gram, bo.h, 0 in_a, 1 in_b
+  from pairs p join bottom bo on bo.source = p.src_b),
+union_sketch as (
+  select src_a, src_b, gram, h, max(in_a) in_a, max(in_b) in_b
+  from tagged group by 1, 2, 3, 4),
+per as (
+  select src_a, src_b, count(*) k_used,
+         cast(sum(in_a * in_b) as bigint) n_both
+  from (select *,
+               row_number() over (partition by src_a, src_b
+                                  order by h, gram) rn
+        from union_sketch
+        qualify rn <= {KMV_K})
+  group by 1, 2),
+sizes as (select source, count(*) n_vocab from vocab group by 1),
+inter as (
+  select a.source src_a, b.source src_b, count(*) n_inter
+  from vocab a join vocab b on a.gram = b.gram and a.source < b.source
+  group by 1, 2),
+exact as (
+  select src_a, src_b,
+         cast(n_inter as double)
+         / (sa.n_vocab + sb.n_vocab - n_inter) jaccard_exact
+  from inter
+  join sizes sa on sa.source = src_a
+  join sizes sb on sb.source = src_b)
+select p.src_a, p.src_b, p.k_used, p.n_both,
+       cast(p.n_both as double) / p.k_used jaccard_kmv,
+       coalesce(e.jaccard_exact, 0.0) jaccard_exact,
+       abs(cast(p.n_both as double) / p.k_used
+           - coalesce(e.jaccard_exact, 0.0)) abs_err
+from per p
+left join exact e on e.src_a = p.src_a and e.src_b = p.src_b
+order by p.src_a, p.src_b
+"""

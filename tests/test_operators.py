@@ -1004,3 +1004,25 @@ def test_near_dedup_corpus_accounting(spark, sf_dir):
         .count()
     )
     assert sum(r["n_docs"] - r["n_quality_cut"] for r in rows) == surv
+
+
+def test_kmv_jaccard_estimator_properties(spark, sf_dir):
+    """Sketch-union Jaccard pins the oracle can't express: the estimate
+    is a [0,1] fraction of at most k sampled union elements; when the
+    union fits inside the sketch (k_used < k) the sample IS the union
+    and the estimate must equal the exact Jaccard bit-for-bit; and on
+    every pair the error stays inside the 5-sigma binomial band for
+    k=128 (sigma = sqrt(J(1-J)/k) <= 0.0442)."""
+    from duckdb_wasm_spark.operators import sketches
+
+    rows = sketches.QUERIES["sketch_kmv_jaccard"](spark, sf_dir).collect()
+    assert rows
+    n_sources = len({r["src_a"] for r in rows} | {r["src_b"] for r in rows})
+    assert len(rows) == n_sources * (n_sources - 1) // 2
+    for r in rows:
+        assert 0 < r["k_used"] <= sketches.KMV_K
+        assert 0.0 <= r["jaccard_kmv"] <= 1.0
+        if r["k_used"] < sketches.KMV_K:
+            assert r["jaccard_kmv"] == r["jaccard_exact"], r
+        else:
+            assert r["abs_err"] < 0.25, r

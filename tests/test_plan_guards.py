@@ -44,6 +44,11 @@ BNLJ_ALLOWED = {
         "post-aggregate |sources| x |vocab types| zero-fill grid — both "
         "sides aggregates, never the corpus; the cross IS the design"
     ),
+    "sketch_kmv_jaccard": (
+        "source pair grid: both sides the distinct-source list (dozens "
+        "of rows at any corpus size) — the sketch rows it fans out are "
+        "capped at |sources| x k, never the vocabulary"
+    ),
 }
 
 # queries whose WHERE is selective on a scanned column — parquet scan
