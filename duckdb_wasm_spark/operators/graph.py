@@ -339,3 +339,125 @@ from deg
 group by 1, 2
 order by side, bin
 """
+
+
+# --------------------------------------------------- graph_triangle_count
+TRI_EDGES = 1000  # projection budget: strongest co-occurrence edges kept
+
+
+@_q("graph_triangle_count")
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the supplier co-occurrence projection — the
+    clustering-structure probe (global transitivity) every graph
+    feature pipeline computes after degree stats.
+
+    The bipartite trade graph is DENSE in projection (at the gated
+    scales every supplier pair shares customers), so a fixed
+    shared-count threshold degenerates to the complete graph. The
+    projection is therefore budgeted: keep the TRI_EDGES strongest
+    edges by (shared-customer count desc, s1, s2) — a total order, so
+    the kept edge set is deterministic and the downstream cost is a
+    CONSTANT of the budget, not the corpus (the same cap discipline as
+    CN_CAP / max_df: the rule is stated, not silently exploded).
+
+    Plan: the capped pair expansion of graph_common_neighbors (one
+    co-partitioned self-join), a TakeOrdered top-K for the projection,
+    then the oriented 3-way edge self-join — edges stored s1<s2, the
+    wedge join matches b as the middle node (a<b<c) and the closing
+    join checks (a,c), so each triangle is counted exactly once.  The
+    edge list is localCheckpoint'd ONCE: four consumers (two wedge
+    sides, the closer, the degree frame) would otherwise each re-derive
+    the full expansion.  At 100 TB the triangle join runs on the
+    TRI_EDGES-row frame — broadcastable by construction.
+
+    Output: one row — n_nodes, n_edges, n_wedges (sum d*(d-1)/2 over
+    the projection), n_triangles, and global transitivity
+    3*triangles/wedges (integers end-to-end, one final division)."""
+    cs = (
+        _trade_pairs(spark, sf_dir)
+        .select(F.col("a").alias("cust"), F.col("b").alias("supp"))
+        .repartition("cust")
+        .localCheckpoint()
+    )
+    deg_c = cs.groupBy("cust").agg(F.count(F.lit(1)).alias("n_supp"))
+    kept = cs.join(deg_c.where(F.col("n_supp") <= CN_CAP), "cust")
+    left = kept.select("cust", F.col("supp").alias("s1"))
+    right = kept.select("cust", F.col("supp").alias("s2"))
+    edges = (
+        left.join(right, "cust")
+        .where(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy(F.col("n_shared").desc(), F.col("s1"), F.col("s2"))
+        .limit(TRI_EDGES)
+        .select("s1", "s2")
+        .localCheckpoint()
+    )
+    # oriented wedge + close: (a<b) x (b<c) closed by (a,c)
+    e_ab = edges.select(F.col("s1").alias("a"), F.col("s2").alias("b"))
+    e_bc = edges.select(F.col("s1").alias("b"), F.col("s2").alias("c"))
+    e_ac = edges.select(F.col("s1").alias("a"), F.col("s2").alias("c"))
+    tri = (
+        e_ab.join(e_bc, "b")
+        .join(e_ac, ["a", "c"])
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    deg = (
+        edges.select(F.col("s1").alias("node"))
+        .unionByName(edges.select(F.col("s2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    node_stats = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges"),
+    )
+    edge_stats = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    # three 1-row aggregate frames — scalar cross, BNLJ-allowlisted
+    return (
+        node_stats.crossJoin(edge_stats)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            (
+                F.lit(3.0)
+                * F.col("n_triangles").cast("double")
+                / F.col("n_wedges")
+            ).alias("transitivity"),
+        )
+    )
+
+
+ORACLE["graph_triangle_count"] = f"""
+with cs as (select a cust, b supp from ({_SQL_TRADE_PAIRS})),
+deg_c as (select cust, count(*) n_supp from cs group by 1),
+kept as (select cs.cust, cs.supp from cs
+         join deg_c using (cust) where n_supp <= {CN_CAP}),
+shared as (
+  select l.supp s1, r.supp s2, count(*) n_shared
+  from kept l join kept r on l.cust = r.cust and l.supp < r.supp
+  group by 1, 2),
+edges as (
+  select s1, s2 from shared
+  order by n_shared desc, s1, s2 limit {TRI_EDGES}),
+tri as (
+  select cast(count(*) as bigint) n_triangles
+  from edges ab
+  join edges bc on ab.s2 = bc.s1
+  join edges ac on ac.s1 = ab.s1 and ac.s2 = bc.s2),
+deg as (
+  select node, count(*) d from (
+    select s1 node from edges union all select s2 node from edges)
+  group by 1),
+node_stats as (
+  select cast(count(*) as bigint) n_nodes,
+         cast(sum(d * (d - 1) // 2) as bigint) n_wedges
+  from deg),
+edge_stats as (select cast(count(*) as bigint) n_edges from edges)
+select n_nodes, n_edges, n_wedges, n_triangles,
+       3.0 * cast(n_triangles as double) / n_wedges transitivity
+from node_stats, edge_stats, tri
+"""

@@ -1026,3 +1026,22 @@ def test_kmv_jaccard_estimator_properties(spark, sf_dir):
             assert r["jaccard_kmv"] == r["jaccard_exact"], r
         else:
             assert r["abs_err"] < 0.25, r
+
+
+def test_triangle_count_structure(spark, sf_dir):
+    """Graph-theory pins the oracle can't express: transitivity is a
+    [0,1] ratio, the triangle count is bounded by C(n,3), and when the
+    edge budget admits the COMPLETE projection (n_edges = C(n,2), the
+    sf0.001 case) every wedge closes — transitivity exactly 1.0 and
+    n_triangles exactly C(n,3). An orientation bug (double-counted or
+    missed triangles) breaks the complete-graph identity loudly."""
+    from duckdb_wasm_spark.operators import graph
+
+    r = graph.QUERIES["graph_triangle_count"](spark, sf_dir).collect()[0]
+    n = r["n_nodes"]
+    assert r["n_edges"] <= graph.TRI_EDGES
+    assert 0.0 <= r["transitivity"] <= 1.0
+    assert r["n_triangles"] <= n * (n - 1) * (n - 2) // 6
+    if r["n_edges"] == n * (n - 1) // 2:
+        assert r["transitivity"] == 1.0
+        assert r["n_triangles"] == n * (n - 1) * (n - 2) // 6

@@ -49,6 +49,10 @@ BNLJ_ALLOWED = {
         "of rows at any corpus size) — the sketch rows it fans out are "
         "capped at |sources| x k, never the vocabulary"
     ),
+    "graph_triangle_count": (
+        "three 1-row aggregate frames (node stats x edge count x "
+        "triangle count) scalar-crossed into the output row"
+    ),
 }
 
 # queries whose WHERE is selective on a scanned column — parquet scan
