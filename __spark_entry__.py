@@ -134,6 +134,7 @@ _GATE_PRIORITY = [
     "sample_mixture_budget",  # new: mixture-weighted budget draw
     "sketch_kmv_jaccard",  # new: KMV sketch-union Jaccard estimator
     "graph_triangle_count",  # new: budgeted-projection triangle census
+    "dedup_jaccard_prefix",  # new: lossless prefix-filter AllPairs
     # (b2) minhash body moved into minhash_pairs() for the composition
     # (pure code motion, identical plan) — re-gate the family
     "dedup_minhash",

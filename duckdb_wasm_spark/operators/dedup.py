@@ -1835,3 +1835,138 @@ order by vec_id, rank
 
 
 ORACLE["embed_knn_graph"] = _knn_graph_sql()
+
+
+# ---------------------------------------------------- dedup_jaccard_prefix
+# prefix length for Jaccard >= 1/5: p = n - ceil(n/5) + 1, all-integer
+PFX_T_DEN = 5  # threshold as the exact rational 1/5 == JACCARD_THRESHOLD
+
+
+@_q("dedup_jaccard_prefix")
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trigram-Jaccard near-dup pairs via PREFIX FILTERING
+    (AllPairs/PPJoin, Bayardo et al., WWW 2007) — the third candidate
+    generator over the same ground truth as dedup_ngram_jaccard
+    (posting lists) and dedup_minhash (LSH), and the one that is both
+    LOSSLESS and sub-posting-list cheap: under a global rarest-first
+    token order, two sets can reach Jaccard >= t only if their first
+    p = n - ceil(t*n) + 1 ordered tokens share an element, so only
+    PREFIX tokens enter the candidate join — the stop-gram postings
+    that dominate the full inverted index never expand at all
+    (frequent grams sort LAST and rarely make a prefix).
+
+    Plan: one shingle pass (arrays checkpointed once for its three
+    consumers), a document-frequency aggregate, a per-doc rank window
+    ordered (df, gram) — rarest first, total order so both engines cut
+    identical prefixes — then the candidate equi-join on prefix grams
+    only, and an array_intersect verify per candidate pair (JVM
+    codegen, O(n) per pair, no re-shuffle of the gram stream).
+    Threshold arithmetic is all-integer (ceil(n/5) = (n+4) div 5), so
+    the prefix boundary is engine-exact.
+
+    At 100 TB: candidate volume is bounded by PREFIX postings
+    (~(1-t)·n per doc, and biased to RARE grams — the df skew that
+    makes full posting lists quadratic works FOR the filter here);
+    the verify touches only surviving pairs. The lossless guarantee
+    is pytest-pinned: result set identical to dedup_ngram_jaccard.
+
+    Cites the same reference workload as dedup_ngram_jaccard
+    (SURVEY.md §2 dedup family)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    arrays = (
+        _gram_arrays(docs)
+        .select("doc_id", "grams", F.size("grams").alias("n"))
+        .localCheckpoint()
+    )
+    grams = arrays.select(
+        "doc_id", "n", F.explode("grams").alias("gram")
+    )
+    dfc = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "gram")
+    prefix = (
+        grams.join(dfc, "gram")
+        .withColumn("rn", F.row_number().over(w))
+        .where(
+            F.col("rn")
+            <= F.col("n")
+            - F.expr(f"(n + {PFX_T_DEN - 1}) div {PFX_T_DEN}")
+            + F.lit(1)
+        )
+        .select("doc_id", "gram")
+    )
+    cand = (
+        prefix.select(F.col("doc_id").alias("doc_a"), "gram")
+        .join(prefix.select(F.col("doc_id").alias("doc_b"), "gram"), "gram")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            arrays.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("grams").alias("ga"),
+                F.col("n").alias("n_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            arrays.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("grams").alias("gb"),
+                F.col("n").alias("n_b"),
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("ga", "gb")).alias("n_common"),
+            "n_a",
+            "n_b",
+        )
+    )
+    return (
+        verified.withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+ORACLE["dedup_jaccard_prefix"] = f"""
+with grams as ({_SQL_GRAM_SETS}),
+sizes as (select doc_id, count(*) n from grams group by 1),
+dfc as (select gram, count(*) df from grams group by 1),
+ranked as (
+  select g.doc_id, g.gram, s.n,
+         row_number() over (partition by g.doc_id
+                            order by d.df, g.gram) rn
+  from grams g
+  join dfc d using (gram)
+  join sizes s using (doc_id)),
+prefix as (
+  select doc_id, gram from ranked
+  where rn <= n - (n + {PFX_T_DEN - 1}) // {PFX_T_DEN} + 1),
+cand as (
+  select distinct a.doc_id doc_a, b.doc_id doc_b
+  from prefix a join prefix b on a.gram = b.gram and a.doc_id < b.doc_id),
+inter as (
+  select c.doc_a, c.doc_b, count(*) n_common
+  from cand c
+  join grams ga on ga.doc_id = c.doc_a
+  join grams gb on gb.doc_id = c.doc_b and gb.gram = ga.gram
+  group by 1, 2)
+select i.doc_a, i.doc_b,
+       cast(n_common as double) / (sa.n + sb.n - n_common) jaccard
+from inter i
+join sizes sa on i.doc_a = sa.doc_id
+join sizes sb on i.doc_b = sb.doc_id
+where cast(n_common as double) / (sa.n + sb.n - n_common)
+      >= {JACCARD_THRESHOLD}
+"""
