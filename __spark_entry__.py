@@ -135,6 +135,10 @@ _GATE_PRIORITY = [
     "sketch_kmv_jaccard",  # new: KMV sketch-union Jaccard estimator
     "graph_triangle_count",  # new: budgeted-projection triangle census
     "dedup_jaccard_prefix",  # new: lossless prefix-filter AllPairs
+    "events_scd2",  # new: CDC change-log -> SCD2 dimension build
+    "graph_kcore",  # new: k-core peel with fixpoint assertion
+    "sketch_hist_quantiles",  # new: mergeable histogram quantile sketch
+    "source_zonemap_skip",  # new: zone-map data-skipping audit
     # (b2) minhash body moved into minhash_pairs() for the composition
     # (pure code motion, identical plan) — re-gate the family
     "dedup_minhash",

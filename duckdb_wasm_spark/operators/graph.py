@@ -461,3 +461,118 @@ select n_nodes, n_edges, n_wedges, n_triangles,
        3.0 * cast(n_triangles as double) / n_wedges transitivity
 from node_stats, edge_stats, tri
 """
+
+
+# --------------------------------------------------------- graph_kcore
+KCORE_K = 10  # core order: every surviving node keeps >= K neighbors
+KCORE_ROUNDS = 4  # synchronous peels, unrolled in both engines
+
+
+@_q("graph_kcore")
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-CORE decomposition of the trade graph by synchronous peeling —
+    the degeneracy probe (Seidman 1983) run before sampling dense
+    subgraphs or sizing message-passing features: repeatedly delete
+    every node of degree < K until a fixpoint; what survives is the
+    maximal subgraph of minimum degree K.
+
+    Algorithm class: the third distributed fixpoint family in the repo
+    next to pointer-jumping CC (dedup_clusters) and fixed-point
+    PageRank — but DELETION-monotone: each round is one degree
+    aggregate over the current edge frame plus two semi-joins that
+    drop edges touching peeled nodes. KCORE_ROUNDS synchronous rounds
+    are unrolled in BOTH engines (generated from the same constants);
+    extra rounds past the fixpoint are no-ops, and the Spark side
+    ASSERTS the fixpoint was reached (any node under K after the last
+    round raises — same non-convergence discipline as the CC loop:
+    never return a partial core silently). On this near-regular trade
+    graph the peel converges in one round; on the power-law graphs a
+    real corpus yields, the cascade is exactly what the rounds absorb.
+
+    Plan: edges hash-partitioned by src once and localCheckpoint'd per
+    round (lineage stays one round deep, the partitioning is reused by
+    every degree aggregate); each peel is one partial+final count and
+    two LeftSemi joins on the (shrinking) survivor frame — at the
+    gated scale AQE broadcasts the survivor side, at cluster scale the
+    join co-partitions. Nothing collects; the only driver scalar is
+    the final convergence count, one aggregate, CC-loop legitimacy
+    class (dedup.py).
+
+    Output: one row per side — is_supplier, n_nodes, n_edges (directed
+    out-edges inside the core), min_deg / max_deg within the core."""
+    pairs = _trade_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        .repartition("src")
+        .localCheckpoint()
+    )
+    for _ in range(KCORE_ROUNDS):
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.where(F.col("d") >= KCORE_K).select("src")
+        edges = (
+            edges.join(keep, "src", "left_semi")
+            .join(
+                keep.select(F.col("src").alias("dst")), "dst", "left_semi"
+            )
+            .localCheckpoint()
+        )
+    final_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # fixpoint assertion: one driver scalar (CC-loop discipline) — a
+    # node still under K after KCORE_ROUNDS peels means the cascade
+    # outran the unroll budget; raise rather than emit a non-core.
+    not_core = final_deg.where(F.col("d") < KCORE_K).count()
+    if not_core:
+        raise RuntimeError(
+            f"k-core peel did not converge in {KCORE_ROUNDS} rounds: "
+            f"{not_core} nodes below K={KCORE_K}"
+        )
+    return (
+        final_deg.groupBy((F.col("src") % 2 == 1).alias("is_supplier"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("d").cast("long").alias("n_edges"),
+            F.min("d").cast("long").alias("min_deg"),
+            F.max("d").cast("long").alias("max_deg"),
+        )
+        .select("is_supplier", "n_nodes", "n_edges", "min_deg", "max_deg")
+    )
+
+
+def _kcore_oracle() -> str:
+    """The same KCORE_ROUNDS synchronous peels as chained CTEs,
+    generated from the same constants so the texts cannot drift."""
+    cte = [
+        f"with pairs as ({_SQL_TRADE_PAIRS}),",
+        "e0 as (select a src, b dst from pairs"
+        " union all select b src, a dst from pairs),",
+    ]
+    for i in range(1, KCORE_ROUNDS + 1):
+        cte.append(
+            f"k{i} as (select src from e{i - 1}"
+            f" group by 1 having count(*) >= {KCORE_K}),"
+        )
+        cte.append(
+            f"e{i} as (select e.src, e.dst from e{i - 1} e"
+            f" join k{i} a on e.src = a.src"
+            f" join k{i} b on e.dst = b.src),"
+        )
+    cte.append(
+        f"fdeg as (select src, count(*) d from e{KCORE_ROUNDS}"
+        " group by 1)"
+    )
+    body = "\n".join(cte)
+    return (
+        f"{body}\n"
+        "select src % 2 = 1 is_supplier,\n"
+        "       cast(count(*) as bigint) n_nodes,\n"
+        "       cast(sum(d) as bigint) n_edges,\n"
+        "       cast(min(d) as bigint) min_deg,\n"
+        "       cast(max(d) as bigint) max_deg\n"
+        "from fdeg group by 1"
+    )
+
+
+ORACLE["graph_kcore"] = _kcore_oracle()

@@ -887,3 +887,133 @@ from per p
 left join exact e on e.src_a = p.src_a and e.src_b = p.src_b
 order by p.src_a, p.src_b
 """
+
+
+# ---------------------------------------------------- sketch_hist_quantiles
+HQ_W = 32  # fixed bin width (chars) — state is ~max(n_chars)/W counters
+HQ_QUANTS = (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+
+
+@_q("sketch_hist_quantiles")
+def sketch_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE HISTOGRAM quantile sketch next to the exact answer —
+    the fourth sketch family (quantiles) after distinct (HLL/KMV),
+    frequency (CMS) and membership (Bloom): per-source fixed-width
+    histograms of document length are built as map-side-combinable
+    counts, MERGED by plain bin-wise addition into the global sketch
+    (the mergeability law: sum is associative — the same property
+    sketch_hll_merge pins for register-max), and the p50/p90/p99 are
+    estimated from the merged bins by integer interpolation, reported
+    NEXT TO the exact percentile_disc rank picks with the absolute
+    error — the gate checks the estimator itself.
+
+    Why it matters at 100 TB: exact quantiles need a global SORT
+    (corpus_length_quantiles pays one per key); the histogram needs
+    one hash aggregate over bounded state (~max_len/W counters per
+    source) and merges across partitions/days/sources for free —
+    this is the production shape (t-digest, KLL) with the same
+    deterministic-replay discipline as the rest of this module: fixed
+    bins and integer interpolation make even the approximation
+    hash-exact across engines. Estimate for target rank t: find the
+    first bin with cumulative count >= t, then
+    lo + ((t - cum_before) * W) div (cnt + 1) — all-bigint, engine-
+    identical; error is bounded by the bin width W by construction
+    (pytest-pinned).
+
+    Plan: one narrow scan -> per-source hash agg (the partial
+    sketches) -> bin-wise merge agg; the cumulative window runs over
+    the ~20-row merged histogram (single partition over BOUNDED
+    state, not the corpus); target ranks come from a 3-row quantile
+    grid crossed with the 1-row total — scalar frames, BNLJ-
+    allowlisted. The exact side (one global sort) exists only as the
+    audit baseline."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "n_chars"
+    )
+    # per-source partial sketches (what each executor/day would ship)
+    partial = docs.groupBy(
+        "source", F.expr(f"n_chars div {HQ_W}").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    # merge: bin-wise addition — the mergeable-sketch law
+    hist = partial.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    wcum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "bin", "cnt", F.sum("cnt").over(wcum).alias("cum")
+    )
+    total = hist.agg(F.sum("cnt").alias("n"))
+    quants = spark.createDataFrame(
+        [(label, num, den) for label, num, den in HQ_QUANTS],
+        "quantile string, num int, den int",
+    )
+    targets = quants.join(F.broadcast(total)).select(
+        "quantile", "n", F.expr("(num * n + den - 1) div den").alias("t")
+    )
+    est = targets.join(
+        F.broadcast(cum),
+        (F.col("cum") >= F.col("t"))
+        & (F.col("cum") - F.col("cnt") < F.col("t")),
+    ).select(
+        "quantile",
+        "n",
+        "t",
+        F.expr(
+            f"bin * {HQ_W} + ((t - (cum - cnt)) * {HQ_W}) div (cnt + 1)"
+        ).alias("est_chars"),
+    )
+    # exact audit baseline: percentile_disc rank pick (global sort)
+    ranked = docs.select(
+        "n_chars",
+        F.row_number().over(Window.orderBy("n_chars")).alias("rn"),
+    )
+    return (
+        est.join(F.broadcast(ranked), F.col("rn") == F.col("t"))
+        .select(
+            "quantile",
+            F.col("n").alias("n_docs"),
+            F.col("t").alias("target_rank"),
+            "est_chars",
+            F.col("n_chars").alias("exact_chars"),
+            F.expr("abs(est_chars - n_chars)").alias("abs_err"),
+        )
+        .orderBy("quantile")
+    )
+
+
+_SQL_HQ_QUANTS = ", ".join(
+    f"('{label}', {num}, {den})" for label, num, den in HQ_QUANTS
+)
+
+ORACLE["sketch_hist_quantiles"] = f"""
+with docs as (select source, n_chars from documents),
+partial as (
+  select source, n_chars // {HQ_W} bin, count(*) cnt
+  from docs group by 1, 2),
+hist as (select bin, cast(sum(cnt) as bigint) cnt
+         from partial group by 1),
+cum as (
+  select bin, cnt,
+         cast(sum(cnt) over (order by bin rows unbounded preceding)
+              as bigint) cum
+  from hist),
+total as (select cast(sum(cnt) as bigint) n from hist),
+quants(quantile, num, den) as (values {_SQL_HQ_QUANTS}),
+targets as (
+  select quantile, n, (num * n + den - 1) // den t
+  from quants cross join total),
+est as (
+  select t.quantile, t.n, t.t,
+         c.bin * {HQ_W}
+           + ((t.t - (c.cum - c.cnt)) * {HQ_W}) // (c.cnt + 1) est_chars
+  from targets t
+  join cum c on c.cum >= t.t and c.cum - c.cnt < t.t),
+ranked as (
+  select n_chars, row_number() over (order by n_chars) rn from docs)
+select e.quantile, e.n n_docs, e.t target_rank, e.est_chars,
+       r.n_chars exact_chars, abs(e.est_chars - r.n_chars) abs_err
+from est e join ranked r on r.rn = e.t
+order by e.quantile
+"""

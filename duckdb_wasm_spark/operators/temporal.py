@@ -595,3 +595,105 @@ from numbered
 group by user_id, session_seq
 order by user_id, session_seq
 """
+
+
+# --------------------------------------------------------- events_scd2
+@_q("events_scd2")
+def events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change-log -> SCD TYPE-2 dimension build: collapse each
+    user's event stream into state-validity intervals (state =
+    event_type), one row per RUN of equal consecutive states, with
+    half-open [valid_from, valid_to) micros, a per-user version
+    counter, and is_current on the last run — the standard upsert
+    compaction that turns an append-only change feed into a
+    point-in-time-joinable dimension (the lakehouse MERGE/SCD2
+    pattern; the reference engine's users express it as window SQL,
+    which is exactly what this is).
+
+    Construction: per user, events ordered by the total order
+    (ts, event_id); a row opens a new version iff it is the user's
+    first event or its state differs from the previous event's
+    (lag); version = running sum of open flags (gaps-and-islands, the
+    same construction as events_sessionize but keyed on state CHANGE
+    rather than time gap); one hash aggregate by (user, version)
+    computes the interval and the run length, and valid_to is the
+    NEXT version's valid_from (lead over the per-user version order —
+    half-open intervals tile the user's timeline exactly).
+
+    Scale (100 TB feed): one shuffle by user_id, then windows and the
+    aggregate all reuse that partitioning — state is linear in each
+    user's events, no self-join (the join-on-next-change alternative
+    is quadratic per user), and the output is the COMPRESSED dimension
+    (runs, not events), so downstream as-of joins against it touch
+    versions, not raw log rows. Determinism: micros integers, total
+    tie-break, bigint version counters."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.col("event_type").alias("state"),
+        "ts",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    versioned = ev.withColumn(
+        "open",
+        F.when(
+            F.lag("state").over(w).isNull()
+            | (F.lag("state").over(w) != F.col("state")),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "version",
+        F.sum("open").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    runs = versioned.groupBy("user_id", "version").agg(
+        F.min("state").alias("state"),  # constant within a run
+        F.min("us").alias("valid_from_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    return runs.select(
+        "user_id",
+        "version",
+        "state",
+        "valid_from_us",
+        F.lead("valid_from_us").over(wv).alias("valid_to_us"),
+        F.lead("valid_from_us").over(wv).isNull().alias("is_current"),
+        "n_events",
+    )
+
+
+ORACLE["events_scd2"] = """
+with ev as (
+  select event_id, user_id, event_type state, ts, epoch_us(ts) us
+  from events),
+flagged as (
+  select user_id, state, ts, event_id, us,
+         case when lag(state) over w is null
+                   or lag(state) over w <> state
+              then 1 else 0 end open
+  from ev
+  window w as (partition by user_id order by ts, event_id)),
+versioned as (
+  select user_id, state, us,
+         cast(sum(open) over (partition by user_id
+                              order by ts, event_id
+                              rows unbounded preceding)
+              as bigint) "version"
+  from flagged),
+runs as (
+  select user_id, "version", min(state) state,
+         min(us) valid_from_us, count(*) n_events
+  from versioned
+  group by user_id, "version")
+select user_id, "version", state, valid_from_us,
+       lead(valid_from_us) over wv valid_to_us,
+       lead(valid_from_us) over wv is null is_current,
+       n_events
+from runs
+window wv as (partition by user_id order by "version")
+"""

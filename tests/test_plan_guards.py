@@ -53,6 +53,15 @@ BNLJ_ALLOWED = {
         "three 1-row aggregate frames (node stats x edge count x "
         "triangle count) scalar-crossed into the output row"
     ),
+    "sketch_hist_quantiles": (
+        "3-row quantile grid x 1-row total, range-joined against the "
+        "~max_len/W-bin merged histogram — every side bounded by "
+        "construction, never the corpus"
+    ),
+    "source_zonemap_skip": (
+        "1-row rank-picked bounds frame crossed into the zone map and "
+        "the scan; final 1-row x 1-row scalar cross"
+    ),
 }
 
 # queries whose WHERE is selective on a scanned column — parquet scan
