@@ -109,87 +109,81 @@ def _registries():
 # dedup pair, brute/IVF/PQ similarity); (c) dedup_minhash_ml;
 # (d) the 36 r5-green names in emission order; (e) backfill from the
 # r6-green corpus oldest-first.
-# ROUND-9: rotate to (a) anything rewritten in round 9, (b) the
-# r6-green names this window could not reach (q2–q4, extras, text_*,
-# dedup capped/containment family, embed_*, events_* — oldest first),
-# then the r7-green corpus.
+# ROUND-9 ROTATION (applied): CORRECTNESS_r08 came back 49/50 green +
+# dedup_minhash_ml rows-only by design. Latest-green census entering
+# r9: 18 names r5-green (three rounds stale), 42 r6-green. This
+# window is therefore: (a) new in round 9 — knn_graph_recall (the
+# embed_knn_graph recall audit); (b) rewritten in round 9 —
+# corpus_source_divergence (the vocab cap is now real and in the
+# oracle text), events_sessionize (oracle total-order tie-break fix),
+# sketch_hist_quantiles (broadcast direction flip), the five graph
+# queries (shared _edges memo; pagerank additionally moved to one
+# generated spark.sql) and embed_knn_graph (pair_dot extracted — pure
+# code motion); (c) the two rows-only ML rows so their driver checks
+# do not go stale (r8 verdict task 8); (d) the 18 r5-green names,
+# emission order; (e) backfill from the 42 r6-green names,
+# oldest-emission first — the cut tail (events_stream_*, asof,
+# range_join, pipeline_clean_corpus, quality_buckets, ref_q7_sqlite,
+# sample_balanced, sim_topk_ivf_trained, extra_lateral/stats/unpivot,
+# decontaminate_ngram, corpus_zipf_slope, events_daily/key_skew/
+# rolling/session/sliding/tumbling) rolls to the ROUND-10 window
+# front.
 _GATE_PRIORITY = [
-    # (a) new in round 8 — never gated
-    "graph_pagerank",  # new: bigint fixed-point PageRank, unrolled-CTE oracle
-    "graph_common_neighbors",  # new: capped co-occurrence pairs
-    "graph_degree_distribution",  # new: log2-binned degree skew audit
-    "sketch_kmv_distinct",  # new: bottom-k distinct estimator
-    "sketch_hll_merge",  # new: HLL register-max mergeability gate
-    "corpus_source_overlap",  # new: pairwise source vocab Jaccard
-    "source_bucketed_join",  # new: exchange-free bucketed join gate
-    "events_stream_sink",  # new: exactly-once parquet file sink
-    "events_sessionize",  # new: gap sessionization with stable session ids
-    "profile_columns",  # new: single-pass column profiling (Expand plan)
-    "source_pydatasource_stream",  # new: streaming Python DataSource
-    "dedup_lsh_tuning",  # new: band-config recall/cost sweep
-    "extra_udtf_ngrams",  # new: Python UDTF lateral-join gate
-    "pipeline_near_dedup_corpus",  # new: end-to-end near-dup curation
-    "embed_knn_graph",  # new: LSH-bucketed approximate k-NN graph
-    "corpus_health_report",  # new: per-source curation dashboard
-    "sample_mixture_budget",  # new: mixture-weighted budget draw
-    "sketch_kmv_jaccard",  # new: KMV sketch-union Jaccard estimator
-    "graph_triangle_count",  # new: budgeted-projection triangle census
-    "dedup_jaccard_prefix",  # new: lossless prefix-filter AllPairs
-    "events_scd2",  # new: CDC change-log -> SCD2 dimension build
-    "graph_kcore",  # new: k-core peel with fixpoint assertion
-    "sketch_hist_quantiles",  # new: mergeable histogram quantile sketch
-    "source_zonemap_skip",  # new: zone-map data-skipping audit
-    # (b2) minhash body moved into minhash_pairs() for the composition
-    # (pure code motion, identical plan) — re-gate the family
-    "dedup_minhash",
-    "dedup_clusters",
-    # (b) changed-since-green: dot_fold/_sq_flat backtick quoting (r8)
-    "dedup_embedding_lsh",
-    "dedup_embedding_clusters",
-    "sim_topk_brute",
-    "sim_topk_ivf",
-    "sim_topk_pq",
-    # (c) rows-only row is six rounds old
+    # (a) new in round 9 — never gated
+    "knn_graph_recall",
+    # (b) rewritten in round 9
+    "corpus_source_divergence",
+    "events_sessionize",
+    "sketch_hist_quantiles",
+    "graph_pagerank",
+    "graph_common_neighbors",
+    "graph_degree_distribution",
+    "graph_triangle_count",
+    "graph_kcore",
+    "embed_knn_graph",
+    # (c) rows-only ML rows: keep their driver checks fresh
+    "ann_brp_ml",
     "dedup_minhash_ml",
-    # (d) r5-green corpus, three rounds stale (emission order)
-    "q17",
-    "q18",
-    "q19",
-    "q20",
-    "q21",
-    "q22",
-    "micro_sort",
-    "micro_topk",
-    "micro_join2",
-    "micro_join3",
-    "micro_grouped_sum",
-    "micro_regex",
-    "micro_scalar_fns",
-    "text_stats",
-    "text_gopher_flags",
-    "text_lm_score",
-    "text_dup_spans",
-    "corpus_stats",
-    "sample_token_budget",
-    "sample_split",
-    "corpus_mix_weights",
-    "sample_pack_sequences",
-    "doc_chunking",
+    # (d) r5-green, three rounds stale (emission order)
     "corpus_length_quantiles",
+    "corpus_mix_weights",
     "decontaminate_semantic",
-    "sim_topk_ivf_probe",
-    "ivf_centroid_refine",
-    "extra_windows",
-    "extra_set_ops",
-    "extra_grouping",
-    "extra_string_fns",
+    "doc_chunking",
     "extra_date_fns",
-    "extra_string_aggs",
-    "extra_pivot_json",
     "extra_full_outer",
+    "extra_grouping",
+    "extra_pivot_json",
     "extra_recursive_walk",
+    "extra_set_ops",
+    "extra_string_aggs",
+    "extra_string_fns",
+    "extra_windows",
+    "ivf_centroid_refine",
+    "sample_pack_sequences",
+    "sample_split",
+    "sample_token_budget",
+    "sim_topk_ivf_probe",
     # (e) backfill: r6-green corpus, oldest emission first
-    "ref_q7_sqlite",
+    "q2",
+    "q3",
+    "q4",
+    "text_vocab_topk",
+    "text_tfidf_topk",
+    "text_pmi_topk",
+    "text_ngram_entropy",
+    "text_bpe_pair_counts",
+    "text_bpe_merge",
+    "dedup_containment",
+    "dedup_substring",
+    "dedup_winnowing",
+    "dedup_ngram_jaccard_capped",
+    "embed_abtt",
+    "embed_centroid_outliers",
+    "embed_cluster_purity",
+    "embed_pca_power",
+    "embed_random_projection",
+    "events_funnel",
+    "events_retention",
 ]
 
 

@@ -1733,6 +1733,27 @@ order by n_bands desc"""
 ORACLE["dedup_lsh_tuning"] = _lsh_tuning_sql()
 
 
+def _pair_dot_udf():
+    """Vectorized exact dot product over candidate pairs (Arrow batch,
+    columnar fold — bit-identical to the oracle's list_reduce left
+    fold, see _columnar_fold_dot). Shared by embed_knn_graph and its
+    recall audit."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pair_dot(ea: pd.Series, eb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(ea) == 0:
+            return pd.Series([], dtype=np.float64)
+        A = np.stack(ea.to_numpy()).astype(np.float64)
+        B = np.stack(eb.to_numpy()).astype(np.float64)
+        return pd.Series(_columnar_fold_dot(A, B))
+
+    return pair_dot
+
+
 # -------------------------------------------------------- embed_knn_graph
 KNN_K = 5
 
@@ -1758,20 +1779,9 @@ def embed_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: sim ties rank by neighbor id; the dot is the same
     IEEE left fold in both engines."""
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
     from pyspark.sql.window import Window
 
-    @pandas_udf("double")
-    def pair_dot(ea: pd.Series, eb: pd.Series) -> pd.Series:
-        import numpy as np
-
-        if len(ea) == 0:
-            return pd.Series([], dtype=np.float64)
-        A = np.stack(ea.to_numpy()).astype(np.float64)
-        B = np.stack(eb.to_numpy()).astype(np.float64)
-        return pd.Series(_columnar_fold_dot(A, B))
-
+    pair_dot = _pair_dot_udf()
     emb = load_table(spark, sf_dir, "embeddings")
     sigs = _emb_signatures(emb)
     a = sigs.select(
@@ -1835,6 +1845,191 @@ order by vec_id, rank
 
 
 ORACLE["embed_knn_graph"] = _knn_graph_sql()
+
+
+# ------------------------------------------------------- knn_graph_recall
+KNNR_QUERIES = 50  # audit panel: vec_id < 50 (sim_topk_brute's panel)
+KNNR_CONFIGS = (3, 6, 9, 12)  # hyperplane band-prefix counts swept
+
+
+@_q("knn_graph_recall")
+def knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED recall@K of the hyperplane-LSH k-NN graph against the
+    exact brute-force neighbors — the missing audit between
+    embed_knn_graph (which is approximate BY CONSTRUCTION) and
+    sim_topk_brute (the exact baseline): for each prefix of the 12
+    band keys, how many of the true top-5 cosine neighbors of the
+    50-vector query panel survive in the LSH candidate top-5, and at
+    what candidate-pair cost. The same empirical-curve discipline
+    dedup_lsh_tuning established for MinHash banding (r8), applied to
+    the embedding index: the owner reads THIS table, not the
+    1-(1-s^r)^b formula, before fixing the band count.
+
+    Plan: signatures built once (mapInPandas, localCheckpoint'd),
+    exact panel truth built once (broadcast 50-row panel x corpus,
+    WindowGroupLimit top-k, checkpointed); per config the candidate
+    join is the same (band, band_val) equi-join as embed_knn_graph
+    restricted to band < n_bands, ranked by the SAME vectorized exact
+    dot, and ONE 1-row aggregate emits (cost, hits) — so the output is
+    |configs| rows at any corpus size and the only corpus-scale work
+    is the two single-pass builds. One driver scalar (the truth count)
+    rides into the recall expression, CC-loop-style.
+
+    Determinism: sims are the identical IEEE left fold in both
+    engines; rank ties break on neighbor id; hit counts are exact
+    integers."""
+    from pyspark.sql.window import Window
+
+    pair_dot = _pair_dot_udf()
+    emb = load_table(spark, sf_dir, "embeddings")
+    sigs = _emb_signatures(emb).localCheckpoint()
+    norms = sigs.where(F.col("band") == 0).select("vec_id", "norm")
+    ea = emb.select(
+        F.col("vec_id").alias("src"), F.col("embedding").alias("ea")
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("nbr"), F.col("embedding").alias("eb")
+    )
+    na = norms.select(F.col("vec_id").alias("src"), F.col("norm").alias("norm_a"))
+    nb_ = norms.select(F.col("vec_id").alias("nbr"), F.col("norm").alias("norm_b"))
+    w = Window.partitionBy("src").orderBy(F.col("sim").desc(), F.col("nbr"))
+    # exact ground truth: brute-force top-K for the panel
+    truth = (
+        F.broadcast(ea.where(F.col("src") < KNNR_QUERIES).join(na, "src"))
+        .join(eb.join(nb_, "nbr"), F.col("src") != F.col("nbr"))
+        .withColumn(
+            "sim",
+            pair_dot(F.col("ea"), F.col("eb"))
+            / (F.col("norm_a") * F.col("norm_b")),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= KNN_K)
+        .select("src", "nbr")
+        .localCheckpoint()
+    )
+    n_true = truth.count()
+    outs = []
+    for nbands in KNNR_CONFIGS:
+        pa = sigs.where(
+            (F.col("band") < nbands) & (F.col("vec_id") < KNNR_QUERIES)
+        ).select(F.col("vec_id").alias("src"), "band", "band_val",
+                 F.col("norm").alias("norm_a"))
+        pb = sigs.where(F.col("band") < nbands).select(
+            F.col("vec_id").alias("nbr"), "band", "band_val",
+            F.col("norm").alias("norm_b"),
+        )
+        cand = (
+            pa.join(pb, ["band", "band_val"])
+            .where(F.col("src") != F.col("nbr"))
+            .dropDuplicates(["src", "nbr"])
+            .select("src", "nbr", "norm_a", "norm_b")
+        )
+        ranked = (
+            cand.join(ea, "src")
+            .join(eb, "nbr")
+            .withColumn(
+                "sim",
+                pair_dot(F.col("ea"), F.col("eb"))
+                / (F.col("norm_a") * F.col("norm_b")),
+            )
+            .withColumn("rank", F.row_number().over(w))
+        )
+        flagged = ranked.join(
+            truth.withColumn("is_true", F.lit(1)), ["src", "nbr"], "left"
+        )
+        outs.append(
+            flagged.agg(
+                F.count(F.lit(1)).alias("n_candidates"),
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            (F.col("rank") <= KNN_K)
+                            & F.col("is_true").isNotNull(),
+                            1,
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("n_hits"),
+            ).select(
+                F.lit(nbands).alias("n_bands"), "n_candidates", "n_hits"
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    recall = F.when(
+        F.lit(n_true) > 0, F.col("n_hits").cast("double") / F.lit(n_true)
+    )
+    return out.select(
+        "n_bands",
+        "n_candidates",
+        "n_hits",
+        F.lit(n_true).cast("long").alias("n_true"),
+        recall.alias("recall"),
+    ).orderBy("n_bands")
+
+
+def _knn_recall_sql() -> str:
+    prefix = _emb_lsh_sql_prefix()
+    ctes = [
+        prefix
+        + f""",
+truthp as (
+  select src, nbr from (
+    select a.vec_id src, b.vec_id nbr,
+           row_number() over (
+             partition by a.vec_id
+             order by {sql_dot('a.embedding', 'b.embedding')}
+                      / (a.nrm * b.nrm) desc, b.vec_id) rnk
+    from normed a join normed b on a.vec_id != b.vec_id
+    where a.vec_id < {KNNR_QUERIES})
+  where rnk <= {KNN_K}),"""
+    ]
+    stats = []
+    for i, nbands in enumerate(KNNR_CONFIGS):
+        ctes.append(
+            f"""cand_{i} as (
+  select distinct a.vec_id src, b.vec_id nbr,
+         a.embedding ea, b.embedding eb, a.nrm na, b.nrm nb
+  from we a join we b
+    on a.band = b.band and a.band_val = b.band_val
+   and a.vec_id != b.vec_id
+  where a.band < {nbands} and a.vec_id < {KNNR_QUERIES}),"""
+        )
+        ctes.append(
+            f"""ranked_{i} as (
+  select src, nbr,
+         row_number() over (partition by src
+                            order by {sql_dot('ea', 'eb')} / (na * nb)
+                                     desc, nbr) rnk
+  from cand_{i}),"""
+        )
+        ctes.append(
+            f"""stat_{i} as (
+  select {nbands} n_bands, count(*) n_candidates,
+         cast(coalesce(sum(case when rnk <= {KNN_K}
+                                 and t.src is not null
+                                then 1 else 0 end), 0) as bigint) n_hits
+  from ranked_{i} c left join truthp t using (src, nbr)),"""
+        )
+        stats.append(f"select * from stat_{i}")
+    body = "\n".join(ctes).rstrip(",")
+    union = "\nunion all\n".join(stats)
+    return f"""{body},
+stats as (
+{union})
+select n_bands, n_candidates, n_hits,
+       cast((select count(*) from truthp) as bigint) n_true,
+       case when (select count(*) from truthp) > 0
+            then cast(n_hits as double)
+                 / (select count(*) from truthp) end recall
+from stats
+order by n_bands"""
+
+
+ORACLE["knn_graph_recall"] = _knn_recall_sql()
 
 
 # ---------------------------------------------------- dedup_jaccard_prefix

@@ -39,10 +39,11 @@ Scale notes (100 TB framing):
     broadcasts the <=N-row rank side), then a partial+final sum by
     dst. State is 2 small frames (ranks, static degrees) + the edge
     list — the textbook Pregel decomposition expressed as DataFrame
-    ops. Edges and degrees are localCheckpoint'd ONCE before the loop
-    so the 5 iterations do not re-derive the distinct edge list from
-    the base scans (and the final plan's lineage stays 5 joins deep,
-    not 5 * the edge-derivation subtree).
+    ops. The edge list is localCheckpoint'd ONCE PER SESSION (the
+    _edges memo, r9 — previously once per query) so no query in the
+    family re-derives the distinct edge list from the base scans (and
+    iterative plans' lineage stays iterations deep, not iterations *
+    the edge-derivation subtree).
   - The iteration count is fixed (5) and unrolled in BOTH engines —
     the oracle is a 5-deep chained-CTE pipeline generated from the
     same Python constants, so the texts cannot drift.
@@ -110,6 +111,52 @@ _SQL_TRADE_PAIRS = """
 """
 
 
+def _edges(spark: SparkSession, sf_dir: str, shape: str) -> DataFrame:
+    """Memoized, localCheckpoint'd edge frames shared by the whole
+    graph family — keyed on (sf_dir, shape) in the session object so
+    the orders x lineitem distinct is derived and materialized ONCE
+    per session, not once per query (r8 verdict: all five graph
+    queries paid the ~2-3s build separately).  Shapes:
+
+    - "cs":  bipartite (cust, supp) pairs, hash-partitioned by cust —
+      the base every other shape derives from.
+    - "sym": symmetrized (src, dst) directed edges, hash-partitioned
+      by src — built FROM the materialized "cs" checkpoint, so
+      symmetrization reads the checkpoint, not parquet again.
+
+    The memo dies with the SparkSession (same discipline as
+    streaming/live.py's staged-source memo), so checkpoint lifetime is
+    never outlived."""
+    memo: dict = spark.__dict__.setdefault("_dws_graph_edges", {})
+    key = (sf_dir, shape)
+    if key not in memo:
+        if shape == "cs":
+            memo[key] = (
+                _trade_pairs(spark, sf_dir)
+                .select(F.col("a").alias("cust"), F.col("b").alias("supp"))
+                .repartition("cust")
+                .localCheckpoint()
+            )
+        elif shape == "sym":
+            cs = _edges(spark, sf_dir, "cs")
+            memo[key] = (
+                cs.select(
+                    F.col("cust").alias("src"), F.col("supp").alias("dst")
+                )
+                .unionByName(
+                    cs.select(
+                        F.col("supp").alias("src"),
+                        F.col("cust").alias("dst"),
+                    )
+                )
+                .repartition("src")
+                .localCheckpoint()
+            )
+        else:  # pragma: no cover - programming error
+            raise ValueError(shape)
+    return memo[key]
+
+
 @_q("graph_pagerank")
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 PageRank nodes of the customer<->supplier trade graph
@@ -119,96 +166,55 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: node (bigint; odd = supplier), is_supplier, rank (bigint,
     fixed-point at 10^12). Suppliers aggregate the rank of every
     customer they serve, so the top of the list is the high-degree
-    supplier side — the same mass concentration a web graph shows."""
-    pairs = _trade_pairs(spark, sf_dir)
-    # edges hash-partitioned by src ONCE; localCheckpoint preserves the
-    # partitioning, so the 5 iteration joins on src reuse it and only
-    # the (small) rank side moves — at the gated scale AQE broadcasts
-    # that side outright, at cluster scale it co-partitions.
-    edges = (
-        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-        )
-        .repartition("src")
-        .localCheckpoint()
-    )
-    deg = (
-        edges.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("outdeg"))
-        .select(F.col("src").alias("node"), "outdeg")
-        .localCheckpoint()
-    )
-    # one driver-side scalar, same legitimacy class as the CC loop's
-    # convergence counters (dedup.py): a single count aggregate
-    n_nodes = deg.count()
-    teleport = (15 * PR_SCALE) // (100 * n_nodes)
-    ranks = deg.select(
-        "node", "outdeg", F.lit(PR_SCALE // n_nodes).alias("rank")
-    )
-    for _ in range(PR_ITERS):
-        # the rank/contrib frames are <= N_nodes rows — BROADCAST hash
-        # joins here, so the checkpointed edge list never re-shuffles
-        # or sorts; each iteration is one partial+final sum by dst. At
-        # cluster scale (N beyond broadcast), drop the hints: edges
-        # stay hash-partitioned by src and the join co-partitions.
-        contrib = (
-            edges.join(
-                F.broadcast(
-                    ranks.select(
-                        F.col("node").alias("src"),
-                        F.expr("rank div outdeg").alias("c"),
-                    )
-                ),
-                "src",
-            )
-            .groupBy("dst")
-            .agg(F.sum("c").alias("inc"))
-        )
-        ranks = deg.join(
-            F.broadcast(contrib), deg.node == contrib.dst, "left"
-        ).select(
-            "node",
-            "outdeg",
-            F.expr(
-                f"{teleport} + "
-                f"({PR_DAMP_NUM} * coalesce(inc, 0)) div 100"
-            ).alias("rank"),
-        )
-    return (
-        ranks.select(
-            "node",
-            (F.col("node") % 2 == 1).alias("is_supplier"),
-            "rank",
-        )
-        .orderBy(F.col("rank").desc(), F.col("node").asc())
-        .limit(PR_TOPK)
-    )
+    supplier side — the same mass concentration a web graph shows.
+
+    Build-cost note (r8 verdict task 7): the 5 iterations are ONE
+    generated Spark-SQL text over a temp view of the memoized,
+    checkpointed edge list — the same chained-CTE generator shape as
+    the oracle, so the two texts cannot drift and the ~5 rounds of
+    py4j DataFrame construction collapse into a single spark.sql
+    parse.  The iteration joins read the checkpoint (hash-partitioned
+    by src); the rank frames are node-count-sized, which AQE
+    broadcasts at gated scale and co-partitions at cluster scale."""
+    edges = _edges(spark, sf_dir, "sym")
+    view = "dws_graph_edges_sym"
+    edges.createOrReplaceTempView(view)
+    return spark.sql(_pagerank_sql(view, spark_dialect=True))
 
 
-def _pagerank_oracle() -> str:
-    """The same 5 fixed-point iterations as chained CTEs — generated
-    from the same constants so the two engines' texts cannot drift."""
-    cte = [
-        f"with pairs as ({_SQL_TRADE_PAIRS}),",
-        "edges as (select a src, b dst from pairs"
-        " union all select b src, a dst from pairs),",
+def _pagerank_sql(edges_rel: str | None = None, spark_dialect: bool = False) -> str:
+    """The same 5 fixed-point iterations as chained CTEs — ONE
+    generator emits both engines' texts from the same constants so
+    they cannot drift.  DuckDB dialect (`//` integer division) derives
+    the edge list inline; Spark dialect (`div`) reads it from the
+    memoized checkpoint's temp view, so the iteration joins hit the
+    materialization, not the parquet scan."""
+    d = "div" if spark_dialect else "//"
+    if spark_dialect:
+        cte = [f"with edges as (select src, dst from {edges_rel}),"]
+    else:
+        cte = [
+            f"with pairs as ({_SQL_TRADE_PAIRS}),",
+            "edges as (select a src, b dst from pairs"
+            " union all select b src, a dst from pairs),",
+        ]
+    cte += [
         "deg as (select src node, count(*) outdeg from edges group by 1),",
         "n as (select count(*) n_nodes from deg),",
-        f"r0 as (select node, outdeg, {PR_SCALE} // n_nodes rank"
+        f"r0 as (select node, outdeg, {PR_SCALE} {d} n_nodes rank"
         " from deg, n),",
     ]
     for i in range(1, PR_ITERS + 1):
         cte.append(
             f"c{i} as (select e.dst node,"
-            f" cast(sum(r.rank // r.outdeg) as bigint) inc"
+            f" cast(sum(r.rank {d} r.outdeg) as bigint) inc"
             f" from r{i - 1} r join edges e on r.node = e.src"
             " group by 1),"
         )
         cte.append(
             f"r{i} as (select d.node, d.outdeg, cast("
-            f"{15 * PR_SCALE} // (100 * n_nodes)"
-            f" + ({PR_DAMP_NUM} * coalesce(inc, 0)) // 100"
+            f"{15 * PR_SCALE} {d} (100 * n_nodes)"
+            f" + ({PR_DAMP_NUM} * coalesce(inc, 0)) {d} 100"
             " as bigint) rank"
             f" from deg d cross join n left join c{i} c on d.node = c.node),"
         )
@@ -221,7 +227,7 @@ def _pagerank_oracle() -> str:
     )
 
 
-ORACLE["graph_pagerank"] = _pagerank_oracle()
+ORACLE["graph_pagerank"] = _pagerank_sql()
 
 
 # -------------------------------------------------- graph_common_neighbors
@@ -246,16 +252,12 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     At the gated scales no customer reaches the cap, so the capped
     result equals the uncapped one and the oracle states the same
     filter."""
-    # checkpoint the deduplicated edge list ONCE: Catalyst does not
-    # dedupe common subtrees, so without it each self-join side (and
-    # the degree frame) would re-derive the orders x lineitem distinct
-    # — three scans instead of one materialization
-    cs = (
-        _trade_pairs(spark, sf_dir)
-        .select(F.col("a").alias("cust"), F.col("b").alias("supp"))
-        .repartition("cust")
-        .localCheckpoint()
-    )
+    # the deduplicated edge list is checkpointed ONCE PER SESSION via
+    # the family memo (_edges): Catalyst does not dedupe common
+    # subtrees, so each self-join side (and the degree frame) reads
+    # the shared materialization instead of re-deriving the
+    # orders x lineitem distinct
+    cs = _edges(spark, sf_dir, "cs")
     deg = cs.groupBy("cust").agg(F.count(F.lit(1)).alias("n_supp"))
     kept = cs.join(deg.where(F.col("n_supp") <= CN_CAP), "cust")
     left = kept.select("cust", F.col("supp").alias("s1"))
@@ -296,12 +298,14 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     then nodes per (side, bin)); bins via integer bit-length
     (length(bin(d)) - 1 = floor(log2 d)) — no float log, so bin edges
     are engine-exact. Output is |sides| x |bins| rows, corpus-free."""
-    pairs = _trade_pairs(spark, sf_dir)
+    pairs = _edges(spark, sf_dir, "cs")
     deg = (
-        pairs.select(F.col("a").alias("node"), F.lit("customer").alias("side"))
+        pairs.select(
+            F.col("cust").alias("node"), F.lit("customer").alias("side")
+        )
         .unionByName(
             pairs.select(
-                F.col("b").alias("node"), F.lit("supplier").alias("side")
+                F.col("supp").alias("node"), F.lit("supplier").alias("side")
             )
         )
         .groupBy("side", "node")
@@ -373,12 +377,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: one row — n_nodes, n_edges, n_wedges (sum d*(d-1)/2 over
     the projection), n_triangles, and global transitivity
     3*triangles/wedges (integers end-to-end, one final division)."""
-    cs = (
-        _trade_pairs(spark, sf_dir)
-        .select(F.col("a").alias("cust"), F.col("b").alias("supp"))
-        .repartition("cust")
-        .localCheckpoint()
-    )
+    cs = _edges(spark, sf_dir, "cs")
     deg_c = cs.groupBy("cust").agg(F.count(F.lit(1)).alias("n_supp"))
     kept = cs.join(deg_c.where(F.col("n_supp") <= CN_CAP), "cust")
     left = kept.select("cust", F.col("supp").alias("s1"))
@@ -500,15 +499,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: one row per side — is_supplier, n_nodes, n_edges (directed
     out-edges inside the core), min_deg / max_deg within the core."""
-    pairs = _trade_pairs(spark, sf_dir)
-    edges = (
-        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-        )
-        .repartition("src")
-        .localCheckpoint()
-    )
+    edges = _edges(spark, sf_dir, "sym")
     for _ in range(KCORE_ROUNDS):
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
         keep = deg.where(F.col("d") >= KCORE_K).select("src")

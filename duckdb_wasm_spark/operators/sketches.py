@@ -964,13 +964,16 @@ def sketch_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"bin * {HQ_W} + ((t - (cum - cnt)) * {HQ_W}) div (cnt + 1)"
         ).alias("est_chars"),
     )
-    # exact audit baseline: percentile_disc rank pick (global sort)
+    # exact audit baseline: percentile_disc rank pick (global sort).
+    # The corpus-sized ranked frame stays distributed; the 3-row est
+    # side is the broadcast (r8 advice: broadcasting `ranked` was a
+    # driver hazard at scale even though the equi-join was correct).
     ranked = docs.select(
         "n_chars",
         F.row_number().over(Window.orderBy("n_chars")).alias("rn"),
     )
     return (
-        est.join(F.broadcast(ranked), F.col("rn") == F.col("t"))
+        ranked.join(F.broadcast(est), F.col("rn") == F.col("t"))
         .select(
             "quantile",
             F.col("n").alias("n_docs"),

@@ -577,7 +577,7 @@ ORACLE["events_sessionize"] = f"""
 with ev as (
   select event_id, user_id, ts, epoch_us(ts) us from events),
 flagged as (
-  select user_id, us,
+  select user_id, ts, event_id, us,
          case when lag(us) over w is null
                    or us - lag(us) over w > {SESS_GAP_US}
               then 1 else 0 end new_sess
@@ -585,7 +585,8 @@ flagged as (
   window w as (partition by user_id order by ts, event_id)),
 numbered as (
   select user_id, us,
-         cast(sum(new_sess) over (partition by user_id order by us
+         cast(sum(new_sess) over (partition by user_id
+                                  order by ts, event_id
                                   rows unbounded preceding)
               as bigint) session_seq
   from flagged)

@@ -77,3 +77,14 @@ def test_documented_registry_counts_match():
     assert m, "SURVEY registry-count sentence not found"
     assert int(m.group(1)) == n_total, "SURVEY total count drifted"
     assert int(m.group(2)) == n_oracle, "SURVEY oracle-backed count drifted"
+
+    # r8 verdict task 5: the §8 NARRATIVE (the current round's summary
+    # paragraph) drifted from the canonical count line twice — pin its
+    # first "N registered / M oracle-backed" figure to the live
+    # registry too, so adding a query forces the prose update.
+    m = re.search(r"(\d+) registered / (\d+)\s*\noracle-backed", survey)
+    assert m, "SURVEY §8 narrative count sentence not found"
+    assert int(m.group(1)) == n_total, "SURVEY §8 narrative total drifted"
+    assert (
+        int(m.group(2)) == n_oracle
+    ), "SURVEY §8 narrative oracle-backed count drifted"

@@ -206,6 +206,41 @@ def test_ngram_jaccard_capped_binding_cap_parity(spark, sf_dir, oracle):
     )
 
 
+def test_divergence_vocab_cap_binding_and_inert(spark, sf_dir, oracle):
+    """The r9 DIV_VOCAB_CAP must be (a) INERT at gated scale — the
+    test-data vocabulary is far below 100k types, so the registered
+    query equals the uncapped computation — and (b) REAL when it binds:
+    a cap of 20 must restrict the grid AND stay hash-exact against the
+    same-cap oracle (deterministic top-K: count desc, tok asc)."""
+    from duckdb_wasm_spark.operators import pipeline
+    from duckdb_wasm_spark.operators._text import toks
+    from duckdb_wasm_spark.tables import load_table
+
+    n_vocab = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(toks()).alias("tok"))
+        .select("tok")
+        .distinct()
+        .count()
+    )
+    assert n_vocab < pipeline.DIV_VOCAB_CAP  # cap inert at this scale
+    # binding cap: exact parity against the identically-capped oracle
+    df = pipeline.corpus_source_divergence(spark, sf_dir, _cap=20)
+    assert_parity(
+        df, pipeline.divergence_oracle_sql(20), oracle, "divergence_cap20"
+    )
+    # and the capped run must differ from the registered (inert) run —
+    # proof the cap actually restricts the support
+    full = {
+        (r.src_a, r.src_b): r.js_divergence
+        for r in pipeline.QUERIES["corpus_source_divergence"](
+            spark, sf_dir
+        ).collect()
+    }
+    capped = {(r.src_a, r.src_b): r.js_divergence for r in df.collect()}
+    assert capped != full
+
+
 def test_clusters_consistent_with_pairs(spark, sf_dir):
     """Every near-dup pair must land in one cluster, the cluster label
     must be the min member, and exactly one keeper exists per cluster."""
@@ -1134,10 +1169,16 @@ def test_zonemap_skip_is_semantics_preserving(spark, sf_dir):
     from duckdb_wasm_spark.plans import micro
     from duckdb_wasm_spark.tables import load_table
 
+    ev = load_table(spark, sf_dir, "events")
     r = micro.QUERIES["source_zonemap_skip"](spark, sf_dir).collect()[0]
-    n = load_table(spark, sf_dir, "events").count()
+    n = ev.count()
     assert r.rows_matched <= r.rows_scanned
     assert 0 < r.n_chunks_skipped < r.n_chunks
-    assert r.n_chunks == (n + micro.ZM_CHUNK - 1) // micro.ZM_CHUNK or True
+    # event_id may not be dense: expected chunk count is the number of
+    # distinct event_id div ZM_CHUNK values, not ceil(n / ZM_CHUNK).
+    expected_chunks = (
+        ev.select(F.expr(f"event_id div {micro.ZM_CHUNK}")).distinct().count()
+    )
+    assert r.n_chunks == expected_chunks
     # rank picks: hi-rank - lo-rank rows selected = ~n/5
     assert abs(r.rows_matched - n // 5) <= 2

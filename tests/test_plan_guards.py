@@ -21,8 +21,17 @@ import __spark_entry__ as entry
 # verdict task #8). The failure message below quotes this contract.
 BNLJ_ALLOWED = {
     "q11": "scalar-subquery threshold: exactly 1 row broadcast to the agg",
+    "graph_pagerank": (
+        "node-count scalar `n`: exactly 1 row cross-joined into each "
+        "unrolled iteration (the generated-SQL form of the old driver "
+        "count literal)"
+    ),
     "q22": "scalar-subquery avg balance: exactly 1 row broadcast",
     "sim_topk_brute": "query panel: N_QUERIES=50 rows, fixed by the API",
+    "knn_graph_recall": (
+        "truth build: KNNR_QUERIES=50-row audit panel broadcast, fixed "
+        "by the API — the per-config candidate joins are equi-joins"
+    ),
     "sim_topk_ivf": "centroid panel: IVF_CELLS=8 rows, a config constant",
     "sim_topk_ivf_probe": "same 8-row centroid panel, probe variant",
     "sim_topk_ivf_trained": "same 8-row panel per Lloyd iteration",
@@ -41,8 +50,9 @@ BNLJ_ALLOWED = {
         "frames by construction"
     ),
     "corpus_source_divergence": (
-        "post-aggregate |sources| x |vocab types| zero-fill grid — both "
-        "sides aggregates, never the corpus; the cross IS the design"
+        "post-aggregate |sources| x top-100k-capped-vocab zero-fill "
+        "grid — both sides aggregates bounded by DIV_VOCAB_CAP, never "
+        "the corpus; the cross IS the design"
     ),
     "sketch_kmv_jaccard": (
         "source pair grid: both sides the distinct-source list (dozens "
