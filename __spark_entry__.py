@@ -131,6 +131,9 @@ def _registries():
 _GATE_PRIORITY = [
     # (a) new in round 9 — never gated
     "knn_graph_recall",
+    "embed_quantization_audit",
+    "dedup_incremental_ingest",
+    "events_stream_static_join",
     # (b) rewritten in round 9
     "corpus_source_divergence",
     "events_sessionize",
@@ -181,9 +184,6 @@ _GATE_PRIORITY = [
     "embed_centroid_outliers",
     "embed_cluster_purity",
     "embed_pca_power",
-    "embed_random_projection",
-    "events_funnel",
-    "events_retention",
 ]
 
 

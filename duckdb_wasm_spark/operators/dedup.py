@@ -2165,3 +2165,190 @@ join sizes sb on i.doc_b = sb.doc_id
 where cast(n_common as double) / (sa.n + sb.n - n_common)
       >= {JACCARD_THRESHOLD}
 """
+
+
+# -------------------------------------------------- dedup_incremental_ingest
+INGEST_MOD = 5  # doc_id % 5 == 4 -> incoming batch (20%); rest = index
+
+
+@_q("dedup_incremental_ingest")
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup ingest — the production shape of MinHash
+    dedup once a corpus is LIVE: a new crawl batch (here the stable
+    20% slice doc_id % 5 = 4) is deduplicated AGAINST the existing
+    index (the other 80%), never against itself and never re-joining
+    the index to itself. Per incoming doc the verdict is (dup_of =
+    best-matching index doc | null, jaccard, is_dup) — exactly what an
+    ingest pipeline writes to its admission log.
+
+    Why this is its own operator and not dedup_minhash on a union: at
+    100 TB the index's band postings are PRECOMPUTED and stored (built
+    once, appended per batch); each ingest probes |batch| signatures
+    against them via the same (band, key) equi-join — cost scales with
+    the batch and its real collisions, not the corpus. Re-running the
+    full self-join per batch (the naive alternative) re-pays the whole
+    corpus every day. The asymmetric join also halves candidate count
+    (no index x index, no batch x batch pairs — those were settled at
+    their own ingest time).
+
+    Same constants as dedup_minhash (16 hashes, 4 bands, Jaccard >=
+    0.2 verify on exact trigram sets), so its recall curve is the one
+    dedup_lsh_tuning measured. Best-match ties break on index doc id;
+    output is |batch| rows at any scale (left join keeps non-dups)."""
+    docs = load_table(spark, sf_dir, "documents")
+    newd = docs.where(F.expr(f"doc_id % {INGEST_MOD} = {INGEST_MOD - 1}"))
+    oldd = docs.where(F.expr(f"doc_id % {INGEST_MOD} <> {INGEST_MOD - 1}"))
+
+    def bands_of(sigs: DataFrame) -> DataFrame:
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"s{b * ROWS_PER_BAND + r}").cast(
+                                    "string"
+                                )
+                                for r in range(ROWS_PER_BAND)
+                            ],
+                        )
+                    ).alias("key"),
+                )
+                for b in range(N_BANDS)
+            ]
+        )
+        return sigs.select(
+            "doc_id", F.explode(band_structs).alias("bk")
+        ).select("doc_id", "bk.band", "bk.key")
+
+    bn = bands_of(_minhash_sigs(newd)).select(
+        F.col("doc_id").alias("new_id"), "band", "key"
+    )
+    bo = bands_of(_minhash_sigs(oldd)).select(
+        F.col("doc_id").alias("old_id"), "band", "key"
+    )
+    cand = (
+        bn.join(bo, ["band", "key"]).select("new_id", "old_id").distinct()
+    )
+    gn = _gram_arrays(newd).select(
+        F.col("doc_id").alias("new_id"), F.col("grams").alias("grams_n")
+    )
+    go = _gram_arrays(oldd).select(
+        F.col("doc_id").alias("old_id"), F.col("grams").alias("grams_o")
+    )
+    inter = F.size(F.array_intersect(F.col("grams_n"), F.col("grams_o")))
+    union = F.size("grams_n") + F.size("grams_o") - inter
+    ver = (
+        cand.join(gn, "new_id")
+        .join(go, "old_id")
+        .withColumn("jaccard", inter.cast("double") / union)
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("new_id", "old_id", "jaccard")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("new_id").orderBy(
+        F.col("jaccard").desc(), F.col("old_id")
+    )
+    best = (
+        ver.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("new_id", F.col("old_id").alias("dup_of"), "jaccard")
+    )
+    return (
+        newd.select(F.col("doc_id").alias("new_id"))
+        .join(best, "new_id", "left")
+        .select(
+            "new_id",
+            "dup_of",
+            "jaccard",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+        )
+        .orderBy("new_id")
+    )
+
+
+def _incremental_sql() -> str:
+    """Oracle: the same asymmetric probe, generated from the SAME
+    constants as _minhash_sql_parts so the two texts cannot drift."""
+    sigs_sql = ",\n       ".join(
+        f"min(({_mh_a(j)} * gh + {_mh_b(j)}) % {MH_PRIME}) s{j}"
+        for j in range(N_HASHES)
+    )
+
+    def band_rows(sigs_cte: str) -> str:
+        return "\n  union all\n".join(
+            "  select doc_id, {b} band, md5({expr}) bkey from {cte}".format(
+                b=b,
+                cte=sigs_cte,
+                expr=" || '|' || ".join(
+                    f"cast(s{b * ROWS_PER_BAND + r} as varchar)"
+                    for r in range(ROWS_PER_BAND)
+                ),
+            )
+            for b in range(N_BANDS)
+        )
+
+    side = """
+gh_{k} as (
+  select doc_id, {h} % {p} gh
+  from (select doc_id, unnest(grams) g from {src})),
+sigs_{k} as (
+  select doc_id,
+       {sigs}
+  from gh_{k} group by doc_id),
+bands_{k} as (
+{bands})"""
+    parts = [
+        f"""with alldocs as (
+  select doc_id, {sql_trigrams(sql_toks('text'))} grams from documents),
+newd as (select * from alldocs where doc_id % {INGEST_MOD} = {INGEST_MOD - 1}),
+oldd as (select * from alldocs where doc_id % {INGEST_MOD} <> {INGEST_MOD - 1}),"""
+    ]
+    for k, src in (("new", "newd"), ("old", "oldd")):
+        parts.append(
+            side.format(
+                k=k,
+                src=src,
+                h=sql_tok_hash60("g"),
+                p=MH_PRIME,
+                sigs=sigs_sql,
+                bands=band_rows(f"sigs_{k}"),
+            )
+            + ","
+        )
+    parts.append(
+        f"""cand as (
+  select distinct n.doc_id new_id, o.doc_id old_id
+  from bands_new n join bands_old o
+    on n.band = o.band and n.bkey = o.bkey),
+ver as (
+  select new_id, old_id,
+         cast(len(list_intersect(gn.grams, go.grams)) as double)
+           / (len(gn.grams) + len(go.grams)
+              - len(list_intersect(gn.grams, go.grams))) jaccard
+  from cand
+  join newd gn on new_id = gn.doc_id
+  join oldd go on old_id = go.doc_id
+  where cast(len(list_intersect(gn.grams, go.grams)) as double)
+          / (len(gn.grams) + len(go.grams)
+             - len(list_intersect(gn.grams, go.grams)))
+        >= {JACCARD_THRESHOLD}),
+best as (
+  select new_id, old_id dup_of, jaccard
+  from (select new_id, old_id, jaccard,
+               row_number() over (partition by new_id
+                                  order by jaccard desc, old_id) rn
+        from ver)
+  where rn = 1)
+select n.doc_id new_id, b.dup_of, b.jaccard,
+       b.dup_of is not null is_dup
+from newd n left join best b on n.doc_id = b.new_id
+order by new_id"""
+    )
+    return "\n".join(parts)
+
+
+ORACLE["dedup_incremental_ingest"] = _incremental_sql()

@@ -1871,3 +1871,114 @@ select t.cell, t.n_members, b.majority_label, b.n_majority,
          purity
 from tot t join best b on t.cell = b.cell
 """
+
+
+# ------------------------------------------------ embed_quantization_audit
+QA_INT8_MAX = 127  # symmetric int8 range
+QA_FP = 1 << 20  # fixed-point unit for deterministic cosine sums
+
+
+@_q("embed_quantization_audit")
+def embed_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT8 SCALAR-QUANTIZATION error audit — per label, how much
+    cosine geometry survives compressing the fp32 embedding column to
+    symmetric int8 (per-vector scale = max|x_i|, q_i = round(x_i/s *
+    127)). This is the production recall layer under every large ANN
+    deployment (SQ8 in FAISS/Milvus terms): 4x less memory and
+    bandwidth for the corpus-resident vectors, re-ranked in fp32 only
+    for the shortlist — at 100 TB the difference between an index that
+    fits executor memory and one that spills. The audit table tells
+    the owner per label how far SQ8 drifts the similarity (avg / worst
+    reconstruction cosine) before they flip ANN scans to it.
+
+    Plan: ONE narrow map over the corpus (quantize -> reconstruct ->
+    cosine, all built-in higher-order array expressions inside
+    whole-stage codegen — no Python, no shuffle) followed by one
+    hash aggregate by label. Output is |labels| rows.
+
+    Determinism: quantization is floor(v/s*127 + 0.5) — half-up in
+    BOTH engines (no banker's rounding disagreement); per-vector
+    cosines are floored to 2^20 fixed point before the bigint sum
+    (order-independent), the module's standard policy; min is exact.
+    DuckDB's init-less list_reduce(greatest) equals Spark's
+    0.0-seeded fold because the folded values are absolute."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label",
+        F.expr("transform(embedding, v -> cast(v as double))").alias("x"),
+    )
+    scaled = emb.withColumn(
+        "s", F.expr("aggregate(x, 0.0D, (a, v) -> greatest(a, abs(v)))")
+    ).where(F.col("s") > 0)
+    recon = scaled.withColumn(
+        "recon",
+        F.expr(
+            f"transform(x, v -> cast(floor(v / s * {QA_INT8_MAX}.0 + 0.5)"
+            f" as bigint) * s / {QA_INT8_MAX}.0)"
+        ),
+    )
+    cos = recon.select(
+        "label",
+        (
+            dot_fold("x", "recon")
+            / (
+                F.sqrt(dot_fold("x", "x"))
+                * F.sqrt(dot_fold("recon", "recon"))
+            )
+        ).alias("c"),
+    ).select("label", F.floor(F.col("c") * QA_FP).alias("f"))
+    return (
+        cos.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("f").alias("sum_f"),
+            F.min("f").alias("min_f"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            (
+                F.col("sum_f").cast("double")
+                / F.col("n_vecs")
+                / F.lit(float(QA_FP))
+            ).alias("avg_recon_cos"),
+            (F.col("min_f").cast("double") / F.lit(float(QA_FP))).alias(
+                "min_recon_cos"
+            ),
+            (F.col("n_vecs") * 64 * 4).alias("bytes_fp32"),
+            (F.col("n_vecs") * (64 + 8)).alias("bytes_int8"),
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE["embed_quantization_audit"] = f"""
+with x as (
+  select label, list_transform(embedding, v -> cast(v as double)) x
+  from embeddings),
+sc as (
+  select label, x,
+         list_reduce(list_transform(x, v -> abs(v)),
+                     (a, v) -> greatest(a, v)) s
+  from x),
+rec as (
+  select label, x,
+         list_transform(
+           x, v -> cast(floor(v / s * {QA_INT8_MAX}.0 + 0.5) as bigint)
+                   * s / {QA_INT8_MAX}.0) recon
+  from sc where s > 0),
+cosr as (
+  select label,
+         {sql_dot('x', 'recon')}
+           / (sqrt({sql_dot('x', 'x')})
+              * sqrt({sql_dot('recon', 'recon')})) c
+  from rec),
+fp as (select label, cast(floor(c * {QA_FP}) as bigint) f from cosr)
+select label, count(*) n_vecs,
+       cast(sum(f) as double) / count(*) / {float(QA_FP)} avg_recon_cos,
+       cast(min(f) as double) / {float(QA_FP)} min_recon_cos,
+       count(*) * 64 * 4 bytes_fp32,
+       count(*) * (64 + 8) bytes_int8
+from fp
+group by label
+order by label
+"""

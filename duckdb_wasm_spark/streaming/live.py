@@ -451,3 +451,56 @@ def stream_interval_join(
         ),
     ).select("p_id", "c_id", "p_user")
     return got, expected
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC broadcast enrichment — the canonical dimension
+    join of a production feed: the events stream is joined per
+    micro-batch to the STATIC customer dimension (broadcast hash join;
+    Structured Streaming re-plans the batch side each micro-batch,
+    which is exactly how slowly-changing dims are refreshed under the
+    hood) and aggregated by market segment in complete mode. No
+    watermark: a stream-static inner equi-join is stateless — only the
+    downstream aggregate keeps state (|segments| rows).
+
+    Determinism: the double `value` column is floored to integer
+    micros PER EVENT before the bigint sum, so the segment totals are
+    micro-batch-order-independent and hash-comparable to the batch
+    oracle.
+
+    Scale (100 TB feed): the dim side broadcasts (it is the small
+    side by construction); the stream side never shuffles before the
+    aggregate, and aggregate state is bounded by segment cardinality,
+    not stream length."""
+    src_dir, schema = _staged_stream_source(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .join(F.broadcast(dim), "user_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.expr("cast(floor(value * 1000000) as bigint)")
+            ).alias("sum_value_micros"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+    )
+    name = f"senrich_{os.getpid()}_{abs(hash(src_dir)) % 10000}"
+    with state_partitions(spark):
+        q = (
+            stream.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.table(name)

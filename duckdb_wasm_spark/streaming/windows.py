@@ -716,3 +716,42 @@ from events
 where event_type in ('click', 'purchase')
 group by event_type
 """
+
+
+# --------------------------------------------- events_stream_static_join
+@_q("events_stream_static_join")
+def events_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC broadcast enrichment gate, the eighth real
+    streaming execution: live.stream_static_enrich joins the staged
+    events stream to the STATIC customer dimension per micro-batch
+    (broadcast hash join — the standard feed-enrichment pattern and
+    the one streaming join class the existing gates did not cover:
+    tumbling/session/window agg, custom state, dedup, stream-stream
+    interval join, file sink, Python DataSource are all gated; the
+    stream-STATIC join was not). Complete-mode segment totals over
+    the full replay must equal the batch join+aggregate, hash-checked.
+
+    The double `value` is floored to integer micros per event before
+    summing, so the totals commute across micro-batch boundaries —
+    the same fixed-point law every aggregate in this repo follows.
+
+    Scale (100 TB feed): dim broadcasts; the only streaming state is
+    |segments| aggregate rows. A dim too big to broadcast shuffles
+    BOTH sides per micro-batch — that is the signal to pre-key the
+    stream by the dim's bucketing instead."""
+    from duckdb_wasm_spark.streaming.live import stream_static_enrich
+
+    return stream_static_enrich(spark, sf_dir).orderBy("c_mktsegment")
+
+
+ORACLE["events_stream_static_join"] = """
+select c_mktsegment,
+       count(*) n_events,
+       cast(sum(cast(floor(value * 1000000) as bigint)) as bigint)
+         sum_value_micros,
+       min(event_id) min_event_id,
+       max(event_id) max_event_id
+from events e join customer c on e.user_id = c.c_custkey
+group by c_mktsegment
+order by c_mktsegment
+"""

@@ -1182,3 +1182,41 @@ def test_zonemap_skip_is_semantics_preserving(spark, sf_dir):
     assert r.n_chunks == expected_chunks
     # rank picks: hi-rank - lo-rank rows selected = ~n/5
     assert abs(r.rows_matched - n // 5) <= 2
+
+
+def test_quantization_audit_bounds(spark, sf_dir):
+    """SQ8 on 64-dim unit-ish vectors must preserve cosine to ~1e-4
+    (the audit's reason to exist: prove the trade is cheap), and the
+    storage ratio it reports must be the real fp32/int8 ratio."""
+    from duckdb_wasm_spark.operators import similarity as sim
+
+    rows = sim.QUERIES["embed_quantization_audit"](spark, sf_dir).collect()
+    assert rows, "audit emitted no labels"
+    for r in rows:
+        assert 0.999 < r.min_recon_cos <= r.avg_recon_cos <= 1.0
+        assert r.bytes_fp32 == r.n_vecs * 256
+        assert r.bytes_int8 == r.n_vecs * 72
+        assert r.bytes_fp32 / r.bytes_int8 > 3.5
+
+
+def test_incremental_ingest_consistent_with_full_dedup(spark, sf_dir):
+    """The asymmetric probe must agree with the full self-join: every
+    ingest dup (new, dup_of) is one of dedup_minhash's verified pairs
+    (same signatures, same bands, same verify threshold), dup_of lives
+    in the index slice, and the output covers exactly the batch."""
+    from duckdb_wasm_spark.operators.dedup import INGEST_MOD
+
+    out = dedup.QUERIES["dedup_incremental_ingest"](spark, sf_dir).collect()
+    batch = {r.new_id for r in out}
+    assert all(i % INGEST_MOD == INGEST_MOD - 1 for i in batch)
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.QUERIES["dedup_minhash"](spark, sf_dir).collect()
+    }
+    for r in out:
+        if r.is_dup:
+            assert r.dup_of % INGEST_MOD != INGEST_MOD - 1
+            key = (min(r.new_id, r.dup_of), max(r.new_id, r.dup_of))
+            assert key in pairs, f"ingest dup {key} unknown to full dedup"
+        else:
+            assert r.dup_of is None and r.jaccard is None
