@@ -138,11 +138,14 @@ _GATE_PRIORITY = [
     "corpus_source_divergence",
     "events_sessionize",
     "sketch_hist_quantiles",
-    "graph_pagerank",
-    "graph_common_neighbors",
+    # family order chosen so the _edges memo builds land where they
+    # are cheapest: degree pays "cs", kcore pays "sym" (derived from
+    # the cs checkpoint), pagerank then reuses both
     "graph_degree_distribution",
+    "graph_common_neighbors",
     "graph_triangle_count",
     "graph_kcore",
+    "graph_pagerank",
     "embed_knn_graph",
     # (c) rows-only ML rows: keep their driver checks fresh
     "ann_brp_ml",

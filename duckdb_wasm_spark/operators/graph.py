@@ -169,54 +169,92 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier side — the same mass concentration a web graph shows.
 
     Build-cost note (r8 verdict task 7): the 5 iterations are ONE
-    generated Spark-SQL text over a temp view of the memoized,
-    checkpointed edge list — the same chained-CTE generator shape as
-    the oracle, so the two texts cannot drift and the ~5 rounds of
-    py4j DataFrame construction collapse into a single spark.sql
-    parse.  The iteration joins read the checkpoint (hash-partitioned
-    by src); the rank frames are node-count-sized, which AQE
-    broadcasts at gated scale and co-partitions at cluster scale."""
+    generated Spark-SQL text over temp views of the memoized,
+    checkpointed edge list and the (checkpointed) degree frame — the
+    same chained-CTE generator shape as the oracle, so the two texts
+    cannot drift and the ~5 rounds of py4j DataFrame construction
+    collapse into a single spark.sql parse.  deg MUST be a
+    materialized view, not a CTE: each unrolled level references it,
+    and as a CTE Spark re-aggregates the corpus-scale edge list per
+    reference (measured 5.6s exec vs 2.0s at sf0.1).  n_nodes rides in
+    as a driver literal (one count over the node-sized deg frame, the
+    CC-loop scalar discipline); the node-count-sized contrib side
+    carries an explicit BROADCAST hint, so the checkpointed edge list
+    never re-shuffles — at cluster scale (N beyond broadcast) drop the
+    hint and the join co-partitions on the edges' src hash."""
     edges = _edges(spark, sf_dir, "sym")
-    view = "dws_graph_edges_sym"
-    edges.createOrReplaceTempView(view)
-    return spark.sql(_pagerank_sql(view, spark_dialect=True))
+    ev, dv = "dws_graph_edges_sym", "dws_graph_deg"
+    edges.createOrReplaceTempView(ev)
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .select(F.col("src").alias("node"), "outdeg")
+        .localCheckpoint()
+    )
+    deg.createOrReplaceTempView(dv)
+    n_nodes = deg.count()
+    return spark.sql(
+        _pagerank_sql(ev, spark_dialect=True, deg_view=dv, n_nodes=n_nodes)
+    )
 
 
-def _pagerank_sql(edges_rel: str | None = None, spark_dialect: bool = False) -> str:
+def _pagerank_sql(
+    edges_rel: str | None = None,
+    spark_dialect: bool = False,
+    deg_view: str | None = None,
+    n_nodes: int | None = None,
+) -> str:
     """The same 5 fixed-point iterations as chained CTEs — ONE
     generator emits both engines' texts from the same constants so
     they cannot drift.  DuckDB dialect (`//` integer division) derives
-    the edge list inline; Spark dialect (`div`) reads it from the
-    memoized checkpoint's temp view, so the iteration joins hit the
-    materialization, not the parquet scan."""
+    everything inline (deg as a CTE, n as a scalar CTE); Spark dialect
+    (`div`) reads the memoized edge checkpoint and the CHECKPOINTED
+    degree frame from temp views and takes n_nodes as a literal —
+    as CTEs, Spark would re-aggregate the corpus-scale edge list at
+    every one of the ~11 deg/n references in the unrolled chain.  The
+    arithmetic is identical either way: teleport and r0 use the same
+    integer floor division in both dialects."""
     d = "div" if spark_dialect else "//"
     if spark_dialect:
-        cte = [f"with edges as (select src, dst from {edges_rel}),"]
+        cte = [
+            f"with edges as (select src, dst from {edges_rel}),",
+            f"deg as (select node, outdeg from {deg_view}),",
+        ]
+        r0_rank = str(PR_SCALE // n_nodes)
+        teleport = str((15 * PR_SCALE) // (100 * n_nodes))
+        r0_from = "deg"
+        ri_from = "deg d"
+        hint = "/*+ BROADCAST(r) */ "
+        ri_hint = "/*+ BROADCAST(c) */ "
     else:
         cte = [
             f"with pairs as ({_SQL_TRADE_PAIRS}),",
             "edges as (select a src, b dst from pairs"
             " union all select b src, a dst from pairs),",
+            "deg as (select src node, count(*) outdeg"
+            " from edges group by 1),",
+            "n as (select count(*) n_nodes from deg),",
         ]
-    cte += [
-        "deg as (select src node, count(*) outdeg from edges group by 1),",
-        "n as (select count(*) n_nodes from deg),",
-        f"r0 as (select node, outdeg, {PR_SCALE} {d} n_nodes rank"
-        " from deg, n),",
-    ]
+        r0_rank = f"{PR_SCALE} {d} n_nodes"
+        teleport = f"{15 * PR_SCALE} {d} (100 * n_nodes)"
+        r0_from = "deg, n"
+        ri_from = "deg d cross join n"
+        hint = ""
+        ri_hint = ""
+    cte.append(f"r0 as (select node, outdeg, {r0_rank} rank from {r0_from}),")
     for i in range(1, PR_ITERS + 1):
         cte.append(
-            f"c{i} as (select e.dst node,"
+            f"c{i} as (select {hint}e.dst node,"
             f" cast(sum(r.rank {d} r.outdeg) as bigint) inc"
             f" from r{i - 1} r join edges e on r.node = e.src"
             " group by 1),"
         )
         cte.append(
-            f"r{i} as (select d.node, d.outdeg, cast("
-            f"{15 * PR_SCALE} {d} (100 * n_nodes)"
+            f"r{i} as (select {ri_hint}d.node, d.outdeg, cast("
+            f"{teleport}"
             f" + ({PR_DAMP_NUM} * coalesce(inc, 0)) {d} 100"
             " as bigint) rank"
-            f" from deg d cross join n left join c{i} c on d.node = c.node),"
+            f" from {ri_from} left join c{i} c on d.node = c.node),"
         )
     body = "\n".join(cte).rstrip(",")
     return (
