@@ -113,7 +113,10 @@ def _registries():
 # dedup_minhash_ml rows-only by design. Latest-green census entering
 # r9: 18 names r5-green (three rounds stale), 42 r6-green. This
 # window is therefore: (a) new in round 9 — knn_graph_recall (the
-# embed_knn_graph recall audit); (b) rewritten in round 9 —
+# embed_knn_graph recall audit), embed_quantization_audit (SQ8 error),
+# embed_dim_truncation_audit (MRL recall), events_dpp_join (dynamic
+# partition pruning), dedup_incremental_ingest (batch-vs-index probe),
+# events_stream_static_join (8th streaming gate); (b) rewritten in round 9 —
 # corpus_source_divergence (the vocab cap is now real and in the
 # oracle text), events_sessionize (oracle total-order tie-break fix),
 # sketch_hist_quantiles (broadcast direction flip), the five graph
@@ -132,6 +135,8 @@ _GATE_PRIORITY = [
     # (a) new in round 9 — never gated
     "knn_graph_recall",
     "embed_quantization_audit",
+    "embed_dim_truncation_audit",
+    "events_dpp_join",
     "dedup_incremental_ingest",
     "events_stream_static_join",
     # (b) rewritten in round 9
@@ -185,8 +190,6 @@ _GATE_PRIORITY = [
     "dedup_ngram_jaccard_capped",
     "embed_abtt",
     "embed_centroid_outliers",
-    "embed_cluster_purity",
-    "embed_pca_power",
 ]
 
 

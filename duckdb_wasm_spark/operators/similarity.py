@@ -1982,3 +1982,125 @@ from fp
 group by label
 order by label
 """
+
+
+# --------------------------------------------- embed_dim_truncation_audit
+DT_DIMS = (8, 16, 32, 64)  # prefix-dimension configs swept (64 = full)
+
+
+@_q("embed_dim_truncation_audit")
+def embed_dim_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIMENSION-TRUNCATION recall audit — the Matryoshka/MRL trade
+    measured on the actual corpus: for each prefix length d of the
+    64-dim embedding, recall@5 of the d-dim cosine top-k against the
+    full-dim exact top-k over the 50-vector query panel. Truncation is
+    the other standard ANN memory lever next to int8 quantization
+    (embed_quantization_audit): 8x fewer floats means 8x more vectors
+    per executor, and THIS table (not the model card) tells the owner
+    how much ranking quality each step down costs on their data. The
+    d=64 row is the built-in sanity anchor (recall 1.0 by identity).
+
+    Plan: per config one broadcast of the 50-row panel against the
+    corpus (the sim_topk_brute shape — the panel is the audit's cost
+    bound, not the corpus), rank by the truncated-prefix cosine
+    (slice + the shared left-fold dot, all JVM-side), and ONE 1-row
+    aggregate per config; output is |configs| rows at any scale.
+
+    Determinism: slices are positional prefixes; sims are the
+    identical IEEE left fold in both engines; ties rank by neighbor
+    id; hits are exact integers."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("src").orderBy(F.col("sim").desc(), F.col("nbr"))
+
+    def topk(d: int) -> DataFrame:
+        sl = f"slice(embedding, 1, {d})"
+        pane = emb.where(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("src"), F.expr(sl).alias("xa")
+        )
+        corp = emb.select(
+            F.col("vec_id").alias("nbr"), F.expr(sl).alias("xb")
+        )
+        return (
+            F.broadcast(pane)
+            .join(corp, F.col("src") != F.col("nbr"))
+            .select(
+                "src",
+                "nbr",
+                (
+                    dot_fold("xa", "xb")
+                    / (
+                        F.sqrt(dot_fold("xa", "xa"))
+                        * F.sqrt(dot_fold("xb", "xb"))
+                    )
+                ).alias("sim"),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= TOP_K)
+            .select("src", "nbr")
+        )
+
+    truth = topk(64).localCheckpoint()
+    n_true = truth.count()
+    outs = []
+    for d in DT_DIMS:
+        flagged = topk(d).join(
+            truth.withColumn("is_true", F.lit(1)), ["src", "nbr"], "left"
+        )
+        outs.append(
+            flagged.agg(
+                F.coalesce(F.sum("is_true"), F.lit(0))
+                .cast("long")
+                .alias("n_hits")
+            ).select(F.lit(d).alias("dims"), "n_hits")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.select(
+        "dims",
+        "n_hits",
+        F.lit(n_true).cast("long").alias("n_true"),
+        (F.col("n_hits").cast("double") / F.lit(n_true)).alias("recall"),
+    ).orderBy("dims")
+
+
+def _dim_truncation_sql() -> str:
+    def ranked(d: int, name: str) -> str:
+        return f"""{name} as (
+  select src, nbr from (
+    select a.vec_id src, b.vec_id nbr,
+           row_number() over (
+             partition by a.vec_id
+             order by {sql_dot(f'a.embedding[1:{d}]', f'b.embedding[1:{d}]')}
+                      / (sqrt({sql_dot(f'a.embedding[1:{d}]', f'a.embedding[1:{d}]')})
+                         * sqrt({sql_dot(f'b.embedding[1:{d}]', f'b.embedding[1:{d}]')}))
+                      desc, b.vec_id) rnk
+    from embeddings a join embeddings b on a.vec_id != b.vec_id
+    where a.vec_id < {N_QUERIES})
+  where rnk <= {TOP_K})"""
+
+    ctes = ["with " + ranked(64, "truth")]
+    stats = []
+    for i, d in enumerate(DT_DIMS):
+        ctes.append(ranked(d, f"top_{i}"))
+        ctes.append(
+            f"""stat_{i} as (
+  select {d} dims,
+         cast(coalesce(sum(case when t.src is not null then 1 end), 0)
+              as bigint) n_hits
+  from top_{i} c left join truth t using (src, nbr))"""
+        )
+        stats.append(f"select * from stat_{i}")
+    body = ",\n".join(ctes + [])
+    union = "\nunion all\n".join(stats)
+    return f"""{body},
+stats as (
+{union})
+select dims, n_hits,
+       cast((select count(*) from truth) as bigint) n_true,
+       cast(n_hits as double) / (select count(*) from truth) recall
+from stats
+order by dims"""
+
+
+ORACLE["embed_dim_truncation_audit"] = _dim_truncation_sql()

@@ -176,6 +176,66 @@ group by 1
 """
 
 
+# --------------------------------------------------------- events_dpp_join
+DPP_TOP_DAYS = 3  # dim side: the top-N purchase days
+
+
+@_q("events_dpp_join")
+def events_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC PARTITION PRUNING gate — the runtime half of partition
+    pruning: events_daily_pruned proves STATIC pruning (a literal day
+    reaches PartitionFilters); here the days are only known after
+    running a dim-side query (top-3 purchase days), so Catalyst must
+    insert a DPP subquery — the broadcast of the dim side doubles as
+    a runtime partition filter on the fact scan, and only those 3
+    `event_date=` directories are read. This is THE mechanism that
+    makes fact-dim joins over a date-partitioned 100 TB event lake
+    touch days, not history; tests/test_partitioning.py asserts
+    `dynamicpruning` appears in the fact scan's partition filters.
+
+    Determinism: the dim's top-3 is totally ordered (count desc, day
+    asc); `value` is floored to integer micros per event before the
+    bigint sum (the repo's fixed-point law)."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("event_date"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+        .orderBy(F.col("n_purchases").desc(), F.col("event_date"))
+        .limit(DPP_TOP_DAYS)
+    )
+    fact = spark.read.parquet(daily_layout(spark, sf_dir))
+    return (
+        fact.join(F.broadcast(dim), "event_date")
+        .groupBy("event_date")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.expr("cast(floor(value * 1000000) as bigint)")
+            ).alias("sum_value_micros"),
+            F.max("n_purchases").alias("n_purchases"),  # dim attr
+        )
+        .orderBy("event_date")
+    )
+
+
+ORACLE["events_dpp_join"] = f"""
+with dim as (
+  select cast(ts as date) event_date, count(*) n_purchases
+  from events where event_type = 'purchase'
+  group by 1
+  order by n_purchases desc, event_date
+  limit {DPP_TOP_DAYS})
+select d.event_date, count(*) n_events,
+       cast(sum(cast(floor(e.value * 1000000) as bigint)) as bigint)
+         sum_value_micros,
+       max(d.n_purchases) n_purchases
+from events e join dim d on cast(e.ts as date) = d.event_date
+group by 1
+order by 1
+"""
+
+
 # islands form: a new session starts where the gap from the previous
 # event of the same user is >= the gap threshold
 ORACLE["events_session"] = f"""

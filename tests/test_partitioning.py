@@ -62,3 +62,21 @@ def test_pruned_read_matches_full_filter(spark, sf_dir, partitioned_events):
         .count()
     )
     assert pruned == full > 0
+
+
+def test_dpp_join_prunes_at_runtime(spark, sf_dir, oracle):
+    """events_dpp_join's fact scan must carry a DYNAMIC pruning
+    expression (the dim side is only known at runtime, so a static
+    PartitionFilter is impossible) — the mechanism that keeps fact-dim
+    joins over a date-partitioned lake from scanning history."""
+    from duckdb_wasm_spark.streaming import windows
+    from duckdb_wasm_spark.testing import assert_parity
+
+    df = windows.QUERIES["events_dpp_join"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), (
+        "DPP subquery missing from the fact scan:\n" + plan[:1500]
+    )
+    assert_parity(
+        df, windows.ORACLE["events_dpp_join"], oracle, "events_dpp_join"
+    )

@@ -32,6 +32,10 @@ BNLJ_ALLOWED = {
         "truth build: KNNR_QUERIES=50-row audit panel broadcast, fixed "
         "by the API — the per-config candidate joins are equi-joins"
     ),
+    "embed_dim_truncation_audit": (
+        "per-config 50-row query panel broadcast (the sim_topk_brute "
+        "shape), fixed by the API — the corpus side streams"
+    ),
     "sim_topk_ivf": "centroid panel: IVF_CELLS=8 rows, a config constant",
     "sim_topk_ivf_probe": "same 8-row centroid panel, probe variant",
     "sim_topk_ivf_trained": "same 8-row panel per Lloyd iteration",
