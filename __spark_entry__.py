@@ -115,7 +115,8 @@ def _registries():
 # window is therefore: (a) new in round 9 — knn_graph_recall (the
 # embed_knn_graph recall audit), embed_quantization_audit (SQ8 error),
 # embed_dim_truncation_audit (MRL recall), events_dpp_join (dynamic
-# partition pruning), dedup_incremental_ingest (batch-vs-index probe),
+# partition pruning), text_robust_stats (grouped-map applyInPandas
+# median/MAD), dedup_incremental_ingest (batch-vs-index probe),
 # events_stream_static_join (8th streaming gate); (b) rewritten in round 9 —
 # corpus_source_divergence (the vocab cap is now real and in the
 # oracle text), events_sessionize (oracle total-order tie-break fix),
@@ -137,6 +138,7 @@ _GATE_PRIORITY = [
     "embed_quantization_audit",
     "embed_dim_truncation_audit",
     "events_dpp_join",
+    "text_robust_stats",
     "dedup_incremental_ingest",
     "events_stream_static_join",
     # (b) rewritten in round 9
@@ -189,7 +191,6 @@ _GATE_PRIORITY = [
     "dedup_winnowing",
     "dedup_ngram_jaccard_capped",
     "embed_abtt",
-    "embed_centroid_outliers",
 ]
 
 

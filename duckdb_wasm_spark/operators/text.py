@@ -1100,3 +1100,71 @@ join uni uy on uy.tok = string_split(pc.pair, ' ')[2]
 order by pmi desc, pc.pair asc
 limit {PMI_TOP}
 """
+
+
+# ------------------------------------------------------ text_robust_stats
+@_q("text_robust_stats")
+def text_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ROBUST length statistics (median + MAD) via a
+    grouped-map `applyInPandas` — the one vectorized-Python surface
+    the corpus did not yet gate (mapInPandas: multimodal;
+    applyInPandasWithState: streaming; pandas_udf scalar: similarity).
+    Median/MAD are the outlier-robust location/scale a curation
+    pipeline reports next to the mean (one boilerplate crawl of 10^6
+    identical short docs shifts a mean, barely moves a median), and
+    they are genuinely holistic — no distributive/algebraic form — so
+    the per-group pandas function is the honest implementation, not a
+    UDF-for-the-sake-of-it.
+
+    Scale honesty (100 TB): grouped-map ships EACH GROUP to one
+    worker as an Arrow batch — correct only while a group's rows fit
+    worker memory. Per-source length vectors are 8 bytes/doc (10^9
+    docs/source = 8 GB — borderline), so at full scale the exact form
+    keys on (source, shard) with a median-of-medians merge, or the
+    pipeline reads sketch_hist_quantiles (the mergeable estimator this
+    repo pairs with this exact baseline; same pairing as
+    hist_quantiles vs corpus_length_quantiles).
+
+    Determinism: medians of bigint vectors are exact doubles (odd n:
+    a value; even n: the mean of two integers — both exactly
+    representable), numpy and DuckDB agree bit-for-bit; MAD folds the
+    same property over half-integer deviations."""
+    import pandas as pd
+
+    def stats(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        x = pdf["n_chars"].to_numpy(dtype="float64")
+        med = float(np.median(x))
+        mad = float(np.median(np.abs(x - med)))
+        return pd.DataFrame(
+            [[pdf["source"].iloc[0], len(x), med, mad]],
+            columns=["source", "n_docs", "median_chars", "mad_chars"],
+        )
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    return (
+        docs.groupBy("source")
+        .applyInPandas(
+            stats,
+            "source string, n_docs bigint, median_chars double, "
+            "mad_chars double",
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["text_robust_stats"] = """
+with med as (
+  select source, count(*) n_docs,
+         cast(median(n_chars) as double) median_chars
+  from documents group by 1),
+mad as (
+  select d.source,
+         cast(median(abs(d.n_chars - m.median_chars)) as double) mad_chars
+  from documents d join med m using (source)
+  group by 1)
+select m.source, m.n_docs, m.median_chars, a.mad_chars
+from med m join mad a using (source)
+order by source
+"""
