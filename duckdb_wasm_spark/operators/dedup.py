@@ -1784,25 +1784,28 @@ def embed_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair_dot = _pair_dot_udf()
     emb = load_table(spark, sf_dir, "embeddings")
     sigs = _emb_signatures(emb)
-    a = sigs.select(
-        F.col("vec_id").alias("src"), F.col("norm").alias("norm_a"),
-        "band", "band_val",
-    )
-    b = sigs.select(
-        F.col("vec_id").alias("nbr"), F.col("norm").alias("norm_b"),
-        "band", "band_val",
-    )
+    # bare (vec_id, band, band_val) through the bucket join and the
+    # dedup — at gated scale the 4-bit bands are dense (2.1M candidate
+    # pairs from 2k vectors), so the distinct's shuffle width is the
+    # dominant byte volume; carrying the two norm doubles through it
+    # measured +30% wall (r9). Norms re-join AFTER dedup with the
+    # embeddings, the same post-join the payload already pays.
+    a = sigs.select(F.col("vec_id").alias("src"), "band", "band_val")
+    b = sigs.select(F.col("vec_id").alias("nbr"), "band", "band_val")
     cand = (
         a.join(b, ["band", "band_val"])
         .where(F.col("src") != F.col("nbr"))
         .dropDuplicates(["src", "nbr"])
-        .select("src", "nbr", "norm_a", "norm_b")
+        .select("src", "nbr")
     )
+    norms = sigs.where(F.col("band") == 0).select("vec_id", "norm")
     ea = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("ea"))
     eb = emb.select(F.col("vec_id").alias("nbr"), F.col("embedding").alias("eb"))
+    na = norms.select(F.col("vec_id").alias("src"), F.col("norm").alias("norm_a"))
+    nb_ = norms.select(F.col("vec_id").alias("nbr"), F.col("norm").alias("norm_b"))
     sims = (
-        cand.join(ea, "src")
-        .join(eb, "nbr")
+        cand.join(ea.join(na, "src"), "src")
+        .join(eb.join(nb_, "nbr"), "nbr")
         .withColumn(
             "sim",
             pair_dot(F.col("ea"), F.col("eb"))
