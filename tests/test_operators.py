@@ -1220,3 +1220,22 @@ def test_incremental_ingest_consistent_with_full_dedup(spark, sf_dir):
             assert key in pairs, f"ingest dup {key} unknown to full dedup"
         else:
             assert r.dup_of is None and r.jaccard is None
+
+
+def test_int8_quantization_elementwise_error_bound():
+    """Property pin for the SQ8 law embed_quantization_audit relies on:
+    for any vector, |x_i - recon_i| <= s/127 * 0.5 + eps elementwise
+    (floor(v+0.5) rounds to the nearest grid point), so the cosine
+    drift the audit reports is bounded by construction, not by luck."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    for _ in range(50):
+        x = rng.randn(64).astype(np.float32).astype(np.float64)
+        s = np.abs(x).max()
+        if s == 0:
+            continue
+        q = np.floor(x / s * 127.0 + 0.5)
+        recon = q * s / 127.0
+        assert np.abs(q).max() <= 127
+        assert np.abs(x - recon).max() <= s / 127.0 * 0.5 + 1e-12
