@@ -132,6 +132,14 @@ def _registries():
 # decontaminate_ngram, corpus_zipf_slope, events_daily/key_skew/
 # rolling/session/sliding/tumbling) rolls to the ROUND-10 window
 # front.
+# ROUND-10: rotate to (a) anything rewritten in round 10, (b) the 25
+# r6-green names the r9 window cut (the cut-tail list above plus
+# events_funnel, events_retention, embed_random_projection,
+# embed_cluster_purity, embed_pca_power, embed_centroid_outliers),
+# then (c) the r7-green corpus (q1, q5-q16, source roundtrips,
+# text_tokens/langid/fingerprint/repetition/pii/tfidf, dedup_exact/
+# simhash/ngram/substring_capped/winnowing_capped, hll/cms/bloom
+# sketches, salted_join, stream_dedup) oldest first.
 _GATE_PRIORITY = [
     # (a) new in round 9 — never gated
     "knn_graph_recall",
