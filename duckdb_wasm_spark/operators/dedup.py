@@ -943,6 +943,23 @@ def _emb_signatures(emb: DataFrame) -> DataFrame:
     )
 
 
+def _emb_sigs_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized, localCheckpoint'd hyperplane signatures per (session,
+    sf_dir) — the graph._edges discipline applied to the embedding
+    index: the LSH consumers each re-derived the mapInPandas signature
+    pass per query. Consumers opt in EXPLICITLY (a memoized plan is a
+    plan change that re-gates the query, so only rotation-windowed
+    names switched in r9: embed_knn_graph, knn_graph_recall,
+    decontaminate_semantic; dedup_embedding_lsh/_clusters switch in
+    r10 when their window slot comes up). The memo dies with the
+    SparkSession, like every checkpoint memo in this repo."""
+    memo: dict = spark.__dict__.setdefault("_dws_emb_sigs", {})
+    if sf_dir not in memo:
+        emb = load_table(spark, sf_dir, "embeddings")
+        memo[sf_dir] = _emb_signatures(emb).localCheckpoint()
+    return memo[sf_dir]
+
+
 def _hyperplanes(spark: SparkSession) -> DataFrame:
     """32 hyperplanes × 64 dims, built driver-free from spark.range —
     a tiny broadcast-able relation."""
@@ -1154,7 +1171,7 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.Series(_columnar_fold_dot(A, B))
 
     emb = load_table(spark, sf_dir, "embeddings")
-    sigs = _emb_signatures(emb)
+    sigs = _emb_sigs_memo(spark, sf_dir)
     ev = sigs.where(F.col("vec_id") % SEM_EVAL_MOD == 0).select(
         F.col("vec_id").alias("eval_id"), F.col("norm").alias("norm_e"),
         "band", "band_val",
@@ -1783,7 +1800,7 @@ def embed_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pair_dot = _pair_dot_udf()
     emb = load_table(spark, sf_dir, "embeddings")
-    sigs = _emb_signatures(emb)
+    sigs = _emb_sigs_memo(spark, sf_dir)
     # bare (vec_id, band, band_val) through the bucket join and the
     # dedup — at gated scale the 4-bit bands are dense (2.1M candidate
     # pairs from 2k vectors), so the distinct's shuffle width is the
@@ -1885,7 +1902,7 @@ def knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pair_dot = _pair_dot_udf()
     emb = load_table(spark, sf_dir, "embeddings")
-    sigs = _emb_signatures(emb).localCheckpoint()
+    sigs = _emb_sigs_memo(spark, sf_dir)
     norms = sigs.where(F.col("band") == 0).select("vec_id", "norm")
     ea = emb.select(
         F.col("vec_id").alias("src"), F.col("embedding").alias("ea")

@@ -2039,11 +2039,15 @@ def embed_dim_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("src", "nbr")
         )
 
-    truth = topk(64).localCheckpoint()
+    truth = topk(DT_DIMS[-1]).localCheckpoint()
     n_true = truth.count()
     outs = []
     for d in DT_DIMS:
-        flagged = topk(d).join(
+        # the full-dim config IS the truth frame — reuse the checkpoint
+        # instead of recomputing the identical panel (its row is the
+        # recall-1.0 anchor either way)
+        top = truth if d == DT_DIMS[-1] else topk(d)
+        flagged = top.join(
             truth.withColumn("is_true", F.lit(1)), ["src", "nbr"], "left"
         )
         outs.append(
