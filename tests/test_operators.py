@@ -1239,3 +1239,33 @@ def test_int8_quantization_elementwise_error_bound():
         recon = q * s / 127.0
         assert np.abs(q).max() <= 127
         assert np.abs(x - recon).max() <= s / 127.0 * 0.5 + 1e-12
+
+
+def test_session_memos_are_per_session_and_consistent(spark, sf_dir):
+    """The two session memos (graph._edges, dedup._emb_sigs_memo) must
+    return the SAME materialization on repeated calls (that is the
+    contract the bench wins rest on) and must agree row-for-row with a
+    fresh derivation."""
+    from duckdb_wasm_spark.operators import graph
+    from duckdb_wasm_spark.operators.dedup import (
+        _emb_signatures,
+        _emb_sigs_memo,
+    )
+    from duckdb_wasm_spark.tables import load_table
+
+    e1 = graph._edges(spark, sf_dir, "cs")
+    e2 = graph._edges(spark, sf_dir, "cs")
+    assert e1 is e2  # one materialization per (session, sf_dir, shape)
+    fresh = (
+        graph._trade_pairs(spark, sf_dir)
+        .select(F.col("a").alias("cust"), F.col("b").alias("supp"))
+    )
+    assert e1.exceptAll(fresh).count() == 0
+    assert fresh.exceptAll(e1).count() == 0
+
+    s1 = _emb_sigs_memo(spark, sf_dir)
+    s2 = _emb_sigs_memo(spark, sf_dir)
+    assert s1 is s2
+    fresh_sigs = _emb_signatures(load_table(spark, sf_dir, "embeddings"))
+    assert s1.exceptAll(fresh_sigs).count() == 0
+    assert fresh_sigs.exceptAll(s1).count() == 0
