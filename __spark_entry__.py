@@ -124,81 +124,90 @@ def _registries():
 # queries (shared _edges memo; pagerank additionally moved to one
 # generated spark.sql) and embed_knn_graph (pair_dot extracted — pure
 # code motion); (c) the two rows-only ML rows so their driver checks
-# do not go stale (r8 verdict task 8); (d) the 18 r5-green names,
-# emission order; (e) backfill from the 42 r6-green names,
+# do not go stale (r8 verdict task 8); (d) the 18 r5-green names —
+# listed ALPHABETICALLY, not emission order (r9 advice: the original
+# label said emission order but the applied list was alphabetized;
+# all 18 were gated green in r9 so no window harm resulted);
+# (e) backfill from the 42 r6-green names,
 # oldest-emission first — the cut tail (events_stream_*, asof,
 # range_join, pipeline_clean_corpus, quality_buckets, ref_q7_sqlite,
 # sample_balanced, sim_topk_ivf_trained, extra_lateral/stats/unpivot,
 # decontaminate_ngram, corpus_zipf_slope, events_daily/key_skew/
 # rolling/session/sliding/tumbling) rolls to the ROUND-10 window
 # front.
-# ROUND-10: rotate to (a) anything rewritten in round 10, (b) the 25
-# r6-green names the r9 window cut (the cut-tail list above plus
-# events_funnel, events_retention, embed_random_projection,
-# embed_cluster_purity, embed_pca_power, embed_centroid_outliers),
-# then (c) the r7-green corpus (q1, q5-q16, source roundtrips,
-# text_tokens/langid/fingerprint/repetition/pii/tfidf, dedup_exact/
-# simhash/ngram/substring_capped/winnowing_capped, hll/cms/bloom
-# sketches, salted_join, stream_dedup) oldest first.
+# ROUND-10 ROTATION (applied): CORRECTNESS_r09 came back 48/50 green +
+# the two rows-only ML rows (as designed). Latest-green census entering
+# r10 (from the committed CORRECTNESS files): 27 names r6-green (four
+# rounds stale — the r9 cut tail), 45 r7-green, 41 r8, 48 r9. This
+# window is therefore: (a) NEW in round 10 — lsh_candidate_growth (the
+# sub-quadraticity audit the adaptive-bit multiprobe rewrite is gated
+# by) and dedup_skew_stress (the boilerplate-skew cap proof); (b)
+# REWRITTEN in round 10 — the five embedding-LSH consumers (adaptive
+# bits + hamming<=2 multiprobe: dedup_embedding_lsh/_clusters,
+# decontaminate_semantic, embed_knn_graph, knn_graph_recall — r9
+# verdict #1), embed_dim_truncation_audit (single-pass prefix dots —
+# #4), and sketch_hist_quantiles + source_zonemap_skip (two-phase
+# distributed rank — #2/#3); (c) the two rows-only ML rows so their
+# driver checks stay fresh (r8 verdict task 8); (d) the 27 r6-green
+# names in their r6 DRIVER-ROW order (oldest gate evidence first);
+# (e) backfill: the first 11 of the 45 r7-green names, r7 driver-row
+# order. Everything after these 50 follows in registry order.
 _GATE_PRIORITY = [
-    # (a) new in round 9 — never gated
-    "knn_graph_recall",
-    "embed_quantization_audit",
-    "embed_dim_truncation_audit",
-    "events_dpp_join",
-    "text_robust_stats",
-    "dedup_incremental_ingest",
-    "events_stream_static_join",
-    # (b) rewritten in round 9
-    "corpus_source_divergence",
-    "events_sessionize",
-    "sketch_hist_quantiles",
-    # family order chosen so the _edges memo builds land where they
-    # are cheapest: degree pays "cs", kcore pays "sym" (derived from
-    # the cs checkpoint), pagerank then reuses both
-    "graph_degree_distribution",
-    "graph_common_neighbors",
-    "graph_triangle_count",
-    "graph_kcore",
-    "graph_pagerank",
+    # (a) new in round 10 — never gated
+    "lsh_candidate_growth",
+    "dedup_skew_stress",
+    # (b) rewritten in round 10 — plans and oracles both changed
+    "dedup_embedding_lsh",
+    "dedup_embedding_clusters",
+    "decontaminate_semantic",
     "embed_knn_graph",
+    "knn_graph_recall",
+    "embed_dim_truncation_audit",
+    "sketch_hist_quantiles",
+    "source_zonemap_skip",
     # (c) rows-only ML rows: keep their driver checks fresh
     "ann_brp_ml",
     "dedup_minhash_ml",
-    # (d) r5-green, three rounds stale (emission order)
-    "corpus_length_quantiles",
-    "corpus_mix_weights",
-    "decontaminate_semantic",
-    "doc_chunking",
-    "extra_date_fns",
-    "extra_full_outer",
-    "extra_grouping",
-    "extra_pivot_json",
-    "extra_recursive_walk",
-    "extra_set_ops",
-    "extra_string_aggs",
-    "extra_string_fns",
-    "extra_windows",
-    "ivf_centroid_refine",
-    "sample_pack_sequences",
-    "sample_split",
-    "sample_token_budget",
-    "sim_topk_ivf_probe",
-    # (e) backfill: r6-green corpus, oldest emission first
-    "q2",
-    "q3",
-    "q4",
-    "text_vocab_topk",
-    "text_tfidf_topk",
-    "text_pmi_topk",
-    "text_ngram_entropy",
-    "text_bpe_pair_counts",
-    "text_bpe_merge",
-    "dedup_containment",
-    "dedup_substring",
-    "dedup_winnowing",
-    "dedup_ngram_jaccard_capped",
-    "embed_abtt",
+    # (d) r6-green, four rounds stale (r6 driver-row order)
+    "extra_stats",
+    "extra_lateral",
+    "extra_unpivot",
+    "ref_q7_sqlite",
+    "embed_centroid_outliers",
+    "sim_topk_ivf_trained",
+    "embed_random_projection",
+    "embed_pca_power",
+    "embed_cluster_purity",
+    "pipeline_clean_corpus",
+    "sample_balanced",
+    "decontaminate_ngram",
+    "corpus_zipf_slope",
+    "quality_buckets",
+    "asof_click_attribution",
+    "range_join_price_bands",
+    "events_retention",
+    "events_funnel",
+    "events_key_skew",
+    "events_tumbling",
+    "events_sliding",
+    "events_session",
+    "events_daily_pruned",
+    "events_rolling",
+    "events_stream_tumbling",
+    "events_stream_session",
+    "events_stream_stateful",
+    # (e) backfill: r7-green, r7 driver-row order
+    "q1",
+    "q5",
+    "q6",
+    "q7",
+    "q8",
+    "q9",
+    "q10",
+    "q11",
+    "q12",
+    "q13",
+    "q14",
 ]
 
 

@@ -113,6 +113,16 @@ def main() -> int:
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
+    # COLD vs WARM (r9 advice, medium): the session memos
+    # (graph._edges, dedup._emb_sigs_memo) build during run 1 of their
+    # first consumer, so a best-of-N "warm" number never contains the
+    # build wall. Both walls are therefore recorded: cold = run 1
+    # (memo builds and all), warm = best-of-N. The headline stays warm
+    # (the production shape: one build amortizes over every family
+    # consumer in the session), but the cold total rides next to it in
+    # every artifact so the amortization is explicit, and the DuckDB
+    # side records the same cold/warm split symmetrically.
+    cold: dict[str, float] = {}
     # build = fn(spark, sf_dir) wall (plan construction: py4j round
     # trips + any training actions the plan runs eagerly, e.g.
     # localCheckpoint rounds); exec = collect() wall. The split is the
@@ -123,7 +133,7 @@ def main() -> int:
     build_exec: dict[str, list[float]] = {}
     for name, fn in qs.items():
         best = None
-        for _ in range(runs):  # best-of-N: smooths scheduler/GC noise
+        for i in range(runs):  # best-of-N: smooths scheduler/GC noise
             t0 = time.perf_counter()
             try:
                 df = fn(spark, sf_dir)
@@ -131,6 +141,8 @@ def main() -> int:
                 df.collect()
                 t1 = time.perf_counter()
                 dt = t1 - t0
+                if i == 0:
+                    cold[name] = round(dt, 3)
                 if best is None or dt < best:
                     best = dt
                     build_exec[name] = [
@@ -139,6 +151,7 @@ def main() -> int:
             except Exception as exc:  # pragma: no cover - must not die mid-run
                 print(f"[bench] {name} FAILED: {exc}", file=sys.stderr)
                 best = -1.0
+                cold.pop(name, None)
                 build_exec.pop(name, None)
                 break
         timings[name] = round(best, 3)
@@ -162,6 +175,7 @@ def main() -> int:
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     total = round(sum(ok.values()), 3)
+    total_cold = round(sum(cold.values()), 3)
     # The driver captures only the TAIL of stdout (~2000 chars) and
     # parses the line it finds there — BENCH_r03/r04 both lost the
     # parse because the full 87-entry per-query dict pushed the line
@@ -202,10 +216,12 @@ def main() -> int:
         json.dump(
             {
                 "queries": timings,
+                "queries_cold": cold,
                 "build_exec": build_exec,
                 "sf": sf,
                 "cpus": cpus,
                 "value": total,
+                "value_cold": total_cold,
             },
             f,
             indent=1,
@@ -218,6 +234,7 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "sf": sf,
+        "value_cold": total_cold,
         "n_queries": len(timings),
         "n_failed": len(timings) - len(ok),
         "cpus": cpus,
@@ -247,26 +264,36 @@ def main() -> int:
             )
         osql = entrymod.oracle_sql()
         duck: dict[str, float] = {}
+        duck_cold: dict[str, float] = {}
         for name in qs:
             if name not in osql:
                 continue
             best = None
-            for _ in range(runs):
+            for i in range(runs):
                 t0 = time.perf_counter()
                 try:
                     con.execute(osql[name]).fetchall()
                     dt = time.perf_counter() - t0
+                    if i == 0:
+                        duck_cold[name] = round(dt, 3)
                     best = dt if best is None else min(best, dt)
                 except Exception as exc:
                     print(f"[bench] duckdb {name} FAILED: {exc}", file=sys.stderr)
                     best = -1.0
+                    duck_cold.pop(name, None)
                     break
             duck[name] = round(best, 3)
         duck_ok = {k: v for k, v in duck.items() if v >= 0}
         spark_comparable = round(
             sum(v for k, v in ok.items() if k in duck_ok), 3
         )
+        spark_comparable_cold = round(
+            sum(v for k, v in cold.items() if k in duck_ok), 3
+        )
         duck_total = round(sum(duck_ok.values()), 3)
+        duck_total_cold = round(
+            sum(v for k, v in duck_cold.items() if k in duck_ok), 3
+        )
         side = {
             "sf": sf,
             "cpus": cpus,
@@ -277,8 +304,23 @@ def main() -> int:
             "ratio_spark_over_duckdb": round(
                 spark_comparable / duck_total, 3
             ) if duck_total else None,
+            # cold = run-1 walls on BOTH sides: the Spark cold total
+            # contains every session-memo build (r9 advice — the
+            # warm ratio alone compared warm-memo Spark to per-run
+            # DuckDB); the cold/cold ratio is the no-amortization view
+            "spark_total_cold_sec": spark_comparable_cold,
+            "duckdb_total_cold_sec": duck_total_cold,
+            "ratio_cold_spark_over_duckdb": round(
+                spark_comparable_cold / duck_total_cold, 3
+            ) if duck_total_cold else None,
             "per_query": {
-                k: {"spark": timings.get(k), "duckdb": duck[k]} for k in duck
+                k: {
+                    "spark": timings.get(k),
+                    "spark_cold": cold.get(k),
+                    "duckdb": duck[k],
+                    "duckdb_cold": duck_cold.get(k),
+                }
+                for k in duck
             },
         }
         side["staged_layout"] = stage

@@ -2000,110 +2000,144 @@ def embed_dim_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     how much ranking quality each step down costs on their data. The
     d=64 row is the built-in sanity anchor (recall 1.0 by identity).
 
-    Plan: per config one broadcast of the 50-row panel against the
-    corpus (the sim_topk_brute shape — the panel is the audit's cost
-    bound, not the corpus), rank by the truncated-prefix cosine
-    (slice + the shared left-fold dot, all JVM-side), and ONE 1-row
-    aggregate per config; output is |configs| rows at any scale.
+    Plan: ONE broadcast of the 50-row panel against the corpus (the
+    sim_topk_brute shape — the panel is the audit's cost bound, not
+    the corpus). Prefix dots are CUMULATIVE, so every config's cosine
+    comes from the same elementwise product array sliced at the
+    DT_DIMS boundaries — one corpus scan for all configs, not one per
+    config (r9 verdict #4: the old per-config form re-scanned 4×,
+    3.15× the oracle's wall). The checkpointed (src, nbr, sim_d…)
+    frame then takes |configs| rank windows on ONE src shuffle and a
+    single aggregate emits every config's hits — truth (the full-dim
+    top-k) is just rank_64, no join at all.
 
     Determinism: slices are positional prefixes; sims are the
-    identical IEEE left fold in both engines; ties rank by neighbor
-    id; hits are exact integers."""
+    identical IEEE left fold in both engines (slicing the product
+    array before the fold adds the SAME terms in the SAME order as
+    folding sliced inputs); ties rank by neighbor id; hits are exact
+    integers."""
     emb = load_table(spark, sf_dir, "embeddings")
-    w = Window.partitionBy("src").orderBy(F.col("sim").desc(), F.col("nbr"))
+    pane = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("src"), F.col("embedding").alias("xa")
+    )
+    corp = emb.select(
+        F.col("vec_id").alias("nbr"), F.col("embedding").alias("xb")
+    )
 
-    def topk(d: int) -> DataFrame:
-        sl = f"slice(embedding, 1, {d})"
-        pane = emb.where(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("src"), F.expr(sl).alias("xa")
-        )
-        corp = emb.select(
-            F.col("vec_id").alias("nbr"), F.expr(sl).alias("xb")
-        )
+    def fold(expr: str) -> str:
+        return f"aggregate({expr}, 0.0D, (_da, _dv) -> _da + _dv)"
+
+    def prods(a: str, b: str) -> str:
         return (
-            F.broadcast(pane)
-            .join(corp, F.col("src") != F.col("nbr"))
-            .select(
-                "src",
-                "nbr",
-                (
-                    dot_fold("xa", "xb")
-                    / (
-                        F.sqrt(dot_fold("xa", "xa"))
-                        * F.sqrt(dot_fold("xb", "xb"))
-                    )
-                ).alias("sim"),
-            )
-            .withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= TOP_K)
-            .select("src", "nbr")
+            f"zip_with({a}, {b}, (_dx, _dy) -> "
+            f"cast(_dx as double) * cast(_dy as double))"
         )
 
-    truth = topk(DT_DIMS[-1]).localCheckpoint()
-    n_true = truth.count()
-    outs = []
-    for d in DT_DIMS:
-        # the full-dim config IS the truth frame — reuse the checkpoint
-        # instead of recomputing the identical panel (its row is the
-        # recall-1.0 anchor either way)
-        top = truth if d == DT_DIMS[-1] else topk(d)
-        flagged = top.join(
-            truth.withColumn("is_true", F.lit(1)), ["src", "nbr"], "left"
+    sims = [
+        F.expr(
+            f"{fold(f'slice(pr, 1, {d})')} / "
+            f"(sqrt({fold(f'slice(pa, 1, {d})')}) * "
+            f"sqrt({fold(f'slice(pb, 1, {d})')}))"
+        ).alias(f"sim_{d}")
+        for d in DT_DIMS
+    ]
+    pairs = (
+        F.broadcast(pane)
+        .join(corp, F.col("src") != F.col("nbr"))
+        .withColumn("pr", F.expr(prods("xa", "xb")))
+        .withColumn("pa", F.expr(prods("xa", "xa")))
+        .withColumn("pb", F.expr(prods("xb", "xb")))
+        .select("src", "nbr", *sims)
+        .localCheckpoint()
+    )
+    full = DT_DIMS[-1]
+    ranked = pairs.select(
+        *[
+            F.row_number()
+            .over(
+                Window.partitionBy("src").orderBy(
+                    F.col(f"sim_{d}").desc(), F.col("nbr")
+                )
+            )
+            .alias(f"rank_{d}")
+            for d in DT_DIMS
+        ]
+    )
+    stats = ranked.agg(
+        F.sum(F.when(F.col(f"rank_{full}") <= TOP_K, 1).otherwise(0))
+        .cast("long")
+        .alias("n_true"),
+        *[
+            F.sum(
+                F.when(
+                    (F.col(f"rank_{d}") <= TOP_K)
+                    & (F.col(f"rank_{full}") <= TOP_K),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"h_{d}")
+            for d in DT_DIMS
+        ],
+    )
+    stack = ", ".join(f"{d}, h_{d}" for d in DT_DIMS)
+    return (
+        stats.select(
+            F.expr(f"stack({len(DT_DIMS)}, {stack}) as (dims, n_hits)"),
+            "n_true",
         )
-        outs.append(
-            flagged.agg(
-                F.coalesce(F.sum("is_true"), F.lit(0))
-                .cast("long")
-                .alias("n_hits")
-            ).select(F.lit(d).alias("dims"), "n_hits")
+        .select(
+            "dims",
+            "n_hits",
+            "n_true",
+            (F.col("n_hits").cast("double") / F.col("n_true")).alias(
+                "recall"
+            ),
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out.select(
-        "dims",
-        "n_hits",
-        F.lit(n_true).cast("long").alias("n_true"),
-        (F.col("n_hits").cast("double") / F.lit(n_true)).alias("recall"),
-    ).orderBy("dims")
+        .orderBy("dims")
+    )
 
 
 def _dim_truncation_sql() -> str:
-    def ranked(d: int, name: str) -> str:
-        return f"""{name} as (
-  select src, nbr from (
-    select a.vec_id src, b.vec_id nbr,
-           row_number() over (
-             partition by a.vec_id
-             order by {sql_dot(f'a.embedding[1:{d}]', f'b.embedding[1:{d}]')}
-                      / (sqrt({sql_dot(f'a.embedding[1:{d}]', f'a.embedding[1:{d}]')})
-                         * sqrt({sql_dot(f'b.embedding[1:{d}]', f'b.embedding[1:{d}]')}))
-                      desc, b.vec_id) rnk
-    from embeddings a join embeddings b on a.vec_id != b.vec_id
-    where a.vec_id < {N_QUERIES})
-  where rnk <= {TOP_K})"""
-
-    ctes = ["with " + ranked(64, "truth")]
-    stats = []
-    for i, d in enumerate(DT_DIMS):
-        ctes.append(ranked(d, f"top_{i}"))
-        ctes.append(
-            f"""stat_{i} as (
-  select {d} dims,
-         cast(coalesce(sum(case when t.src is not null then 1 end), 0)
-              as bigint) n_hits
-  from top_{i} c left join truth t using (src, nbr))"""
-        )
-        stats.append(f"select * from stat_{i}")
-    body = ",\n".join(ctes + [])
-    union = "\nunion all\n".join(stats)
-    return f"""{body},
+    full = DT_DIMS[-1]
+    sims = ",\n         ".join(
+        f"{sql_dot(f'a.embedding[1:{d}]', f'b.embedding[1:{d}]')}"
+        f" / (sqrt({sql_dot(f'a.embedding[1:{d}]', f'a.embedding[1:{d}]')})"
+        f" * sqrt({sql_dot(f'b.embedding[1:{d}]', f'b.embedding[1:{d}]')}))"
+        f" sim_{d}"
+        for d in DT_DIMS
+    )
+    ranks = ",\n         ".join(
+        f"row_number() over (partition by src"
+        f" order by sim_{d} desc, nbr) rank_{d}"
+        for d in DT_DIMS
+    )
+    hs = ",\n         ".join(
+        f"cast(sum(case when rank_{d} <= {TOP_K}"
+        f" and rank_{full} <= {TOP_K} then 1 else 0 end) as bigint) h_{d}"
+        for d in DT_DIMS
+    )
+    rows = "\nunion all\n".join(
+        f"select {d} dims, h_{d} n_hits, n_true,"
+        f" cast(h_{d} as double) / n_true recall from stats"
+        for d in DT_DIMS
+    )
+    return f"""
+with pairs as (
+  select a.vec_id src, b.vec_id nbr,
+         {sims}
+  from embeddings a join embeddings b on a.vec_id != b.vec_id
+  where a.vec_id < {N_QUERIES}),
+ranked as (
+  select src, nbr,
+         {ranks}
+  from pairs),
 stats as (
-{union})
-select dims, n_hits,
-       cast((select count(*) from truth) as bigint) n_true,
-       cast(n_hits as double) / (select count(*) from truth) recall
-from stats
+  select cast(sum(case when rank_{full} <= {TOP_K} then 1 else 0 end)
+              as bigint) n_true,
+         {hs}
+  from ranked)
+{rows}
 order by dims"""
 
 

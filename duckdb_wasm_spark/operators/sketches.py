@@ -964,14 +964,15 @@ def sketch_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"bin * {HQ_W} + ((t - (cum - cnt)) * {HQ_W}) div (cnt + 1)"
         ).alias("est_chars"),
     )
-    # exact audit baseline: percentile_disc rank pick (global sort).
+    # exact audit baseline: percentile_disc rank pick via the
+    # TWO-PHASE distributed rank (ranks.global_ranks — r9 verdict #3:
+    # the old partition-less corpus Window single-tasked the sort).
     # The corpus-sized ranked frame stays distributed; the 3-row est
     # side is the broadcast (r8 advice: broadcasting `ranked` was a
     # driver hazard at scale even though the equi-join was correct).
-    ranked = docs.select(
-        "n_chars",
-        F.row_number().over(Window.orderBy("n_chars")).alias("rn"),
-    )
+    from duckdb_wasm_spark.ranks import global_ranks
+
+    ranked = global_ranks(docs.select("n_chars"), ["n_chars"])
     return (
         ranked.join(F.broadcast(est), F.col("rn") == F.col("t"))
         .select(

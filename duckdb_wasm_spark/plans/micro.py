@@ -646,10 +646,14 @@ def source_zonemap_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery is exercised by events_daily_pruned (PartitionFilters);
     here the zone maps are explicit so the oracle can replay the
     decision. Plan: one narrow scan -> per-chunk hash agg (bounded
-    state: n_rows/256 chunks); bounds are rank picks crossed in as a
-    1-row broadcast (BNLJ-allowlisted); micros integers end-to-end.
+    state: n_rows/256 chunks); the rank-picked bounds come from the
+    TWO-PHASE distributed rank (ranks.global_ranks — range
+    repartition + per-block row_number + <=32-row offset prefix sum;
+    r9 verdict #2: the old partition-less corpus Window funneled the
+    whole table through one task), then cross in as a 1-row broadcast
+    (BNLJ-allowlisted); micros integers end-to-end.
     """
-    from pyspark.sql.window import Window
+    from duckdb_wasm_spark.ranks import global_ranks
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id",
@@ -657,10 +661,7 @@ def source_zonemap_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.expr(f"event_id div {ZM_CHUNK}").alias("chunk"),
     )
-    ranked = ev.select(
-        "us",
-        F.row_number().over(Window.orderBy("us", "event_id")).alias("rn"),
-    )
+    ranked = global_ranks(ev.select("us", "event_id"), ["us", "event_id"])
     total = ev.agg(F.count(F.lit(1)).alias("n"))
     bounds = (
         ranked.join(F.broadcast(total))

@@ -21,21 +21,23 @@ import __spark_entry__ as entry
 # verdict task #8). The failure message below quotes this contract.
 BNLJ_ALLOWED = {
     "q11": "scalar-subquery threshold: exactly 1 row broadcast to the agg",
-    "graph_pagerank": (
-        "node-count scalar `n`: exactly 1 row cross-joined into each "
-        "unrolled iteration (the generated-SQL form of the old driver "
-        "count literal)"
-    ),
     "q22": "scalar-subquery avg balance: exactly 1 row broadcast",
+    "lsh_candidate_growth": (
+        "per-subset output row: two 1-row aggregate frames (candidate "
+        "count x max bucket) scalar-crossed — never the corpus"
+    ),
+    "dedup_skew_stress": (
+        "three 1-row aggregate frames (doc stats x gram-df stats x "
+        "candidate count) scalar-crossed into the single output row"
+    ),
     "sim_topk_brute": "query panel: N_QUERIES=50 rows, fixed by the API",
-    "knn_graph_recall": (
-        "truth build: KNNR_QUERIES=50-row audit panel broadcast, fixed "
-        "by the API — the per-config candidate joins are equi-joins"
-    ),
-    "embed_dim_truncation_audit": (
-        "per-config 50-row query panel broadcast (the sim_topk_brute "
-        "shape), fixed by the API — the corpus side streams"
-    ),
+    # knn_graph_recall's 50-row-panel truth BNLJ executes behind a
+    # localCheckpoint, so it never appears in the returned plan this
+    # guard inspects — no allowance needed (r10: the stale entry was
+    # removed when this test started asserting allowances are live)
+    # embed_dim_truncation_audit's 50-row-panel BNLJ executes behind
+    # the checkpointed single-pass pairs frame as of r10 — not in the
+    # returned plan, so no allowance
     "sim_topk_ivf": "centroid panel: IVF_CELLS=8 rows, a config constant",
     "sim_topk_ivf_probe": "same 8-row centroid panel, probe variant",
     "sim_topk_ivf_trained": "same 8-row panel per Lloyd iteration",
@@ -75,6 +77,30 @@ BNLJ_ALLOWED = {
     "source_zonemap_skip": (
         "1-row rank-picked bounds frame crossed into the zone map and "
         "the scan; final 1-row x 1-row scalar cross"
+    ),
+}
+
+# Partition-less Window nodes funnel their whole input through ONE
+# task, so they are only acceptable over frames BOUNDED BY CONSTRUCTION
+# (r9 verdict #2/#3: two corpus-sized ones were rewritten to the
+# two-phase distributed rank in ranks.py). Every entry states why its
+# frame stays bounded as the corpus scales.
+WINDOW_NOPART_ALLOWED = {
+    "sketch_hist_quantiles": (
+        "cum over the merged histogram (~max_len/W bins) + rank-block "
+        "offsets (<= ranks.RANK_PARTS rows)"
+    ),
+    "source_zonemap_skip": (
+        "rank-block offsets: <= ranks.RANK_PARTS rows by construction"
+    ),
+    "corpus_mix_weights": "cum over the per-source aggregate (|sources|)",
+    "quality_buckets": "cum over the bucket aggregate (fixed bucket grid)",
+    "sample_mixture_budget": (
+        "cum over the per-source aggregate (|sources|)"
+    ),
+    "events_key_skew": (
+        "cum over the count-of-counts frame (distinct frequency "
+        "VALUES, not keys — log-scale small)"
     ),
 }
 
@@ -119,6 +145,50 @@ def test_bnlj_only_on_allowlist(plans):
     )
     stale = sorted(set(BNLJ_ALLOWED) - set(plans))
     assert stale == [], f"BNLJ_ALLOWED entries no longer registered: {stale}"
+    # every allowance must be LIVE: an entry whose executed plan no
+    # longer contains a BNLJ is a stale pre-authorization that would
+    # silently admit any future unbounded BNLJ under that name (r9
+    # advice: graph_pagerank's 1-row cross join existed only in the
+    # DuckDB dialect text, never in the Spark plan)
+    dead = sorted(
+        n for n in BNLJ_ALLOWED if "BroadcastNestedLoopJoin" not in plans[n]
+    )
+    assert dead == [], (
+        f"BNLJ_ALLOWED entries whose plans contain no BNLJ (remove "
+        f"them, or fix the justification to the join that exists): "
+        f"{dead}"
+    )
+
+
+def test_no_partitionless_window_outside_allowlist(plans):
+    """A Window whose windowspecdefinition starts with an ORDER column
+    (no partition columns) executes in a single task — fine only over
+    frames bounded by construction. Any new one must either partition,
+    use ranks.global_ranks (two-phase distributed rank), or join the
+    audited allowlist with a size-bound justification."""
+    import re
+
+    pat = re.compile(r"windowspecdefinition\([^,()]+ (?:ASC|DESC) NULLS")
+    offenders = sorted(
+        n
+        for n, p in plans.items()
+        if n not in WINDOW_NOPART_ALLOWED and pat.search(p)
+    )
+    assert offenders == [], (
+        f"partition-less Window nodes outside the audited allowlist: "
+        f"{offenders}. If the frame is bounded by construction, add a "
+        f"WINDOW_NOPART_ALLOWED entry with the size bound; if it is "
+        f"corpus-derived, use ranks.global_ranks or partition it."
+    )
+    stale = sorted(
+        n
+        for n in WINDOW_NOPART_ALLOWED
+        if n not in plans or not pat.search(plans[n])
+    )
+    assert stale == [], (
+        f"WINDOW_NOPART_ALLOWED entries whose plans no longer contain "
+        f"a partition-less Window (remove them): {stale}"
+    )
 
 
 def test_filters_pushed_to_scan(plans):
