@@ -99,6 +99,10 @@ class SparkDB:
         self.spark = spark
         # file registry: name -> local path (ref webdb.cc:579-627)
         self._files: dict[str, str] = {}
+        # lazy ranged-HTTP handles (register_file_url): name -> reader;
+        # staged to a local path only on FIRST scan, footer reads cost
+        # tail bytes only (sources/http_range.py)
+        self._http_readers: dict = {}
         self._tmpdir = tempfile.mkdtemp(prefix="sparkdb_files_")
         # in-memory catalog: name -> DataFrame (tables) / sql (views)
         self._tables: dict[str, DataFrame] = {}
@@ -157,6 +161,7 @@ class SparkDB:
         self._tables.clear()
         self._views.clear()
         self._files.clear()
+        self._http_readers.clear()
         self._file_stats.clear()
         self._stats_enabled.clear()
         self._insert_depth.clear()
@@ -181,18 +186,26 @@ class SparkDB:
         (runtime_browser.ts:161-235). Plain http(s) URLs — which the
         reference reads via XHR/Range (runtime_browser.ts:161-177,
         224-235; exercised by test/filesystem.test.ts:25-79 against a
-        local server) — are staged into the session tmpdir on register
-        so every executor can scan a local path.
+        local server) — get a LAZY ranged reader (r9 verdict #7; was
+        eager full-file staging): registration fetches zero bytes,
+        parquet-footer access reads tail bytes only
+        (`http_reader(name)` is a pyarrow-compatible file-like), and a
+        full scan stages chunked `Range:` requests to the session
+        tmpdir on FIRST use so every executor can read a local path.
         (ref RegisterFileURL, webdb.cc:579-627)"""
         if path.startswith(("http://", "https://")):
-            import urllib.request
+            from duckdb_wasm_spark.sources.http_range import HttpRangeReader
 
-            staged = os.path.join(self._tmpdir, name.replace("/", "_"))
-            with urllib.request.urlopen(path) as resp, open(staged, "wb") as f:
-                while chunk := resp.read(1 << 20):
-                    f.write(chunk)
-            path = staged
+            self._http_readers[name] = HttpRangeReader(path)
         self._files[name] = path
+
+    def http_reader(self, name: str):
+        """The lazy ranged-HTTP handle behind an http(s)-registered file
+        — a seekable file-like over `Range:` requests, so
+        `pyarrow.parquet.ParquetFile(db.http_reader(n))` reads schema +
+        row-group stats without downloading the body (the reference's
+        XHR-Range read path, runtime_browser.ts:224-235)."""
+        return self._http_readers[name]
 
     def register_file_buffer(self, name: str, data: bytes) -> str:
         """Bind a name to an in-memory buffer; staged to a local file so
@@ -208,9 +221,11 @@ class SparkDB:
 
     def drop_file(self, name: str) -> None:
         self._files.pop(name, None)
+        self._http_readers.pop(name, None)
 
     def drop_files(self) -> None:
         self._files.clear()
+        self._http_readers.clear()
 
     def glob_files(self, pattern: str) -> list[str]:
         return sorted(fnmatch.filter(self._files, pattern))
@@ -227,6 +242,17 @@ class SparkDB:
     def _resolve_file(self, name: str) -> str:
         if name in self._files:
             path = self._files[name]
+            if name in self._http_readers and path.startswith(
+                ("http://", "https://")
+            ):
+                # first scan of a lazily-registered http file: stage it
+                # now via chunked ranged requests (never a full GET),
+                # then serve the local path on every later resolve
+                staged = os.path.join(
+                    self._tmpdir, name.replace("/", "_")
+                )
+                path = self._http_readers[name].stage_to(staged)
+                self._files[name] = path
         elif os.path.exists(name):
             path = name
         else:

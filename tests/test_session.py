@@ -212,31 +212,131 @@ def test_register_buffer_csv_and_implicit_ref(conn, db):
     assert t.column("n").to_pylist() == [2]
 
 
-def test_register_http_url_stages_and_scans(conn, db, sf_dir):
-    # filesystem.test.ts:25-79 registers an http URL served locally and
-    # scans it; we stage-to-tmp on register so executors read a local path
+def _range_http_server(directory):
+    """Local http.server that SERVES single byte ranges (206 +
+    Content-Range) and logs every request's Range header — the fixture
+    the ranged-read gate inspects (reference analogue:
+    test/filesystem.test.ts:25-79 against a local server)."""
     import http.server
+    import os
     import socketserver
     import threading
 
-    handler = lambda *a, **k: http.server.SimpleHTTPRequestHandler(
-        *a, directory=sf_dir, **k
-    )
-    with socketserver.TCPServer(("127.0.0.1", 0), handler) as httpd:
-        port = httpd.server_address[1]
-        t = threading.Thread(target=httpd.serve_forever, daemon=True)
-        t.start()
-        try:
-            db.register_file_url(
-                "remote.parquet", f"http://127.0.0.1:{port}/region.parquet"
-            )
-            n = conn.query(
-                "SELECT count(*)::INTEGER AS n FROM parquet_scan('remote.parquet')"
-            ).column("n").to_pylist()
-            assert n == [5]
-        finally:
-            httpd.shutdown()
+    class RangeHandler(http.server.SimpleHTTPRequestHandler):
+        requests: list = []
+
+        def __init__(self, *a, **k):
+            super().__init__(*a, directory=directory, **k)
+
+        def do_GET(self):
+            rng = self.headers.get("Range")
+            type(self).requests.append((self.path, rng))
+            fpath = self.translate_path(self.path)
+            try:
+                size = os.path.getsize(fpath)
+            except OSError:
+                self.send_error(404)
+                return
+            with open(fpath, "rb") as f:
+                if rng and rng.startswith("bytes="):
+                    a, _, b = rng[6:].partition("-")
+                    lo = int(a)
+                    hi = min(int(b) if b else size - 1, size - 1)
+                    f.seek(lo)
+                    data = f.read(hi - lo + 1)
+                    self.send_response(206)
+                    self.send_header(
+                        "Content-Range", f"bytes {lo}-{hi}/{size}"
+                    )
+                else:
+                    data = f.read()
+                    self.send_response(200)
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    httpd = socketserver.TCPServer(("127.0.0.1", 0), RangeHandler)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    return httpd, RangeHandler.requests
+
+
+def test_register_http_url_is_lazy_and_ranged(conn, db, sf_dir):
+    """r9 verdict #7: plain-http registration must fetch ZERO bytes
+    (the old path staged the whole file eagerly), every byte that IS
+    fetched must travel under a Range header (no full GET, matching
+    runtime_browser.ts:224-235), and the scan still works after the
+    lazy first-use staging."""
+    httpd, requests = _range_http_server(sf_dir)
+    port = httpd.server_address[1]
+    try:
+        db.register_file_url(
+            "remote.parquet", f"http://127.0.0.1:{port}/region.parquet"
+        )
+        assert requests == [], "registration must fetch nothing"
+        n = conn.query(
+            "SELECT count(*)::INTEGER AS n FROM parquet_scan('remote.parquet')"
+        ).column("n").to_pylist()
+        assert n == [5]
+        assert len(requests) >= 1
+        assert all(
+            rng is not None and rng.startswith("bytes=")
+            for _, rng in requests
+        ), f"non-ranged request slipped through: {requests}"
+    finally:
+        httpd.shutdown()
     db.drop_file("remote.parquet")
+
+
+def test_http_parquet_footer_reads_tail_bytes_only(db, sf_dir):
+    """Schema/metadata access over an http-registered parquet must cost
+    footer bytes, not the body: with a small chunk size, the ranged
+    reader serves pyarrow's ParquetFile footer parse from tail blocks
+    and the total bytes fetched stay a small fraction of the file."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from duckdb_wasm_spark.sources.http_range import HttpRangeReader
+
+    httpd, requests = _range_http_server(sf_dir)
+    port = httpd.server_address[1]
+    try:
+        fsize = os.path.getsize(f"{sf_dir}/lineitem.parquet")
+        reader = HttpRangeReader(
+            f"http://127.0.0.1:{port}/lineitem.parquet", chunk=4096
+        )
+        pf = pq.ParquetFile(reader)
+        assert pf.metadata.num_rows > 0
+        assert "l_orderkey" in pf.schema_arrow.names
+        fetched = sum(hi - lo + 1 for lo, hi in reader.request_log)
+        # pyarrow's footer parse prefetches a FIXED tail window (64 KiB
+        # by default) — a constant, not a fraction of the body, so the
+        # bound is absolute: tail window + chunk rounding + the 1-byte
+        # size probe, and nothing from the body head
+        assert fetched <= (64 + 8) * 1024, (
+            f"footer read fetched {fetched} of {fsize} bytes — not a "
+            f"ranged footer read"
+        )
+        body_head = [
+            (lo, hi)
+            for lo, hi in reader.request_log
+            if hi > 0 and lo < fsize - 80 * 1024
+        ]
+        assert body_head == [], (
+            f"footer read touched the body head: {body_head}"
+        )
+        # the session surface hands out the same handle
+        db.register_file_url(
+            "ltm.parquet", f"http://127.0.0.1:{port}/lineitem.parquet"
+        )
+        assert db.http_reader("ltm.parquet").request_log == []
+        db.drop_file("ltm.parquet")
+    finally:
+        httpd.shutdown()
 
 
 def test_glob_and_drop(db):
