@@ -1254,18 +1254,25 @@ def _emb_lsh_sql_prefix() -> str:
 
 def _emb_lsh_sql_parts() -> tuple[str, str]:
     """(ctes, final_select) so the clusters oracle can reuse the pair
-    pipeline inside its own recursive CTE."""
+    pipeline inside its own recursive CTE. Bare keys only through the
+    candidate distinct (the r9 shuffle-width lesson applied to the
+    oracle too: carrying the two 64-float lists through the distinct
+    measured ~20× slower in DuckDB at sf0.1); embeddings + norms
+    re-join afterwards and the dot is evaluated ONCE."""
     ctes = _emb_lsh_sql_prefix() + f""",
 cand as (
-  select distinct a.vec_id a_id, b.vec_id b_id,
-         a.embedding ea, b.embedding eb, a.nrm norm_a, b.nrm norm_b
-  from we a, masks m, we b
+  select distinct a.vec_id a_id, b.vec_id b_id
+  from bands a, masks m, bands b
   where a.band = b.band and xor(a.band_val, m.mask) = b.band_val
-    and a.vec_id < b.vec_id)"""
+    and a.vec_id < b.vec_id),
+pairsim as (
+  select c.a_id, c.b_id,
+         {sql_dot('na.embedding', 'nb.embedding')} / (na.nrm * nb.nrm) sim
+  from cand c
+  join normed na on na.vec_id = c.a_id
+  join normed nb on nb.vec_id = c.b_id)"""
     final = f"""
-select a_id, b_id, {sql_dot('ea', 'eb')} / (norm_a * norm_b) sim
-from cand
-where {sql_dot('ea', 'eb')} / (norm_a * norm_b) >= {COS_THRESHOLD}
+select a_id, b_id, sim from pairsim where sim >= {COS_THRESHOLD}
 """
     return ctes, final
 
@@ -1408,9 +1415,9 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["decontaminate_semantic"] = _emb_lsh_sql_prefix() + f""",
 ev as (select w.vec_id eval_id, w.band, xor(w.band_val, m.mask) probe_val
-       from we w, masks m where w.vec_id % {SEM_EVAL_MOD} = 0),
+       from bands w, masks m where w.vec_id % {SEM_EVAL_MOD} = 0),
 tr as (select vec_id train_id, band, band_val probe_val
-       from we where vec_id % {SEM_EVAL_MOD} != 0),
+       from bands where vec_id % {SEM_EVAL_MOD} != 0),
 cand as (
   select distinct train_id, eval_id
   from tr join ev using (band, probe_val)),
@@ -2051,7 +2058,7 @@ def _knn_graph_sql() -> str:
     return f"""{prefix},
 cand as (
   select distinct a.vec_id src, b.vec_id nbr
-  from we a, masks m, we b
+  from bands a, masks m, bands b
   where a.band = b.band and xor(a.band_val, m.mask) = b.band_val
     and a.vec_id != b.vec_id),
 sims as (
@@ -2265,7 +2272,7 @@ truthp as (
   select a.vec_id src, b.vec_id nbr,
          min(m.nflips) mf_full,
          min(case when a.band < {HP_BANDS // 2} then m.nflips end) mf_half
-  from we a, masks m, we b
+  from bands a, masks m, bands b
   where a.band = b.band and xor(a.band_val, m.mask) = b.band_val
     and a.vec_id != b.vec_id and a.vec_id < {KNNR_QUERIES}
   group by 1, 2),"""
