@@ -43,6 +43,8 @@ across calls would pin a stale sf_dir).
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -2016,6 +2018,40 @@ def embed_dim_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     array before the fold adds the SAME terms in the SAME order as
     folding sliced inputs); ties rank by neighbor id; hits are exact
     integers."""
+    from pyspark.sql.functions import pandas_udf
+
+    dims = DT_DIMS
+
+    @pandas_udf("array<double>")
+    def prefix_sims(xa: pd.Series, xb: pd.Series) -> pd.Series:
+        """All |DT_DIMS| prefix cosines from ONE running product sum
+        per pair — vectorized Arrow batch (the interpreted higher-order
+        fold form measured 5× the oracle at sf0.1: ArrayAggregate is
+        CodegenFallback). Rounding order per prefix is the sequential
+        left fold over index order — bit-identical to the oracle's
+        list_reduce over the sliced zip (see _columnar_fold_dot)."""
+        import numpy as np
+
+        n = len(xa)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        A = np.stack(xa.to_numpy()).astype(np.float64)
+        B = np.stack(xb.to_numpy()).astype(np.float64)
+        ap = np.zeros(n)
+        aa = np.zeros(n)
+        ab = np.zeros(n)
+        out = np.empty((n, len(dims)))
+        j = 0
+        bounds = set(dims)
+        for d in range(A.shape[1]):
+            ap = ap + A[:, d] * B[:, d]
+            aa = aa + A[:, d] * A[:, d]
+            ab = ab + B[:, d] * B[:, d]
+            if d + 1 in bounds:
+                out[:, j] = ap / (np.sqrt(aa) * np.sqrt(ab))
+                j += 1
+        return pd.Series(list(out))
+
     emb = load_table(spark, sf_dir, "embeddings")
     pane = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("src"), F.col("embedding").alias("xa")
@@ -2023,31 +2059,18 @@ def embed_dim_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     corp = emb.select(
         F.col("vec_id").alias("nbr"), F.col("embedding").alias("xb")
     )
-
-    def fold(expr: str) -> str:
-        return f"aggregate({expr}, 0.0D, (_da, _dv) -> _da + _dv)"
-
-    def prods(a: str, b: str) -> str:
-        return (
-            f"zip_with({a}, {b}, (_dx, _dy) -> "
-            f"cast(_dx as double) * cast(_dy as double))"
-        )
-
-    sims = [
-        F.expr(
-            f"{fold(f'slice(pr, 1, {d})')} / "
-            f"(sqrt({fold(f'slice(pa, 1, {d})')}) * "
-            f"sqrt({fold(f'slice(pb, 1, {d})')}))"
-        ).alias(f"sim_{d}")
-        for d in DT_DIMS
-    ]
     pairs = (
         F.broadcast(pane)
         .join(corp, F.col("src") != F.col("nbr"))
-        .withColumn("pr", F.expr(prods("xa", "xb")))
-        .withColumn("pa", F.expr(prods("xa", "xa")))
-        .withColumn("pb", F.expr(prods("xb", "xb")))
-        .select("src", "nbr", *sims)
+        .withColumn("sims", prefix_sims(F.col("xa"), F.col("xb")))
+        .select(
+            "src",
+            "nbr",
+            *[
+                F.element_at("sims", i + 1).alias(f"sim_{d}")
+                for i, d in enumerate(DT_DIMS)
+            ],
+        )
         .localCheckpoint()
     )
     full = DT_DIMS[-1]

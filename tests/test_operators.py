@@ -1275,6 +1275,18 @@ def test_session_memos_are_per_session_and_consistent(spark, sf_dir):
     assert s1.exceptAll(fresh_sigs).count() == 0
     assert fresh_sigs.exceptAll(s1).count() == 0
 
+    from duckdb_wasm_spark.operators.dedup import (
+        _lsh_candidate_pairs,
+        _lsh_pairs_memo,
+    )
+
+    p1 = _lsh_pairs_memo(spark, sf_dir)
+    p2 = _lsh_pairs_memo(spark, sf_dir)
+    assert p1 is p2
+    fresh_pairs = _lsh_candidate_pairs(spark, sf_dir)
+    assert p1.exceptAll(fresh_pairs).count() == 0
+    assert fresh_pairs.exceptAll(p1).count() == 0
+
 
 def test_lsh_candidate_growth_is_subquadratic(spark, sf_dir):
     """The scale law the r10 adaptive-bit multiprobe rewrite exists to
