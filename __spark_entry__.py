@@ -141,7 +141,9 @@ def _registries():
 # rounds stale — the r9 cut tail), 45 r7-green, 41 r8, 48 r9. This
 # window is therefore: (a) NEW in round 10 — lsh_candidate_growth (the
 # sub-quadraticity audit the adaptive-bit multiprobe rewrite is gated
-# by) and dedup_skew_stress (the boilerplate-skew cap proof); (b)
+# by), dedup_skew_stress (the boilerplate-skew cap proof), and
+# events_stream_outer_join (the NINTH streaming gate:
+# watermark-driven eviction via left-outer stream-stream join); (b)
 # REWRITTEN in round 10 — the five embedding-LSH consumers (adaptive
 # bits + hamming<=2 multiprobe: dedup_embedding_lsh/_clusters,
 # decontaminate_semantic, embed_knn_graph, knn_graph_recall — r9
@@ -156,6 +158,7 @@ _GATE_PRIORITY = [
     # (a) new in round 10 — never gated
     "lsh_candidate_growth",
     "dedup_skew_stress",
+    "events_stream_outer_join",
     # (b) rewritten in round 10 — plans and oracles both changed
     "dedup_embedding_lsh",
     "dedup_embedding_clusters",
@@ -207,7 +210,6 @@ _GATE_PRIORITY = [
     "q11",
     "q12",
     "q13",
-    "q14",
 ]
 
 

@@ -78,6 +78,188 @@ def _staged_stream_source(
     return memo[key]
 
 
+def _staged_stream_source_ordered(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> tuple[str, T.StructType]:
+    """Time-ORDERED staged layout + heartbeat sentinels: files are
+    range-partitioned on ts and ascending in replay order, so the file
+    stream source delivers micro-batches whose event times advance
+    monotonically — the arrival pattern a real ingest feed has, and
+    the one a PRODUCTION watermark (a day, not the replay-safe 60-day
+    delay) needs: the round-robin staging of _staged_stream_source
+    interleaves the full time span into every batch, so any watermark
+    shorter than the span would DROP rows there.
+
+    Three trailing sentinel files (ts = max+10d + i hours) replay
+    AFTER the data and push the watermark PAST it — the finite-replay
+    stand-in for a live feed's continuous arrivals, without which
+    end-of-stream state is never certified and append-mode outer rows
+    stay withheld forever (watermarks only advance on data). Each
+    sentinel carries one 'click' and one 'purchase' row with
+    user_id = -1: a neutral event_type would be PUSHED-DOWN-filtered
+    below the EventTimeWatermark operator by consumers' event-type
+    predicates and never advance event time (measured: the watermark
+    froze at max_data - delay and the join withheld the tail), while
+    typed rows pass the per-side filters, advance BOTH sides'
+    watermarks, match nothing (user -1 never occurs in data), and are
+    never themselves certified (the watermark never passes their own
+    far-future ts), so they add zero output rows. Standard punctuation
+    discipline, stated rather than hidden. Memoized like the unordered
+    variant."""
+    memo: dict = spark.__dict__.setdefault("_dws_stream_src_ord", {})
+    key = (sf_dir, n_files)
+    if key not in memo:
+        import calendar
+        import glob as globmod
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        ev = load_table(spark, sf_dir, "events")
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        out = tempfile.mkdtemp(prefix="events_stream_ord_")
+        atexit.register(shutil.rmtree, out, ignore_errors=True)
+        staging = tempfile.mkdtemp(prefix="events_stream_ord_stage_")
+        (
+            ev.repartitionByRange(n_files, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        # Spark writes the parts in PARALLEL (same mtime), and the file
+        # stream source replays by (mtime, then listing order) — so the
+        # range order must be imposed explicitly: sequential names AND
+        # strictly ascending mtimes, or an early-time file replaying
+        # late gets its rows watermark-dropped (observed: arbitrary
+        # subsets lost under the 1-day delay before this rewrite).
+        parts = sorted(globmod.glob(f"{staging}/part-*.parquet"))
+        base_mtime = int(__import__("time").time()) - 3600
+        for i, p in enumerate(parts):
+            dst = f"{out}/{i:04d}-chunk.parquet"
+            shutil.copyfile(p, dst)
+            os.utime(dst, (base_mtime + i, base_mtime + i))
+        shutil.rmtree(staging, ignore_errors=True)
+        max_ts = ev.agg(F.max("ts")).collect()[0][0]
+        base_us = (
+            calendar.timegm(max_ts.utctimetuple()) * 1_000_000
+            + max_ts.microsecond
+        )
+        # THREE sentinels: the watermark computed from batch k's data
+        # only drives eviction in batch k+1 (and the last data file's
+        # tail needs a fully-advanced watermark), so two post-data
+        # eviction passes must run with a sentinel-advanced watermark
+        proto = pq.read_table(f"{out}/0000-chunk.parquet").slice(0, 2)
+        for i in range(3):
+            us = base_us + (10 * 86_400 + i * 3_600) * 1_000_000
+            cols = []
+            fields = []
+            for name in proto.schema.names:
+                col = proto.column(name)
+                if name == "ts":
+                    # MUST be UTC-adjusted (isAdjustedToUTC=true): the
+                    # Spark-written chunks carry INT96 timestamps the
+                    # reader maps to TIMESTAMP, and an NTZ-annotated
+                    # sentinel fails the stream's schema with
+                    # PARQUET_COLUMN_DATA_TYPE_MISMATCH
+                    ts_type = pa.timestamp("us", tz="UTC")
+                    cols.append(
+                        pa.array([us, us], type=pa.int64()).cast(ts_type)
+                    )
+                    fields.append(pa.field(name, ts_type))
+                elif name == "event_type":
+                    cols.append(
+                        pa.array(["click", "purchase"], type=col.type)
+                    )
+                    fields.append(proto.schema.field(name))
+                elif name == "user_id":
+                    cols.append(pa.array([-1, -1], type=col.type))
+                    fields.append(proto.schema.field(name))
+                else:
+                    cols.append(col)
+                    fields.append(proto.schema.field(name))
+            # zz- prefix + later mtime: replays strictly after the data
+            dst = f"{out}/zz-sentinel-{i}.parquet"
+            pq.write_table(pa.table(cols, schema=pa.schema(fields)), dst)
+            os.utime(
+                dst,
+                (base_mtime + n_files + i, base_mtime + n_files + i),
+            )
+        memo[key] = (out, ev.schema)
+    return memo[key]
+
+
+def stream_outer_join(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, object]:
+    """STREAM-STREAM LEFT OUTER interval join with a PRODUCTION-scale
+    watermark — the state-EVICTION semantics the inner gate cannot
+    exercise: a purchase with no click in its 30-minute lookback is
+    emitted (click side NULL) only once the watermark certifies no
+    match can still arrive, i.e. null-emission IS the eviction event.
+    Both sides run a 1-day delay over the time-ordered staged layout
+    (see _staged_stream_source_ordered — with the round-robin layout
+    a 1-day watermark would drop rows and the hash gate would catch
+    it), so join state stays bounded by arrival-rate × (delay +
+    interval) instead of the replay-safe inner gate's
+    buffer-everything 60 days.
+
+    The staged layout's trailing heartbeat sentinels push the final
+    watermark PAST the data (the finite-replay stand-in for a live
+    feed's continuous arrivals), so EVERY purchase is certified —
+    matched multiplicities and eviction nulls both — and the streamed
+    set equals the complete batch left join. The watermark operator
+    sits BEFORE the event-type filter on each side so the heartbeat
+    rows advance event time without entering the join.
+
+    Returns the streamed join rows."""
+    src_dir, schema = _staged_stream_source_ordered(spark, sf_dir)
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+            .withWatermark("ts", "1 day")
+            .where(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+        )
+
+    clicks, purchases = side("click", "c"), side("purchase", "p")
+    # NO sentinel filter inside the streaming plan: ANY predicate that
+    # excludes the user=-1 punctuation rows gets pushed below the
+    # EventTimeWatermark operator (observed for both the event-type
+    # and the post-join form), starving the watermark exactly like an
+    # unpunctuated feed. The sentinels ride through to the sink (they
+    # match only each other — same synthetic user, same far-future
+    # instant) and the CONSUMER drops them batch-side, where pushdown
+    # cannot reach the watermark.
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user and "
+            "c_ts >= p_ts - interval 30 minutes and c_ts <= p_ts"
+        ),
+        "leftOuter",
+    ).select("p_id", "p_user", "p_ts", "c_id")
+    name = f"sojoin_{os.getpid()}_{abs(hash(src_dir)) % 10000}"
+    with state_partitions(spark):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.table(name)
+
+
 def stream_tumbling_counts(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:

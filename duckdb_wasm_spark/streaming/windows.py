@@ -778,6 +778,64 @@ group by event_type
 """
 
 
+# ---------------------------------------------- events_stream_outer_join
+@_q("events_stream_outer_join")
+def events_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM LEFT OUTER interval join gate, the ninth real
+    streaming execution and the one class the inner-join gate cannot
+    prove: WATERMARK-DRIVEN STATE EVICTION. An unmatched purchase is
+    emitted with a NULL click only when the 1-day watermark certifies
+    no qualifying click can still arrive — so every NULL row in the
+    sink is an eviction event, and a watermark bug (dropping live
+    rows, never evicting, double-emitting on eviction) breaks the
+    hash. Runs over the TIME-ORDERED staged layout with trailing
+    heartbeat sentinels (live._staged_stream_source_ordered): a
+    production-scale delay only bounds state when arrival roughly
+    follows event time (the round-robin layout would DROP rows under
+    a 1-day watermark), and the sentinels push the final watermark
+    past the data so end-of-replay state fully certifies — the
+    finite-replay stand-in for a live feed's continuous arrivals.
+
+    The streamed rows — matched multiplicities AND eviction nulls —
+    must hash-equal the COMPLETE batch left join: per purchase,
+    n_clicks counts non-null click ids, first_click_id is NULL
+    exactly when the stream evicted.
+
+    Scale (100 TB feed): state = arrival-rate × (1 day + 30 min) per
+    side; the inner gate's replay-safe 60-day delay buffers the whole
+    feed instead — THIS is the production configuration."""
+    from duckdb_wasm_spark.streaming.live import stream_outer_join
+
+    got = stream_outer_join(spark, sf_dir)
+    # drop the user=-1 sentinel punctuation rows HERE, batch-side over
+    # the sink: a streaming-plan predicate would be pushed below the
+    # EventTimeWatermark operator and starve the watermark (see
+    # live.stream_outer_join)
+    return (
+        got.where(F.col("p_user") >= 0)
+        .groupBy("p_id")
+        .agg(
+            F.any_value("p_user").alias("user_id"),
+            F.count("c_id").alias("n_clicks"),
+            F.min("c_id").alias("first_click_id"),
+        )
+    )
+
+
+ORACLE["events_stream_outer_join"] = """
+with c as (select event_id c_id, user_id, ts c_ts from events
+           where event_type = 'click'),
+p as (select event_id p_id, user_id, ts p_ts from events
+      where event_type = 'purchase')
+select p_id, any_value(p.user_id) user_id,
+       cast(count(c_id) as bigint) n_clicks,
+       min(c_id) first_click_id
+from p left join c on p.user_id = c.user_id
+ and c_ts >= p_ts - interval 30 minutes and c_ts <= p_ts
+group by p_id
+"""
+
+
 # --------------------------------------------- events_stream_static_join
 @_q("events_stream_static_join")
 def events_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
