@@ -1242,10 +1242,11 @@ def test_int8_quantization_elementwise_error_bound():
 
 
 def test_session_memos_are_per_session_and_consistent(spark, sf_dir):
-    """The two session memos (graph._edges, dedup._emb_sigs_memo) must
-    return the SAME materialization on repeated calls (that is the
-    contract the bench wins rest on) and must agree row-for-row with a
-    fresh derivation."""
+    """Every session memo (graph._edges, dedup._emb_sigs_memo /
+    _lsh_pairs_memo, similarity._trained_centroids_memo /
+    _pq_encoded_memo) must return the SAME materialization on repeated
+    calls (that is the contract the bench wins rest on) and must agree
+    row-for-row with a fresh derivation."""
     from duckdb_wasm_spark.operators import graph
     from duckdb_wasm_spark.operators.dedup import (
         _emb_signatures,
@@ -1286,6 +1287,36 @@ def test_session_memos_are_per_session_and_consistent(spark, sf_dir):
     fresh_pairs = _lsh_candidate_pairs(spark, sf_dir)
     assert p1.exceptAll(fresh_pairs).count() == 0
     assert fresh_pairs.exceptAll(p1).count() == 0
+
+    from duckdb_wasm_spark.operators.similarity import (
+        _pq_encoded,
+        _pq_encoded_memo,
+        _trained_centroids,
+        _trained_centroids_memo,
+        dot_fold,
+    )
+
+    c1 = _trained_centroids_memo(spark, sf_dir)
+    c2 = _trained_centroids_memo(spark, sf_dir)
+    assert c1 is c2
+    emb = load_table(spark, sf_dir, "embeddings")
+    normed = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot_fold("embedding", "embedding")).alias("nrm"),
+    )
+    fresh_cent = _trained_centroids(normed)
+    assert c1.exceptAll(fresh_cent).count() == 0
+    assert fresh_cent.exceptAll(c1).count() == 0
+
+    enc1 = _pq_encoded_memo(spark, sf_dir)
+    enc2 = _pq_encoded_memo(spark, sf_dir)
+    assert enc1[0] is enc2[0] and enc1[1] is enc2[1]
+    fresh_codes, fresh_qd = _pq_encoded(spark, sf_dir)
+    assert enc1[0].exceptAll(fresh_codes).count() == 0
+    assert fresh_codes.exceptAll(enc1[0]).count() == 0
+    assert enc1[1].exceptAll(fresh_qd).count() == 0
+    assert fresh_qd.exceptAll(enc1[1]).count() == 0
 
 
 def test_lsh_candidate_growth_is_subquadratic(spark, sf_dir):
