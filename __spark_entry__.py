@@ -154,12 +154,21 @@ def _registries():
 # names in their r6 DRIVER-ROW order (oldest gate evidence first);
 # (e) backfill: the first 11 of the 45 r7-green names, r7 driver-row
 # order. Everything after these 50 follows in registry order.
+# Late-r10 session addendum: sim_topk_ivfpq_residual joins (a) (new
+# query), and the five ANN training consumers join (b) — their
+# executed plans changed when _trained_centroids/_pq_encoded moved
+# behind session memos (identical frames, different physical plans).
 _GATE_PRIORITY = [
     # (a) new in round 10 — never gated
     "lsh_candidate_growth",
     "dedup_skew_stress",
     "events_stream_outer_join",
+    "sim_topk_ivfpq_residual",
     # (b) rewritten in round 10 — plans and oracles both changed
+    "sim_topk_pq",
+    "sim_topk_pq_rerank",
+    "sim_topk_ivfpq",
+    "embed_cluster_purity",
     "dedup_embedding_lsh",
     "dedup_embedding_clusters",
     "decontaminate_semantic",

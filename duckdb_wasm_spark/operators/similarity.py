@@ -1516,6 +1516,319 @@ where rank <= {TOP_K}
 """
 
 
+# ---------------------------------------------- sim_topk_ivfpq_residual
+def _slices_expr(col: str):
+    """array(slice(col, 1, d), slice(col, d+1, d), …) — the PQ_M
+    subvector split as one expression (the _pq_encoded shape)."""
+    return F.expr(
+        "array("
+        + ", ".join(
+            f"slice({col}, {m * PQ_SUBDIM + 1}, {PQ_SUBDIM})"
+            for m in range(PQ_M)
+        )
+        + ")"
+    )
+
+
+@_q("sim_topk_ivfpq_residual")
+def sim_topk_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding — the production upgrade
+    sim_topk_ivfpq's docstring defers (FAISS IndexIVFPQ default,
+    by_residual=true): PQ codebooks train on r = x_unit − c_unit(cell)
+    instead of the raw unit vector, so the quantizer spends its
+    codebook budget on the WITHIN-cell distribution (residual norms
+    are strictly smaller than vector norms once the coarse quantizer
+    captures any structure). The cost that made the direct form the
+    r8 default is the per-cell LUT bookkeeping: a query's residual
+    differs per probed cell, so the ADC lookup table is keyed
+    (query, cell, m, c_id) — N_QUERIES × IVFPQ_NPROBE × PQ_M × PQ_K
+    rows, still a broadcast — and ADC sums only combine codes whose
+    cell matches the probed cell (the cand join carries `cell`
+    through, exactly how FAISS scans per-list).
+
+    Measured recall@5 vs sim_topk_brute at sf0.01 (500 vecs, 50
+    queries): 0.680 vs the direct form's 0.692 — a WASH, and honestly
+    so: both sit at the nprobe=3 probed-cell ceiling (0.704, the
+    exact-scan recall of sim_topk_ivf_trained), so the only difference
+    is which candidates the R=50 ADC shortlist catches. Residual
+    encoding wins when the coarse quantizer captures real cluster
+    structure (then residual norms ≪ vector norms and the codebook
+    resolution concentrates where vectors actually live); the
+    synthetic near-isotropic embeddings (top-eigenvalue gap ratio
+    0.987, see embed_pca_power) give it nothing to capture. Gated by
+    tests/test_operators.py::test_ivfpq_residual_recall at ≥ 0.6
+    absolute and within 0.05 of the direct variant.
+
+    Determinism: coarse chain is sim_topk_ivf_trained's (memoized,
+    fixed-point exact); residuals are IEEE doubles computed
+    identically in both engines (x/nrm − ec/nc, both divisions on
+    engine-identical operands); every PQ distance floors to 2^20
+    fixed point BEFORE ranking/summation; ADC totals are bigint sums.
+
+    Scale (100 TB): identical shape to sim_topk_ivfpq — training
+    touches C×64 + M×K×d broadcast-sized state, the corpus shuffles
+    once per encode, ADC scans only probed cells, full-precision
+    vectors appear only in the R-row-per-query rerank. The extra cost
+    of residual encoding is ONE more broadcast join (unit centroids
+    onto the assignment) — nothing corpus-quadratic.
+
+    Reference parity: extension beyond the reference's surface (its
+    engine ships no vector index); included because a 100 TB
+    embedding store needs the residual form's recall at the same
+    memory budget."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = _trained_centroids_memo(spark, sf_dir)
+    cu = cent.select(
+        F.col("c_id").alias("cell"),
+        F.expr("transform(ec, _v -> cast(_v as double) / nc)").alias("ecu"),
+    )
+    normed = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot_fold("embedding", "embedding")).alias("nrm"),
+    )
+    # one assignment pass feeds db cells, query probe cells, and the
+    # candidate join — narrow (vec_id, cell, arn), checkpointed
+    ranked = (
+        _assign_cells(normed, cent)
+        .where(F.col("arn") <= IVFPQ_NPROBE)
+        .select("vec_id", F.col("c_id").alias("cell"), "arn")
+        .localCheckpoint()
+    )
+    en = normed.select(
+        "vec_id",
+        F.expr("transform(embedding, _v -> cast(_v as double) / nrm)").alias(
+            "en"
+        ),
+    )
+    resid = F.zip_with("en", "ecu", lambda x, c: x - c).alias("rv")
+    db = (
+        ranked.where(F.col("arn") == 1)
+        .select("vec_id", "cell")
+        .join(en, "vec_id")
+        .join(F.broadcast(cu), "cell")
+        .select("vec_id", "cell", resid)
+    )
+    # (vec_id, cell, m, sub): 3 consumers (seeds, train assign, encode)
+    dsub = db.select(
+        "vec_id", "cell", F.posexplode(_slices_expr("rv")).alias("m", "sub")
+    ).localCheckpoint()
+    seeds = dsub.where(F.col("vec_id") < PQ_K).select(
+        "m", F.col("vec_id").alias("c_id"), F.col("sub").alias("csub")
+    )
+
+    def nearest(frame, cb):
+        # the _pq_encoded min_by argmin, with `cell` riding the group
+        return (
+            frame.join(F.broadcast(cb), "m")
+            .select(
+                "vec_id",
+                "cell",
+                "m",
+                "sub",
+                "c_id",
+                F.floor(
+                    _sq_flat("sub", "csub", PQ_SUBDIM) * _FP_SCALE
+                ).alias("d2fp"),
+            )
+            .groupBy("vec_id", "cell", "m")
+            .agg(
+                F.min_by(
+                    F.struct("c_id", "d2fp"), F.struct("d2fp", "c_id")
+                ).alias("best"),
+                F.any_value("sub").alias("sub"),
+            )
+            .select("vec_id", "cell", "m", "sub", "best.c_id")
+        )
+
+    comp = nearest(dsub, seeds).select(
+        "m", "c_id", F.posexplode("sub").alias("pos", "v")
+    ).select("m", "c_id", "pos", F.floor(F.col("v") * _FP_SCALE).alias("sv"))
+    cb = (
+        comp.groupBy("m", "c_id", "pos")
+        .agg(
+            (
+                F.sum("sv").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(float(_FP_SCALE))
+            ).alias("c")
+        )
+        .groupBy("m", "c_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, c))), "
+                "_x -> _x.c)"
+            ).alias("csub")
+        )
+        .localCheckpoint()
+    )
+    codes = nearest(dsub, cb).select(
+        F.col("vec_id").alias("neighbor_id"), "cell", "m", "c_id"
+    )
+    # per-(query, probed cell) residual → the (query, cell, m, c_id) LUT
+    q = (
+        ranked.where(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "cell")
+        .join(
+            en.select(F.col("vec_id").alias("query_id"), "en"), "query_id"
+        )
+        .join(F.broadcast(cu), "cell")
+        .select("query_id", "cell", resid)
+    )
+    qsub = q.select(
+        "query_id", "cell", F.posexplode(_slices_expr("rv")).alias("m", "sub")
+    )
+    qd = qsub.join(F.broadcast(cb), "m").select(
+        "query_id",
+        "cell",
+        "m",
+        "c_id",
+        F.floor(_sq_flat("sub", "csub", PQ_SUBDIM) * _FP_SCALE).alias("d2fp"),
+    )
+    ncell = ranked.where(F.col("arn") == 1).select(
+        F.col("vec_id").alias("neighbor_id"), "cell"
+    )
+    qcell = ranked.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "cell"
+    )
+    cand = qcell.join(ncell, "cell").select("query_id", "neighbor_id", "cell")
+    adc = (
+        cand.join(codes, ["neighbor_id", "cell"])
+        .join(F.broadcast(qd), ["query_id", "cell", "m", "c_id"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2fp").alias("adc_fp"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_fp").asc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        adc.where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= IVFPQ_RERANK)
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_rerank(spark, sf_dir, shortlist)
+
+
+ORACLE["sim_topk_ivfpq_residual"] = f"""
+with normed as (
+  select vec_id, embedding,
+         sqrt({sql_dot('embedding', 'embedding')}) nrm
+  from embeddings),
+c0 as (select vec_id c_id, embedding ec, nrm nc from normed
+       where vec_id < {N_CENTROIDS}),
+{','.join(_sql_refine_iter(i + 1, f'c{i}') for i in range(TRAIN_ITERS))},
+cu as (
+  select c_id cell, list_transform(ec, v -> cast(v as double) / nc) ecu
+  from c{TRAIN_ITERS}),
+pn as (
+  select vec_id,
+         list_transform(embedding, v -> cast(v as double) / nrm) en
+  from normed),
+ranked_cells as (
+  select e.vec_id, c.c_id cell,
+         row_number() over (
+           partition by e.vec_id
+           order by {sql_dot('e.embedding', 'c.ec')} / (e.nrm * c.nc) desc,
+                    c.c_id asc) arn
+  from normed e, c{TRAIN_ITERS} c),
+dbc as (select vec_id, cell from ranked_cells where arn = 1),
+qc as (select vec_id query_id, cell from ranked_cells
+       where arn <= {IVFPQ_NPROBE} and vec_id < {N_QUERIES}),
+dres as (
+  select d.vec_id, d.cell,
+         list_transform(list_zip(p.en, u.ecu),
+           pp -> cast(pp[1] as double) - cast(pp[2] as double)) rv
+  from dbc d join pn p using (vec_id) join cu u using (cell)),
+dsub as (
+  select vec_id, cell, m,
+         list_slice(rv, m * {PQ_SUBDIM} + 1, m * {PQ_SUBDIM} + {PQ_SUBDIM})
+           sub
+  from dres, (select unnest(range(0, {PQ_M})) m)),
+seeds as (select m, vec_id c_id, sub csub from dsub where vec_id < {PQ_K}),
+a0 as (
+  select vec_id, m, sub, c_id from (
+    select s.vec_id, s.m, s.sub, c.c_id,
+           row_number() over (
+             partition by s.vec_id, s.m
+             order by cast(floor({_sql_sq('s.sub', 'c.csub')}
+                                 * {_FP_SCALE}) as bigint) asc,
+                      c.c_id asc) rn
+    from dsub s join seeds c using (m))
+  where rn = 1),
+comp as (
+  select m, c_id, pos - 1 pos,
+         cast(floor(v * {_FP_SCALE}) as bigint) sv
+  from (select m, c_id, unnest(sub) v,
+               generate_subscripts(sub, 1) pos
+        from a0)),
+cmean as (
+  select m, c_id, pos,
+         cast(sum(sv) as double) / cast(count(*) as double)
+           / {float(_FP_SCALE)} c
+  from comp group by m, c_id, pos),
+cb as (
+  select m, c_id, list(c order by pos) csub from cmean group by m, c_id),
+codes as (
+  select vec_id neighbor_id, cell, m, c_id from (
+    select s.vec_id, s.cell, s.m, c.c_id,
+           row_number() over (
+             partition by s.vec_id, s.m
+             order by cast(floor({_sql_sq('s.sub', 'c.csub')}
+                                 * {_FP_SCALE}) as bigint) asc,
+                      c.c_id asc) rn
+    from dsub s join cb c using (m))
+  where rn = 1),
+qres as (
+  select q.query_id, q.cell,
+         list_transform(list_zip(p.en, u.ecu),
+           pp -> cast(pp[1] as double) - cast(pp[2] as double)) rv
+  from qc q join pn p on p.vec_id = q.query_id join cu u using (cell)),
+qsub as (
+  select query_id, cell, m,
+         list_slice(rv, m * {PQ_SUBDIM} + 1, m * {PQ_SUBDIM} + {PQ_SUBDIM})
+           sub
+  from qres, (select unnest(range(0, {PQ_M})) m)),
+qd as (
+  select s.query_id, s.cell, s.m, c.c_id,
+         cast(floor({_sql_sq('s.sub', 'c.csub')} * {_FP_SCALE}) as bigint)
+           d2fp
+  from qsub s join cb c using (m)),
+cand as (
+  select query_id, neighbor_id, cell
+  from qc join (select vec_id neighbor_id, cell from dbc) using (cell)),
+adc as (
+  select cd.query_id, cd.neighbor_id, sum(qd.d2fp) adc_fp
+  from cand cd
+  join codes on codes.neighbor_id = cd.neighbor_id
+            and codes.cell = cd.cell
+  join qd on qd.query_id = cd.query_id and qd.cell = cd.cell
+         and qd.m = codes.m and qd.c_id = codes.c_id
+  group by 1, 2),
+adcranked as (
+  select query_id, neighbor_id,
+         row_number() over (partition by query_id
+                            order by adc_fp asc, neighbor_id asc) rank
+  from adc
+  where query_id <> neighbor_id),
+shortlist as (
+  select query_id, neighbor_id from adcranked where rank <= {IVFPQ_RERANK}),
+rer as (
+  select s.query_id, s.neighbor_id,
+         {sql_dot('q.embedding', 'n.embedding')} / (q.nrm * n.nrm) sim
+  from shortlist s
+  join normed n on n.vec_id = s.neighbor_id
+  join normed q on q.vec_id = s.query_id),
+reranked as (
+  select query_id, neighbor_id, sim,
+         row_number() over (partition by query_id
+                            order by sim desc, neighbor_id asc) rank
+  from rer)
+select query_id, neighbor_id, rank, sim from reranked
+where rank <= {TOP_K}
+"""
+
+
 # ------------------------------------------------------- embed_pca_power
 PCA_ITERS = 3  # fixed power-iteration count (deterministic spec)
 
