@@ -164,6 +164,7 @@ _GATE_PRIORITY = [
     "dedup_skew_stress",
     "events_stream_outer_join",
     "sim_topk_ivfpq_residual",
+    "orders_bloom_join",
     # (b) rewritten in round 10 — plans and oracles both changed
     "sim_topk_pq",
     "sim_topk_pq_rerank",

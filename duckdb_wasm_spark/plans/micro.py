@@ -745,3 +745,106 @@ matched as (
 select n_chunks, n_chunks_skipped, rows_scanned, rows_matched, sum_value
 from skip_stats cross join matched
 """
+
+
+# ---------------------------------------------------- orders_bloom_join
+BLOOM_ACCTBAL = 9900.0  # selective dim filter (~1% of customers)
+
+# Scoped ONLY around this gate's execution (set, localCheckpoint, then
+# restore — a leaked autoBroadcastJoinThreshold=-1 would force every
+# other corpus join onto the shuffle path):
+_BLOOM_CONFS = {
+    # a dim too large to broadcast is the production case this gate
+    # models: at 100 TB the filtered dim can still be GBs, so the join
+    # is a shuffle join and the bloom filter is the only mechanism
+    # that keeps the fact side from shuffling unmatched rows
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    # the injection guard is sized for production scans (default 10GB
+    # application-side minimum); the sf0.1 corpus is far below it, so
+    # the guard drops to 0 for the gate — at real scale the default
+    # passes on its own
+    "spark.sql.optimizer.runtime.bloomFilter"
+    ".applicationSideScanSizeThreshold": "0",
+}
+
+
+def _scoped_confs(spark: SparkSession, confs: dict):
+    """Set confs, returning a restore closure (None-valued = unset)."""
+    old: dict = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+
+    def restore():
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    return restore
+
+
+def _bloom_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The joined aggregate whose executed plan must carry the runtime
+    bloom filter (bloom_filter_agg on the dim side, might_contain
+    pushed into the fact scan's filter) — split out so
+    tests/test_partitioning.py can assert the plan under the same
+    scoped confs the gate executes under."""
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    dim = t["customer"].where(F.col("c_acctbal") > BLOOM_ACCTBAL).select(
+        "c_custkey", "c_mktsegment"
+    )
+    return (
+        t["orders"]
+        .join(dim, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(dec("o_totalprice")).alias("sum_total"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@_q("orders_bloom_join")
+def orders_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNTIME BLOOM-FILTER semi-join pushdown gate — the third member
+    of the join-pruning family (static pruning: events_daily_pruned;
+    dynamic partition pruning: events_dpp_join): when the dim side of
+    a SHUFFLE join carries a selective filter, Catalyst's
+    InjectRuntimeFilter builds a bloom filter over the dim's join keys
+    (bloom_filter_agg) and pushes a might_contain probe BELOW the fact
+    side's shuffle — unmatched fact rows drop before they shuffle.
+    At 100 TB this is the mechanism that keeps a fact-dim join from
+    shuffling the full fact table when the dim is too large to
+    broadcast but its filter is selective; DPP cannot help when the
+    fact is not partitioned by the join key.
+
+    The gate executes INSIDE the scoped confs (localCheckpoint runs
+    the plan eagerly, then the confs restore) so the corpus's other
+    queries never see autoBroadcastJoinThreshold=-1.
+    tests/test_partitioning.py asserts bloom_filter_agg +
+    might_contain appear in the executed plan and that the result is
+    identical with the filter disabled (pruning must never change
+    results). Determinism: exact decimal sum cast to double."""
+    restore = _scoped_confs(spark, _BLOOM_CONFS)
+    try:
+        out = _bloom_join_frame(spark, sf_dir).localCheckpoint()
+    finally:
+        restore()
+    return out
+
+
+ORACLE["orders_bloom_join"] = f"""
+select c_mktsegment,
+       count(*) n_orders,
+       {sql_dsum(sql_dec('o_totalprice'))} sum_total
+from orders join customer on o_custkey = c_custkey
+where c_acctbal > {BLOOM_ACCTBAL}
+group by c_mktsegment
+order by c_mktsegment
+"""

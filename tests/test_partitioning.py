@@ -80,3 +80,54 @@ def test_dpp_join_prunes_at_runtime(spark, sf_dir, oracle):
     assert_parity(
         df, windows.ORACLE["events_dpp_join"], oracle, "events_dpp_join"
     )
+
+
+def test_bloom_join_filters_at_runtime(spark, sf_dir, oracle):
+    """orders_bloom_join's fact side must carry the RUNTIME bloom
+    filter (bloom_filter_agg built over the selectively-filtered dim's
+    join keys, might_contain probing the fact rows before they
+    shuffle) — the join-pruning mechanism for dims too large to
+    broadcast over facts not partitioned by the join key. Also pins
+    that the filter never changes results: the same frame with
+    runtime bloom filters disabled is row-identical."""
+    from duckdb_wasm_spark.plans import micro
+    from duckdb_wasm_spark.testing import assert_parity
+
+    restore = micro._scoped_confs(spark, micro._BLOOM_CONFS)
+    try:
+        df = micro._bloom_join_frame(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, (
+            "bloom filter aggregate missing from the dim side:\n"
+            + plan[:1500]
+        )
+        assert "might_contain" in plan, (
+            "might_contain probe missing from the fact side:\n"
+            + plan[:1500]
+        )
+        with_bloom = df.collect()
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "false"
+        )
+        try:
+            no_bloom = micro._bloom_join_frame(spark, sf_dir)
+            plan_off = (
+                no_bloom._jdf.queryExecution().executedPlan().toString()
+            )
+            assert "bloom_filter_agg" not in plan_off
+            assert with_bloom == no_bloom.collect()
+        finally:
+            spark.conf.set(
+                "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
+            )
+    finally:
+        restore()
+    # the registered gate (checkpointed, confs restored) matches the
+    # oracle and leaves no conf leaked behind
+    out = micro.QUERIES["orders_bloom_join"](spark, sf_dir)
+    assert (
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
+    ), "orders_bloom_join leaked autoBroadcastJoinThreshold=-1"
+    assert_parity(
+        out, micro.ORACLE["orders_bloom_join"], oracle, "orders_bloom_join"
+    )
