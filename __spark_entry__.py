@@ -165,6 +165,7 @@ _GATE_PRIORITY = [
     "events_stream_outer_join",
     "sim_topk_ivfpq_residual",
     "orders_bloom_join",
+    "events_aqe_skew_join",
     # (b) rewritten in round 10 — plans and oracles both changed
     "sim_topk_pq",
     "sim_topk_pq_rerank",

@@ -848,3 +848,115 @@ where c_acctbal > {BLOOM_ACCTBAL}
 group by c_mktsegment
 order by c_mktsegment
 """
+
+
+# -------------------------------------------------- events_aqe_skew_join
+AQE_SKEW_HOT_PCT = 60  # share of fact rows funneled onto one join key
+AQE_SKEW_MAPPERS = 16  # upstream mappers (split units are map boundaries)
+
+_AQE_SKEW_CONFS = {
+    # dim too large to broadcast (the regime skew handling exists for)
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    # production defaults (256MB threshold, 64MB advisory) are sized
+    # for executor-scale partitions; the sf0.1 shuffle is ~1MB total,
+    # so the byte thresholds scale down for the gate — the FACTOR
+    # condition (hot > 2x median) keeps its production value
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4k",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4k",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+}
+
+
+def _aqe_skew_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-joined aggregate whose executed plan must carry an
+    AQEShuffleRead with a skewed-split partition spec — split out so
+    tests/test_partitioning.py can assert the plan under the gate's
+    scoped confs. The fact repartitions AQE_SKEW_MAPPERS-ways first:
+    AQE splits a skewed reduce partition along MAP-OUTPUT boundaries,
+    and the single-row-group testdata gives the join exchange exactly
+    one mapper otherwise (nothing to split) — production facts have
+    thousands of mappers, the same layout artifact bench.py's
+    _stage_layout documents. The repartition key (event_id) is
+    skew-free so map outputs are uniform."""
+    t = load_tables(spark, sf_dir, "events", "customer")
+    fact = (
+        t["events"]
+        .select("event_id", "user_id", "value")
+        .repartition(AQE_SKEW_MAPPERS, "event_id")
+        .select(
+            "value",
+            F.when(
+                F.col("user_id") % 100 < AQE_SKEW_HOT_PCT, F.lit(0)
+            )
+            .otherwise(F.col("user_id"))
+            .alias("skew_key"),
+        )
+    )
+    dim = t["customer"].select(
+        F.col("c_custkey").alias("skew_key"), "c_mktsegment"
+    )
+    return (
+        fact.join(dim, "skew_key")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.expr("cast(floor(value * 1000000) as bigint)")
+            ).alias("sum_value_micros"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@_q("events_aqe_skew_join")
+def events_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE SKEW-JOIN SPLIT gate — the RUNTIME half of the skew story:
+    events_key_skew detects hot keys, events_salted_join executes the
+    deterministic mitigation (explicit salting), and this gate proves
+    Spark's ZERO-CODE mitigation actually fires: 60% of fact rows
+    funnel onto one join key, and AQE's OptimizeSkewedJoin must split
+    the hot post-shuffle partition along map boundaries (duplicating
+    the matching dim partition) so one straggler task becomes many —
+    the mechanism that saves an unsalted 100 TB join when a tenant/
+    null-surrogate/default key dominates.
+
+    Found the hard way (documented for the next config change): the
+    split unit is the MAP output block, so the single-row-group
+    testdata (1 mapper) is unsplittable however skewed the reduce
+    side is — the fact repartitions 16-ways first; and shuffle lz4
+    flattens BYTE ratios far below ROW ratios (a 12x-row hot
+    partition compressed to ~2x bytes), so the gate's skew is 60/100
+    rather than a marginal 30/100. Factor stays at the production
+    2.0; only byte thresholds scale down with the corpus (default
+    256MB/64MB are executor-sized; 4k keeps the hot partition above
+    threshold at BOTH gate SFs — the sf0.01 driver gate compresses the
+    hot block under 16k).
+
+    tests/test_partitioning.py asserts the executed plan carries a
+    skewed AQEShuffleRead and that results equal the skew-disabled
+    run; the oracle replays the plain join (the split must be
+    result-invisible). Confs are scoped around an eager
+    localCheckpoint exactly like orders_bloom_join."""
+    restore = _scoped_confs(spark, _AQE_SKEW_CONFS)
+    try:
+        out = _aqe_skew_frame(spark, sf_dir).localCheckpoint()
+    finally:
+        restore()
+    return out
+
+
+ORACLE["events_aqe_skew_join"] = f"""
+with fact as (
+  select "value",
+         case when user_id % 100 < {AQE_SKEW_HOT_PCT} then 0
+              else user_id end skew_key
+  from events)
+select c_mktsegment,
+       count(*) n_events,
+       cast(sum(cast(floor("value" * 1000000) as bigint)) as bigint)
+         sum_value_micros
+from fact join customer on skew_key = c_custkey
+group by c_mktsegment
+order by c_mktsegment
+"""

@@ -131,3 +131,45 @@ def test_bloom_join_filters_at_runtime(spark, sf_dir, oracle):
     assert_parity(
         out, micro.ORACLE["orders_bloom_join"], oracle, "orders_bloom_join"
     )
+
+
+def test_aqe_skew_join_splits_at_runtime(spark, sf_dir, oracle):
+    """events_aqe_skew_join's executed plan must carry a skewed
+    AQEShuffleRead (OptimizeSkewedJoin split the hot partition along
+    map boundaries) and the split must be result-invisible: the same
+    frame with skew-join handling disabled is row-identical."""
+    from duckdb_wasm_spark.plans import micro
+    from duckdb_wasm_spark.testing import assert_parity
+
+    restore = micro._scoped_confs(spark, micro._AQE_SKEW_CONFS)
+    try:
+        df = micro._aqe_skew_frame(spark, sf_dir)
+        with_skew = df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "skewed" in plan, (
+            "no skewed AQEShuffleRead in the executed plan:\n"
+            + plan[:2000]
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        try:
+            off = micro._aqe_skew_frame(spark, sf_dir)
+            rows_off = off.collect()
+            plan_off = off._jdf.queryExecution().executedPlan().toString()
+            assert "skewed" not in plan_off
+            assert sorted(map(tuple, with_skew)) == sorted(
+                map(tuple, rows_off)
+            )
+        finally:
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    finally:
+        restore()
+    out = micro.QUERIES["events_aqe_skew_join"](spark, sf_dir)
+    assert (
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
+    ), "events_aqe_skew_join leaked autoBroadcastJoinThreshold=-1"
+    assert_parity(
+        out,
+        micro.ORACLE["events_aqe_skew_join"],
+        oracle,
+        "events_aqe_skew_join",
+    )
