@@ -166,6 +166,7 @@ _GATE_PRIORITY = [
     "sim_topk_ivfpq_residual",
     "orders_bloom_join",
     "events_aqe_skew_join",
+    "ivf_incremental_ingest",
     # (b) rewritten in round 10 — plans and oracles both changed
     "sim_topk_pq",
     "sim_topk_pq_rerank",

@@ -549,9 +549,15 @@ def _assign_cells(normed: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
-def _trained_centroids(normed: DataFrame, iters: int = TRAIN_ITERS) -> DataFrame:
+def _trained_centroids(
+    normed: DataFrame,
+    iters: int = TRAIN_ITERS,
+    seed_where=None,
+) -> DataFrame:
     """`iters` exact Lloyd iterations from the deterministic seeds
-    (vec_id < N_CENTROIDS): assign → exact fixed-point per-cell mean →
+    (default vec_id < N_CENTROIDS; seed_where overrides — the
+    incremental-ingest gate trains on an index subset whose first
+    N_CENTROIDS ids differ): assign → exact fixed-point per-cell mean →
     rebuild the centroid array. Identical arithmetic to
     ivf_centroid_refine, so the oracle reproduces every iteration.
 
@@ -566,7 +572,9 @@ def _trained_centroids(normed: DataFrame, iters: int = TRAIN_ITERS) -> DataFrame
     functions run interpreted. The remaining ~1.3s over DuckDB's
     in-process CTE chain is stage-scheduling floor (≈15 sequential
     stage rounds for train×2 + assign + search), flat in corpus size."""
-    cent = normed.where(F.col("vec_id") < N_CENTROIDS).select(
+    if seed_where is None:
+        seed_where = F.col("vec_id") < N_CENTROIDS
+    cent = normed.where(seed_where).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("ec"),
         F.col("nrm").alias("nc"),
     )
@@ -1826,6 +1834,132 @@ reranked as (
   from rer)
 select query_id, neighbor_id, rank, sim from reranked
 where rank <= {TOP_K}
+"""
+
+
+# -------------------------------------------------- ivf_incremental_ingest
+INGEST_MOD = 5  # batch = vec_id % INGEST_MOD == 0 (a 20% incoming slice)
+INGEST_SEED_BOUND = 10  # first 10 ids minus the 2 batch ids = 8 seeds
+
+
+@_q("ivf_incremental_ingest")
+def ivf_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index INGEST without retrain — the production lifecycle
+    dedup_incremental_ingest gates for MinHash, applied to the vector
+    index: the codebook was trained on the RESIDENT 80% corpus; a 20%
+    incoming batch is assigned to the EXISTING trained cells (one
+    broadcast-assign map over the batch — never a retrain, exactly how
+    FAISS add() works after train()), and the audit reports per cell
+    the resident/batch member counts and the mean assignment cosine of
+    each side. The drift column (batch mean − resident mean) is the
+    staleness signal a production index monitors: a persistently
+    negative drift means incoming vectors sit farther from their
+    nearest centroid than the data the codebook was trained on — the
+    re-train trigger.
+
+    Training seeds: the first N_CENTROIDS RESIDENT ids (vec_id <
+    INGEST_SEED_BOUND excluding batch ids — a closed form both engines
+    state literally). Determinism: Lloyd iterations are the exact
+    fixed-point chain (_trained_centroids); per-cell mean cosines
+    floor each assignment cosine to 2^20 fixed point before the bigint
+    sum (associative), then divide by the exact count.
+
+    Scale (100 TB): the batch assignment is a broadcast join over the
+    BATCH only — resident vectors are never rescanned at ingest time
+    (their assignment here is the audit's baseline, in production a
+    stored attribute); per-cell means are one map-side-combining hash
+    aggregate. Nothing is corpus-quadratic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    normed = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot_fold("embedding", "embedding")).alias("nrm"),
+    )
+    is_batch = F.col("vec_id") % INGEST_MOD == 0
+    resident = normed.where(~is_batch)
+    cent = _trained_centroids(
+        resident,
+        seed_where=F.col("vec_id") < INGEST_SEED_BOUND,
+    )
+    assigned = (
+        _assign_cells(normed, cent)
+        .where(F.col("arn") == 1)
+        .select(
+            "vec_id",
+            F.col("c_id").alias("cell"),
+            F.floor(F.col("c_sim") * _FP_SCALE).alias("simfp"),
+            is_batch.alias("is_batch"),
+        )
+    )
+    agg = assigned.groupBy("cell").agg(
+        F.sum(F.when(~F.col("is_batch"), 1).otherwise(0)).alias(
+            "n_resident"
+        ),
+        F.sum(F.when(F.col("is_batch"), 1).otherwise(0)).alias("n_batch"),
+        F.sum(F.when(~F.col("is_batch"), F.col("simfp"))).alias("sfp_res"),
+        F.sum(F.when(F.col("is_batch"), F.col("simfp"))).alias("sfp_bat"),
+    )
+    avg_res = (
+        F.col("sfp_res").cast("double")
+        / F.col("n_resident").cast("double")
+        / F.lit(float(_FP_SCALE))
+    )
+    avg_bat = (
+        F.col("sfp_bat").cast("double")
+        / F.col("n_batch").cast("double")
+        / F.lit(float(_FP_SCALE))
+    )
+    return agg.select(
+        "cell",
+        F.col("n_resident").cast("long").alias("n_resident"),
+        F.col("n_batch").cast("long").alias("n_batch"),
+        F.round(avg_res, 12).alias("avg_sim_resident"),
+        F.round(avg_bat, 12).alias("avg_sim_batch"),
+        F.round(avg_bat - avg_res, 12).alias("drift"),
+    ).orderBy("cell")
+
+
+ORACLE["ivf_incremental_ingest"] = f"""
+with alln as (
+  select vec_id, embedding,
+         sqrt({sql_dot('embedding', 'embedding')}) nrm
+  from embeddings),
+normed as (
+  select * from alln where vec_id % {INGEST_MOD} <> 0),
+c0 as (select vec_id c_id, embedding ec, nrm nc from normed
+       where vec_id < {INGEST_SEED_BOUND}),
+{','.join(_sql_refine_iter(i + 1, f'c{i}') for i in range(TRAIN_ITERS))},
+assigned as (
+  select vec_id, cell, simfp, is_batch from (
+    select e.vec_id, c.c_id cell,
+           cast(floor({sql_dot('e.embedding', 'c.ec')} / (e.nrm * c.nc)
+                      * {_FP_SCALE}) as bigint) simfp,
+           e.vec_id % {INGEST_MOD} = 0 is_batch,
+           row_number() over (
+             partition by e.vec_id
+             order by {sql_dot('e.embedding', 'c.ec')} / (e.nrm * c.nc) desc,
+                      c.c_id asc) arn
+    from alln e, c{TRAIN_ITERS} c)
+  where arn = 1),
+agg as (
+  select cell,
+         cast(sum(case when not is_batch then 1 else 0 end) as bigint)
+           n_resident,
+         cast(sum(case when is_batch then 1 else 0 end) as bigint) n_batch,
+         sum(case when not is_batch then simfp end) sfp_res,
+         sum(case when is_batch then simfp end) sfp_bat
+  from assigned group by cell)
+select cell, n_resident, n_batch,
+       round(cast(sfp_res as double) / cast(n_resident as double)
+             / {float(_FP_SCALE)}, 12) avg_sim_resident,
+       round(cast(sfp_bat as double) / cast(n_batch as double)
+             / {float(_FP_SCALE)}, 12) avg_sim_batch,
+       round(cast(sfp_bat as double) / cast(n_batch as double)
+               / {float(_FP_SCALE)}
+             - cast(sfp_res as double) / cast(n_resident as double)
+               / {float(_FP_SCALE)}, 12) drift
+from agg
+order by cell
 """
 
 
