@@ -167,6 +167,7 @@ _GATE_PRIORITY = [
     "orders_bloom_join",
     "events_aqe_skew_join",
     "ivf_incremental_ingest",
+    "corpus_token_regression",
     # (b) rewritten in round 10 — plans and oracles both changed
     "sim_topk_pq",
     "sim_topk_pq_rerank",

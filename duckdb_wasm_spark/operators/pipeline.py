@@ -1374,3 +1374,214 @@ where cum_tokens <= budget_tokens
 group by source
 order by source
 """
+
+
+# ------------------------------------------------- corpus_token_regression
+REG_FP = 1 << 20  # fixed-point unit for the residual-square sums
+
+
+@_q("corpus_token_regression")
+def corpus_token_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form distributed OLS — the one-pass "model fit is an
+    aggregate" pattern a 100 TB pipeline uses for cheap calibrators
+    (length→token-count predictors for budget planning, quality-score
+    recalibration): regress per-doc DISTINCT-token count (the
+    Heaps-law vocabulary curve — genuinely nonlinear in length, so the
+    fit has real residuals; total token count is spaces+1, perfectly
+    collinear with a feature, and would make the gate vacuous) on
+    (n_chars, n_spaces) via the NORMAL EQUATIONS. Pass 1 is ONE
+    map-side-combining aggregate of integer moment sums (all features
+    and the target are exact ints, so X'X and X'y are exact bigints —
+    no float-order nondeterminism); the 3×3 system solves in closed
+    form (Cramer's rule) as scalar double expressions both engines
+    evaluate identically from identical bigint moments; pass 2
+    broadcasts the betas and aggregates per-source residual stats,
+    flooring each squared residual to 2^20 fixed point before the
+    bigint sum (the repo's fixed-point law).
+
+    Output: one row per source — n_docs, rmse (from the exact
+    fixed-point SSE), plus the shared betas so the oracle hash pins
+    the solve itself. Scale: two linear passes, 10-value aggregate
+    state, a 3-float broadcast; nothing corpus-quadratic.
+
+    Reference parity: extension (the reference ships no regression);
+    the moments→Cramer shape is textbook OLS."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.length("text").cast("long").alias("x1"),
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        ).cast("long").alias("x2"),
+        F.size(F.array_distinct(F.split(F.col("text"), " ")))
+        .cast("long")
+        .alias("y"),
+    )
+    m = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    # Cramer's rule over the exact integer moments, evaluated in
+    # doubles: X'X = [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]],
+    # X'y = [sy,s1y,s2y]. Written out ONCE as column expressions whose
+    # text the oracle mirrors verbatim (same operand order).
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    det = (
+        d("n") * (d("s11") * d("s22") - d("s12") * d("s12"))
+        - d("s1") * (d("s1") * d("s22") - d("s12") * d("s2"))
+        + d("s2") * (d("s1") * d("s12") - d("s11") * d("s2"))
+    )
+    det0 = (
+        d("sy") * (d("s11") * d("s22") - d("s12") * d("s12"))
+        - d("s1") * (d("s1y") * d("s22") - d("s12") * d("s2y"))
+        + d("s2") * (d("s1y") * d("s12") - d("s11") * d("s2y"))
+    )
+    det1 = (
+        d("n") * (d("s1y") * d("s22") - d("s12") * d("s2y"))
+        - d("sy") * (d("s1") * d("s22") - d("s12") * d("s2"))
+        + d("s2") * (d("s1") * d("s2y") - d("s1y") * d("s2"))
+    )
+    det2 = (
+        d("n") * (d("s11") * d("s2y") - d("s1y") * d("s12"))
+        - d("s1") * (d("s1") * d("s2y") - d("s1y") * d("s2"))
+        + d("sy") * (d("s1") * d("s12") - d("s11") * d("s2"))
+    )
+    betas = m.select(
+        (det0 / det).alias("b0"),
+        (det1 / det).alias("b1"),
+        (det2 / det).alias("b2"),
+    )
+    scored = base.crossJoin(F.broadcast(betas)).select(
+        "source",
+        F.floor(
+            (
+                F.col("y").cast("double")
+                - (
+                    F.col("b0")
+                    + F.col("b1") * F.col("x1").cast("double")
+                    + F.col("b2") * F.col("x2").cast("double")
+                )
+            )
+            * (
+                F.col("y").cast("double")
+                - (
+                    F.col("b0")
+                    + F.col("b1") * F.col("x1").cast("double")
+                    + F.col("b2") * F.col("x2").cast("double")
+                )
+            )
+            * F.lit(float(REG_FP))
+        ).alias("sqfp"),
+        "b0",
+        "b1",
+        "b2",
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("sqfp").alias("ssefp"),
+            F.any_value("b0").alias("b0r"),
+            F.any_value("b1").alias("b1r"),
+            F.any_value("b2").alias("b2r"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.round(
+                F.sqrt(
+                    F.col("ssefp").cast("double")
+                    / F.col("n_docs").cast("double")
+                    / F.lit(float(REG_FP))
+                ),
+                12,
+            ).alias("rmse"),
+            F.round("b0r", 12).alias("b0"),
+            F.round("b1r", 12).alias("b1"),
+            F.round("b2r", 12).alias("b2"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["corpus_token_regression"] = f"""
+with base as (
+  select doc_id, source,
+         cast(length(text) as bigint) x1,
+         cast(length(text) - length(replace(text, ' ', '')) as bigint) x2,
+         cast(length(list_distinct(string_split(text, ' ')))
+              as bigint) y
+  from documents),
+m as (
+  select cast(count(*) as bigint) n,
+         cast(sum(x1) as bigint) s1, cast(sum(x2) as bigint) s2,
+         cast(sum(y) as bigint) sy,
+         cast(sum(x1 * x1) as bigint) s11,
+         cast(sum(x1 * x2) as bigint) s12,
+         cast(sum(x2 * x2) as bigint) s22,
+         cast(sum(x1 * y) as bigint) s1y,
+         cast(sum(x2 * y) as bigint) s2y
+  from base),
+dets as (
+  select
+    cast(n as double) * (cast(s11 as double) * cast(s22 as double)
+                         - cast(s12 as double) * cast(s12 as double))
+    - cast(s1 as double) * (cast(s1 as double) * cast(s22 as double)
+                            - cast(s12 as double) * cast(s2 as double))
+    + cast(s2 as double) * (cast(s1 as double) * cast(s12 as double)
+                            - cast(s11 as double) * cast(s2 as double))
+      det,
+    cast(sy as double) * (cast(s11 as double) * cast(s22 as double)
+                          - cast(s12 as double) * cast(s12 as double))
+    - cast(s1 as double) * (cast(s1y as double) * cast(s22 as double)
+                            - cast(s12 as double) * cast(s2y as double))
+    + cast(s2 as double) * (cast(s1y as double) * cast(s12 as double)
+                            - cast(s11 as double) * cast(s2y as double))
+      det0,
+    cast(n as double) * (cast(s1y as double) * cast(s22 as double)
+                         - cast(s12 as double) * cast(s2y as double))
+    - cast(sy as double) * (cast(s1 as double) * cast(s22 as double)
+                            - cast(s12 as double) * cast(s2 as double))
+    + cast(s2 as double) * (cast(s1 as double) * cast(s2y as double)
+                            - cast(s1y as double) * cast(s2 as double))
+      det1,
+    cast(n as double) * (cast(s11 as double) * cast(s2y as double)
+                         - cast(s1y as double) * cast(s12 as double))
+    - cast(s1 as double) * (cast(s1 as double) * cast(s2y as double)
+                            - cast(s1y as double) * cast(s2 as double))
+    + cast(sy as double) * (cast(s1 as double) * cast(s12 as double)
+                            - cast(s11 as double) * cast(s2 as double))
+      det2
+  from m),
+betas as (
+  select det0 / det b0, det1 / det b1, det2 / det b2 from dets),
+scored as (
+  select source,
+         cast(floor(
+           (cast(y as double) - (b0 + b1 * cast(x1 as double)
+                                 + b2 * cast(x2 as double)))
+           * (cast(y as double) - (b0 + b1 * cast(x1 as double)
+                                   + b2 * cast(x2 as double)))
+           * {float(REG_FP)}) as bigint) sqfp,
+         b0, b1, b2
+  from base cross join betas)
+select source,
+       cast(count(*) as bigint) n_docs,
+       round(sqrt(cast(sum(sqfp) as double) / cast(count(*) as double)
+                  / {float(REG_FP)}), 12) rmse,
+       round(any_value(b0), 12) b0,
+       round(any_value(b1), 12) b1,
+       round(any_value(b2), 12) b2
+from scored
+group by source
+order by source
+"""
