@@ -168,6 +168,7 @@ _GATE_PRIORITY = [
     "events_aqe_skew_join",
     "ivf_incremental_ingest",
     "corpus_token_regression",
+    "events_stream_upsert",
     # (b) rewritten in round 10 — plans and oracles both changed
     "sim_topk_pq",
     "sim_topk_pq_rerank",

@@ -873,3 +873,37 @@ from events e join customer c on e.user_id = c.c_custkey
 group by c_mktsegment
 order by c_mktsegment
 """
+
+
+# -------------------------------------------------- events_stream_upsert
+@_q("events_stream_upsert")
+def events_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE-mode + foreachBatch idempotent upsert gate, the TENTH
+    real streaming execution — the sink-semantics class the other nine
+    do not cover: append (windows, joins, file sink) and complete
+    (static join totals) modes are gated, but UPDATE mode — emit only
+    keys whose state changed this micro-batch — plus the
+    foreachBatch append/last-writer-wins upsert store is THE pattern
+    production pipelines use against merge-less sinks (plain parquet
+    lakes). live.stream_upsert runs the real micro-batches; the
+    resolved store (latest batch per user) must hash-equal the batch
+    per-user aggregate over the full table.
+
+    Per-event fixed-point flooring keeps the running sums micro-batch-
+    order-independent (the repo's law); update-mode output is bounded
+    by keys touched per batch, not key cardinality — the property
+    that makes this shape viable at 100 TB feeds."""
+    from duckdb_wasm_spark.streaming.live import stream_upsert
+
+    return stream_upsert(spark, sf_dir).orderBy("user_id")
+
+
+ORACLE["events_stream_upsert"] = """
+select user_id,
+       count(*) n_events,
+       cast(sum(cast(floor(value * 1000000) as bigint)) as bigint)
+         sum_value_micros
+from events
+group by user_id
+order by user_id
+"""

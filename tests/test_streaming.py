@@ -88,3 +88,29 @@ def test_stream_late_data_dropped_by_watermark(spark):
     assert len(g) == 1
     ((user_id, _start, count),) = g
     assert user_id == 1 and count == 3
+
+
+def test_upsert_store_replay_idempotent(spark, tmp_path):
+    """The upsert gate's exactly-once story: a re-delivered
+    foreachBatch append (same batch_id, same content) must collapse in
+    the last-writer-wins resolution — resolved state is identical with
+    and without the replay."""
+    store = str(tmp_path / "store")
+    b0 = spark.createDataFrame(
+        [(1, 3, 300), (2, 1, 100)],
+        "user_id long, n_events long, sum_value_micros long",
+    ).withColumn("_batch", F.lit(0))
+    b1 = spark.createDataFrame(
+        [(1, 5, 520)],
+        "user_id long, n_events long, sum_value_micros long",
+    ).withColumn("_batch", F.lit(1))
+    b0.write.mode("append").parquet(store)
+    b1.write.mode("append").parquet(store)
+    before = sorted(
+        map(tuple, live._resolve_upsert_store(spark, store).collect())
+    )
+    b1.write.mode("append").parquet(store)  # replayed delivery
+    after = sorted(
+        map(tuple, live._resolve_upsert_store(spark, store).collect())
+    )
+    assert before == after == [(1, 5, 520), (2, 1, 100)]
