@@ -194,7 +194,8 @@ _GATE_PRIORITY = [
     "sim_topk_ivf_trained",
     "embed_random_projection",
     "embed_pca_power",
-    "embed_cluster_purity",
+    # embed_cluster_purity moved up to (b): its plan switched to the
+    # session-memoized trained centroids this round
     "pipeline_clean_corpus",
     "sample_balanced",
     "decontaminate_ngram",

@@ -78,6 +78,16 @@ BNLJ_ALLOWED = {
         "1-row rank-picked bounds frame crossed into the zone map and "
         "the scan; final 1-row x 1-row scalar cross"
     ),
+    "ivf_incremental_ingest": (
+        "the _assign_cells broadcast of the C-row trained-centroid "
+        "frame (N_CENTROIDS=8 rows by construction) crossed into the "
+        "corpus for nearest-cell ranking — same bounded shape as the "
+        "other IVF consumers"
+    ),
+    "corpus_token_regression": (
+        "the 1-row solved-betas frame (a global aggregate) broadcast-"
+        "crossed into the corpus for residual scoring"
+    ),
 }
 
 # Partition-less Window nodes funnel their whole input through ONE
