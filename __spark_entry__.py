@@ -169,6 +169,8 @@ _GATE_PRIORITY = [
     "ivf_incremental_ingest",
     "corpus_token_regression",
     "events_stream_upsert",
+    "micro_topk_per_group",
+    "sample_weighted_priority",
     # (b) rewritten in round 10 — plans and oracles both changed
     "sim_topk_pq",
     "sim_topk_pq_rerank",

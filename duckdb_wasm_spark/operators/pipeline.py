@@ -1585,3 +1585,67 @@ from scored
 group by source
 order by source
 """
+
+
+# ---------------------------------------------- sample_weighted_priority
+WPRI_K = 40  # docs kept per source
+
+
+@_q("sample_weighted_priority")
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC weighted-priority sampling per source — the
+    Efraimidis–Spirakis one-pass reservoir SHAPE (assign each row a
+    priority from (hash, weight), keep the per-stratum top-K by
+    priority; mergeable across partitions because top-K of a union is
+    top-K of the per-partition top-Ks) with the repo's md5-derived
+    determinism: u = the 60-bit md5 fold of the doc id, priority =
+    u / weight, weight = n_chars — longer docs draw smaller priorities
+    and are proportionally favored, the standard length-weighted draw
+    a mixture sampler runs per source.
+
+    Honesty note: true A-ES uses u^(1/w) (exactly probability-
+    proportional-to-size without replacement); u/w is the monotone
+    single-IEEE-DIVISION variant — favoring is approximate, but the
+    arithmetic is ONE correctly-rounded IEEE op on engine-identical
+    doubles, so the selected SET is hash-exact cross-engine, where a
+    pow()/ln() form would ride each engine's libm ulp differences
+    straight into the gate hash. The mechanism under test —
+    deterministic, mergeable, per-stratum weighted top-K at corpus
+    scale — is identical.
+
+    Scale: one narrow scan; the per-source window executes as
+    WindowGroupLimit (only K rows per source survive the partial
+    stage); no corpus-sized state anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    pri = (
+        F.expr(
+            "cast(conv(substring(md5(concat('wpri ', "
+            "cast(doc_id as string))), 1, 15), 16, 10) as bigint)"
+        ).cast("double")
+        / F.col("n_chars").cast("double")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("priority").asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("source", "doc_id", "n_chars", pri.alias("priority"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= WPRI_K)
+        .select("source", "doc_id", "n_chars", "rk")
+    )
+
+
+ORACLE["sample_weighted_priority"] = f"""
+select source, doc_id, n_chars, rk from (
+  select source, doc_id, n_chars,
+         row_number() over (
+           partition by source
+           order by cast(('0x' || substr(md5('wpri ' || cast(doc_id as
+                     varchar)), 1, 15))::bigint as double)
+                    / cast(n_chars as double) asc,
+                    doc_id asc) rk
+  from documents)
+where rk <= {WPRI_K}
+"""

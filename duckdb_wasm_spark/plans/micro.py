@@ -960,3 +960,45 @@ from fact join customer on skew_key = c_custkey
 group by c_mktsegment
 order by c_mktsegment
 """
+
+
+# --------------------------------------------------- micro_topk_per_group
+GROUP_TOP_K = 3  # per-user top events kept
+
+
+@_q("micro_topk_per_group")
+def micro_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP-K PER GROUP with rank-limit pushdown — the grouped sibling
+    of micro_topk's TakeOrderedAndProject: a row_number window under a
+    rank<=K predicate must execute as WindowGroupLimit (Spark 3.5+),
+    which keeps only K rows per group IN THE PARTIAL stage (before and
+    after the shuffle) instead of materializing and sorting every
+    group's full row set — at 100 TB the difference between shuffling
+    K x |groups| rows and shuffling the corpus.
+    tests/test_micro.py::test_topk_per_group_plan asserts the
+    WindowGroupLimit node.
+
+    Order is total (value desc, event_id asc), so the selected set is
+    engine-exact; value rides through untouched (no aggregation, so no
+    float-sum hazard)."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        ev.select("user_id", "event_id", "value")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= GROUP_TOP_K)
+    )
+
+
+ORACLE["micro_topk_per_group"] = f"""
+select user_id, event_id, "value", rk from (
+  select user_id, event_id, "value",
+         row_number() over (partition by user_id
+                            order by "value" desc, event_id asc) rk
+  from events)
+where rk <= {GROUP_TOP_K}
+"""

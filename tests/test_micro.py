@@ -31,3 +31,15 @@ def test_topk_plan_is_take_ordered(spark, sf_dir):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_topk_per_group_plan(spark, sf_dir):
+    """micro_topk_per_group's executed plan must carry WindowGroupLimit
+    (rank-limit pushdown: only K rows per group survive the partial
+    stage) — without it the window materializes every group's full
+    sorted row set."""
+    from duckdb_wasm_spark.plans import micro
+
+    df = micro.QUERIES["micro_topk_per_group"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:1200]
