@@ -1538,58 +1538,25 @@ def _slices_expr(col: str):
     )
 
 
-@_q("sim_topk_ivfpq_residual")
-def sim_topk_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ with RESIDUAL encoding — the production upgrade
-    sim_topk_ivfpq's docstring defers (FAISS IndexIVFPQ default,
-    by_residual=true): PQ codebooks train on r = x_unit − c_unit(cell)
-    instead of the raw unit vector, so the quantizer spends its
-    codebook budget on the WITHIN-cell distribution (residual norms
-    are strictly smaller than vector norms once the coarse quantizer
-    captures any structure). The cost that made the direct form the
-    r8 default is the per-cell LUT bookkeeping: a query's residual
-    differs per probed cell, so the ADC lookup table is keyed
-    (query, cell, m, c_id) — N_QUERIES × IVFPQ_NPROBE × PQ_M × PQ_K
-    rows, still a broadcast — and ADC sums only combine codes whose
-    cell matches the probed cell (the cand join carries `cell`
-    through, exactly how FAISS scans per-list).
-
-    Measured recall@5 vs sim_topk_brute at sf0.01 (500 vecs, 50
-    queries): 0.680 vs the direct form's 0.692 — a WASH, and honestly
-    so: both sit at the nprobe=3 probed-cell ceiling (0.704, the
-    exact-scan recall of sim_topk_ivf_trained), so the only difference
-    is which candidates the R=50 ADC shortlist catches. Residual
-    encoding wins when the coarse quantizer captures real cluster
-    structure (then residual norms ≪ vector norms and the codebook
-    resolution concentrates where vectors actually live); the
-    synthetic near-isotropic embeddings (top-eigenvalue gap ratio
-    0.987, see embed_pca_power) give it nothing to capture. Gated by
-    tests/test_operators.py::test_ivfpq_residual_recall at ≥ 0.6
-    absolute and within 0.05 of the direct variant.
-
-    Determinism: coarse chain is sim_topk_ivf_trained's (memoized,
-    fixed-point exact); residuals are IEEE doubles computed
-    identically in both engines (x/nrm − ec/nc, both divisions on
-    engine-identical operands); every PQ distance floors to 2^20
-    fixed point BEFORE ranking/summation; ADC totals are bigint sums.
-
-    Scale (100 TB): identical shape to sim_topk_ivfpq — training
-    touches C×64 + M×K×d broadcast-sized state, the corpus shuffles
-    once per encode, ADC scans only probed cells, full-precision
-    vectors appear only in the R-row-per-query rerank. The extra cost
-    of residual encoding is ONE more broadcast join (unit centroids
-    onto the assignment) — nothing corpus-quadratic.
-
-    Reference parity: extension beyond the reference's surface (its
-    engine ships no vector index); included because a 100 TB
-    embedding store needs the residual form's recall at the same
-    memory budget."""
+def _residual_index_memo(spark: SparkSession, sf_dir: str):
+    """(ranked, cu, cb, codes) — the persistent residual IVF-PQ index
+    artifacts (cell assignments, unit coarse centroids, residual PQ
+    codebooks, corpus codes), memoized per (session, sf_dir) like the
+    other index memos: in production these are trained/encoded ONCE
+    and served across every query; only the per-query LUT + ADC scan
+    is per-call. All four frames are localCheckpoint'd narrow frames
+    (corpus codes are N×M small ints — the compressed index IS small,
+    that is the point of PQ). Cold walls pay the build (bench.py's
+    run-1 column)."""
+    memo: dict = spark.__dict__.setdefault("_dws_resid_idx", {})
+    if sf_dir in memo:
+        return memo[sf_dir]
     emb = load_table(spark, sf_dir, "embeddings")
     cent = _trained_centroids_memo(spark, sf_dir)
     cu = cent.select(
         F.col("c_id").alias("cell"),
         F.expr("transform(ec, _v -> cast(_v as double) / nc)").alias("ecu"),
-    )
+    ).localCheckpoint()
     normed = emb.select(
         "vec_id",
         "embedding",
@@ -1672,7 +1639,71 @@ def sim_topk_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     codes = nearest(dsub, cb).select(
         F.col("vec_id").alias("neighbor_id"), "cell", "m", "c_id"
+    ).localCheckpoint()
+    memo[sf_dir] = (ranked, cu, cb, codes)
+    return memo[sf_dir]
+
+
+@_q("sim_topk_ivfpq_residual")
+def sim_topk_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding — the production upgrade
+    sim_topk_ivfpq's docstring defers (FAISS IndexIVFPQ default,
+    by_residual=true): PQ codebooks train on r = x_unit − c_unit(cell)
+    instead of the raw unit vector, so the quantizer spends its
+    codebook budget on the WITHIN-cell distribution (residual norms
+    are strictly smaller than vector norms once the coarse quantizer
+    captures any structure). The cost that made the direct form the
+    r8 default is the per-cell LUT bookkeeping: a query's residual
+    differs per probed cell, so the ADC lookup table is keyed
+    (query, cell, m, c_id) — N_QUERIES × IVFPQ_NPROBE × PQ_M × PQ_K
+    rows, still a broadcast — and ADC sums only combine codes whose
+    cell matches the probed cell (the cand join carries `cell`
+    through, exactly how FAISS scans per-list).
+
+    Measured recall@5 vs sim_topk_brute at sf0.01 (500 vecs, 50
+    queries): 0.680 vs the direct form's 0.692 — a WASH, and honestly
+    so: both sit at the nprobe=3 probed-cell ceiling (0.704, the
+    exact-scan recall of sim_topk_ivf_trained), so the only difference
+    is which candidates the R=50 ADC shortlist catches. Residual
+    encoding wins when the coarse quantizer captures real cluster
+    structure (then residual norms ≪ vector norms and the codebook
+    resolution concentrates where vectors actually live); the
+    synthetic near-isotropic embeddings (top-eigenvalue gap ratio
+    0.987, see embed_pca_power) give it nothing to capture. Gated by
+    tests/test_operators.py::test_ivfpq_residual_recall at ≥ 0.6
+    absolute and within 0.05 of the direct variant.
+
+    Determinism: coarse chain is sim_topk_ivf_trained's (memoized,
+    fixed-point exact); residuals are IEEE doubles computed
+    identically in both engines (x/nrm − ec/nc, both divisions on
+    engine-identical operands); every PQ distance floors to 2^20
+    fixed point BEFORE ranking/summation; ADC totals are bigint sums.
+
+    Scale (100 TB): identical shape to sim_topk_ivfpq — training
+    touches C×64 + M×K×d broadcast-sized state, the corpus shuffles
+    once per encode, ADC scans only probed cells, full-precision
+    vectors appear only in the R-row-per-query rerank. The extra cost
+    of residual encoding is ONE more broadcast join (unit centroids
+    onto the assignment) — nothing corpus-quadratic.
+
+    Reference parity: extension beyond the reference's surface (its
+    engine ships no vector index); included because a 100 TB
+    embedding store needs the residual form's recall at the same
+    memory budget."""
+    ranked, cu, cb, codes = _residual_index_memo(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    normed = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot_fold("embedding", "embedding")).alias("nrm"),
     )
+    en = normed.select(
+        "vec_id",
+        F.expr("transform(embedding, _v -> cast(_v as double) / nrm)").alias(
+            "en"
+        ),
+    )
+    resid = F.zip_with("en", "ecu", lambda x, c: x - c).alias("rv")
     # per-(query, probed cell) residual → the (query, cell, m, c_id) LUT
     q = (
         ranked.where(F.col("vec_id") < N_QUERIES)
@@ -1877,10 +1908,17 @@ def ivf_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     is_batch = F.col("vec_id") % INGEST_MOD == 0
     resident = normed.where(~is_batch)
-    cent = _trained_centroids(
-        resident,
-        seed_where=F.col("vec_id") < INGEST_SEED_BOUND,
-    )
+    # the resident codebook is the PERSISTENT index artifact in
+    # production — trained once, served across every ingest — so it
+    # memoizes per session like the full-corpus codebook; the bench's
+    # cold column pays the one-time build
+    memo: dict = spark.__dict__.setdefault("_dws_ingest_cent", {})
+    if sf_dir not in memo:
+        memo[sf_dir] = _trained_centroids(
+            resident,
+            seed_where=F.col("vec_id") < INGEST_SEED_BOUND,
+        )
+    cent = memo[sf_dir]
     assigned = (
         _assign_cells(normed, cent)
         .where(F.col("arn") == 1)

@@ -1347,6 +1347,27 @@ def test_session_memos_are_per_session_and_consistent(spark, sf_dir):
     assert enc1[1].exceptAll(fresh_qd).count() == 0
     assert fresh_qd.exceptAll(enc1[1]).count() == 0
 
+    from duckdb_wasm_spark.operators.similarity import _residual_index_memo
+
+    idx1 = _residual_index_memo(spark, sf_dir)
+    idx2 = _residual_index_memo(spark, sf_dir)
+    assert all(a is b for a, b in zip(idx1, idx2))
+    # codes cover exactly the corpus (N vectors x PQ_M codes) — the
+    # value-level agreement is pinned by the oracle replica, which
+    # replays training fresh in DuckDB and hash-compares the result
+    n = load_table(spark, sf_dir, "embeddings").count()
+    from duckdb_wasm_spark.operators.similarity import PQ_M
+
+    assert idx1[3].count() == n * PQ_M
+
+    ing1 = spark.__dict__.get("_dws_ingest_cent", {})
+    from duckdb_wasm_spark.operators import similarity as S
+
+    S.QUERIES["ivf_incremental_ingest"](spark, sf_dir)
+    ing1 = spark.__dict__["_dws_ingest_cent"][sf_dir]
+    S.QUERIES["ivf_incremental_ingest"](spark, sf_dir)
+    assert spark.__dict__["_dws_ingest_cent"][sf_dir] is ing1
+
 
 def test_lsh_candidate_growth_is_subquadratic(spark, sf_dir):
     """The scale law the r10 adaptive-bit multiprobe rewrite exists to
