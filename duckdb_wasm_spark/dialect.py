@@ -92,9 +92,24 @@ def _rewrite_casts(sql: str) -> str:
     prev = None
     while prev != sql:  # fixpoint: supports chained/nested casts
         prev = sql
-        sql = _CAST_RE.sub(
-            lambda m: f"CAST({m.group(1)} AS {map_type_name(m.group(2))})", sql
-        )
+        spans = list(_protected_spans(sql))
+
+        def repl(m):
+            # the :: SEPARATING operand and type must lie outside any
+            # literal/comment span: 'a::b' is literal TEXT, not a cast
+            # (hypothesis finding, tests/test_properties.py). The
+            # operand itself may legitimately BE a literal
+            # ('2020-01-01'::date), so whole-match span protection
+            # would be wrong — only the separator position is checked.
+            # rfind: the type can't contain '::'; an operand that does
+            # (nested paren cast) still separates at the LAST '::'.
+            sep = m.start() + m.group(0).rfind("::")
+            for s, e in spans:
+                if s <= sep < e:
+                    return m.group(0)
+            return f"CAST({m.group(1)} AS {map_type_name(m.group(2))})"
+
+        sql = _CAST_RE.sub(repl, sql)
     return sql
 
 
@@ -131,11 +146,19 @@ def _rewrite_generate_series(sql: str) -> str:
     return _GENSERIES_RE.sub(repl, sql)
 
 
+# [^()] argument groups: a lazy .+? crossed the CLOSING paren whenever
+# a later ' from ' + ')' existed downstream ("substring(s, 2, 3) ...
+# select x from t)" ate the intervening SQL — hypothesis finding,
+# tests/test_properties.py::test_dialect_rewrite_is_idempotent).
+# Parenthesized operands (substring(f(x) from 2)) are out of scope;
+# the reference corpus only uses plain column/literal operands
+# (tpch/22.sql: substring(c_phone from 1 for 2)).
 _SUBSTR_FF = re.compile(
-    r"substring\s*\(\s*(.+?)\s+from\s+(.+?)\s+for\s+(.+?)\s*\)", re.IGNORECASE
+    r"substring\s*\(\s*([^()]+?)\s+from\s+([^()]+?)\s+for\s+([^()]+?)\s*\)",
+    re.IGNORECASE,
 )
 _SUBSTR_F = re.compile(
-    r"substring\s*\(\s*(.+?)\s+from\s+(.+?)\s*\)", re.IGNORECASE
+    r"substring\s*\(\s*([^()]+?)\s+from\s+([^()]+?)\s*\)", re.IGNORECASE
 )
 
 

@@ -116,3 +116,50 @@ def test_analyze_json_row_order_does_not_change_column_set(rows):
     an = {n for n, _ in (a.type.fields if a.type else [])}
     bn = {n for n, _ in (b.type.fields if b.type else [])}
     assert an == bn
+
+
+# ------------------------------------------------------------ dialect
+from duckdb_wasm_spark import dialect  # noqa: E402
+
+
+_SNIPPETS = st.lists(
+    st.sampled_from(
+        [
+            "select x::INTEGER from t",
+            "select substring(s from 2 for 3) from t",
+            "select * from generate_series(0, 9) g(v)",
+            "select * EXCLUDE (a) from t",
+            "select strftime(d, '%Y-%m-%d') from t",
+            "select 'a::b' from t",          # cast syntax inside a literal
+            "select '* EXCLUDE (x)' from t",  # rewrite keyword in a literal
+            "select 1",
+        ]
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_SNIPPETS)
+def test_dialect_rewrite_is_idempotent(parts):
+    """Rewrites must not re-fire on their own output: translating a
+    translated text is the identity (a second pass that changed
+    anything would mean the rewrite's output re-matches its own
+    pattern — the classic double-rewrite corruption class)."""
+    sql = " union all ".join(parts)
+    once, _ = dialect._rewrite_query_text(sql)
+    twice, _ = dialect._rewrite_query_text(once)
+    assert twice == once
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="ab:*()' ECXLUDE%", max_size=40))
+def test_dialect_rewrite_preserves_string_literals(body):
+    """Whatever surrounds it, a complete single-quoted literal's TEXT
+    survives translation byte-for-byte (rewrites run outside protected
+    spans only)."""
+    lit = "'" + body.replace("'", "") + "'"
+    sql = f"select {lit} as c from t"
+    out, _ = dialect._rewrite_query_text(sql)
+    assert lit in out
