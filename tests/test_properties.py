@@ -163,3 +163,112 @@ def test_dialect_rewrite_preserves_string_literals(body):
     sql = f"select {lit} as c from t"
     out, _ = dialect._rewrite_query_text(sql)
     assert lit in out
+
+
+# ----------------------------------------------------------- typenames
+from duckdb_wasm_spark.sources import typenames as tn  # noqa: E402
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet="abcdefgihlmnoprstuvz0123456789[](), ", max_size=25))
+def test_parse_type_fails_closed(name):
+    """Arbitrary type-name text either parses or raises the defined
+    TypeNameError — never a stray KeyError/IndexError (the ingestion
+    path surfaces this error verbatim to the API caller)."""
+    try:
+        tn.parse_type(name)
+    except tn.TypeNameError:
+        pass
+
+
+# ----------------------------------------------- JSON column-object spans
+@settings(max_examples=200, deadline=None)
+@given(
+    st.dictionaries(
+        st.text(alphabet="ab\\\"'", min_size=1, max_size=4),
+        st.lists(
+            st.integers(-5, 5) | st.text(max_size=4), max_size=3
+        ),
+        max_size=3,
+    )
+)
+def test_column_spans_are_in_bounds_and_start_on_arrays(obj):
+    """_column_spans scans raw bytes with its own string/escape
+    tracking — every reported (offset, size) must stay inside the text
+    and start on the column's '[' whatever hostile key characters
+    (quotes, backslashes) appear."""
+    text = json.dumps(obj)
+    spans = ja._column_spans(text)
+    if spans is None:
+        return
+    for k, (off, size) in spans.items():
+        assert 0 <= off <= len(text) and off + size <= len(text)
+        assert text[off:off + size].startswith("[")
+
+
+# ------------------------------------------------------------ http_range
+from duckdb_wasm_spark.sources.http_range import HttpRangeReader  # noqa: E402
+
+
+class _FakeRange(HttpRangeReader):
+    """Transport replaced by a byte slice — pins the chunk/cache/seek
+    arithmetic without a server."""
+
+    def __init__(self, data: bytes, chunk: int):
+        super().__init__("http://fake/x", chunk=chunk)
+        self._data = data
+
+    def _get_range(self, start, end):
+        self.request_log.append((start, end))
+        if self._size is None:
+            self._size = len(self._data)
+        return self._data[start:end + 1]
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.binary(min_size=1, max_size=200),
+    st.integers(1, 32),
+    st.integers(0, 250),
+    st.integers(-5, 250),
+)
+def test_http_range_reads_equal_slices(data, chunk, pos, ln):
+    f = _FakeRange(data, chunk)
+    f.seek(min(pos, len(data)))
+    out = f.read(ln)
+    start = min(pos, len(data))
+    expect = data[start:] if ln < 0 else data[start:start + ln]
+    assert out == expect
+    f.seek(-1, 2)
+    assert f.tell() == len(data) - 1
+    assert f.read(1) == data[-1:]
+    # chunk-aligned transport: every request stays inside the file and
+    # no single request spans more than one chunk block
+    for s, e in f.request_log:
+        assert 0 <= s <= e < len(data)
+        assert e - s + 1 <= chunk
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(
+            [
+                "select * from t qualify row_number() over (order by x)"
+                " <= 2",
+                "select a from t where a > 1",
+                "select 'qualify' from t",
+                "select * from generate_series(0, 9) g(v)",
+                "select * from generate_series(0, ?) g(v)",
+                "select * from generate_series(10, 0, -2) g(v)",
+            ]
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_qualify_and_generate_series_rewrites_idempotent(parts):
+    sql = " union all ".join(parts)
+    o1, _ = dialect._rewrite_query_text(sql)
+    o2, _ = dialect._rewrite_query_text(o1)
+    assert o1 == o2
