@@ -80,7 +80,10 @@ _CAST_OPERAND = (
     # lex the keyword as a call name
     r"([A-Za-z_][\w.]*\([^()]*\)"
     r"|\([^()]*\)"  # (...)
-    r"|'[^']*'"  # 'literal'
+    r"|'(?:[^']|'')*'"  # 'literal' incl. doubled-quote escapes
+    #   ('it''s'::text must lex the WHOLE literal as the operand —
+    #   the old [^']* variant matched only 's' and the rewrite
+    #   straddled the protected span; round-10 ADVICE)
     r"|[A-Za-z_][\w.]*"  # identifier
     r"|\d+(?:\.\d+)?)"  # number
 )
@@ -106,6 +109,12 @@ def _rewrite_casts(sql: str) -> str:
             sep = m.start() + m.group(0).rfind("::")
             for s, e in spans:
                 if s <= sep < e:
+                    return m.group(0)
+                # a match STARTING strictly inside a literal span is a
+                # mis-lex (e.g. the tail of 'it''s' re-parsed as its
+                # own literal); a legitimate literal operand starts AT
+                # the span start, never inside it (round-10 ADVICE).
+                if s < m.start() < e:
                     return m.group(0)
             return f"CAST({m.group(1)} AS {map_type_name(m.group(2))})"
 
@@ -153,18 +162,52 @@ def _rewrite_generate_series(sql: str) -> str:
 # Parenthesized operands (substring(f(x) from 2)) are out of scope;
 # the reference corpus only uses plain column/literal operands
 # (tpch/22.sql: substring(c_phone from 1 for 2)).
+#
+# Quoted literals are consumed ATOMICALLY (the char class excludes ')
+# so a ' from ' INSIDE a literal operand can never be lexed as the
+# FROM separator: substring('a from b' from 2) keeps its literal
+# intact (round-10 ADVICE — the old [^()] class let the separator
+# match straddle the literal and silently rewrote its content).
+_SUBSTR_ARG = r"((?:'(?:[^']|'')*'|[^()'])+?)"
 _SUBSTR_FF = re.compile(
-    r"substring\s*\(\s*([^()]+?)\s+from\s+([^()]+?)\s+for\s+([^()]+?)\s*\)",
+    r"substring\s*\(\s*" + _SUBSTR_ARG + r"\s+from\s+" + _SUBSTR_ARG
+    + r"\s+for\s+" + _SUBSTR_ARG + r"\s*\)",
     re.IGNORECASE,
 )
 _SUBSTR_F = re.compile(
-    r"substring\s*\(\s*([^()]+?)\s+from\s+([^()]+?)\s*\)", re.IGNORECASE
+    r"substring\s*\(\s*" + _SUBSTR_ARG + r"\s+from\s+" + _SUBSTR_ARG
+    + r"\s*\)",
+    re.IGNORECASE,
 )
 
 
 def _rewrite_substring(sql: str) -> str:
-    sql = _SUBSTR_FF.sub(r"substring(\1, \2, \3)", sql)
-    sql = _SUBSTR_F.sub(r"substring(\1, \2)", sql)
+    # belt-and-braces on top of the atomic-literal lexing above: the
+    # FROM/FOR separator positions must also lie outside comment spans
+    # (same discipline as _rewrite_casts' :: separator check).
+    spans = list(_protected_spans(sql))
+
+    def _seps_ok(m: re.Match, ngroups: int) -> bool:
+        for g in range(1, ngroups):  # separator between group g and g+1
+            lo, hi = m.end(g), m.start(g + 1)
+            for s, e in spans:
+                if s < hi and lo < e:  # separator region overlaps a span
+                    return False
+        return True
+
+    def repl_ff(m):
+        if not _seps_ok(m, 3):
+            return m.group(0)
+        return f"substring({m.group(1)}, {m.group(2)}, {m.group(3)})"
+
+    def repl_f(m):
+        if not _seps_ok(m, 2):
+            return m.group(0)
+        return f"substring({m.group(1)}, {m.group(2)})"
+
+    sql = _SUBSTR_FF.sub(repl_ff, sql)
+    spans = list(_protected_spans(sql))
+    sql = _SUBSTR_F.sub(repl_f, sql)
     return sql
 
 

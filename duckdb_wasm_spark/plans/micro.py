@@ -25,6 +25,9 @@ double results are bit-stable across engines and partition orders.
 
 from __future__ import annotations
 
+import contextlib
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -768,8 +771,19 @@ _BLOOM_CONFS = {
 }
 
 
+_SCOPED_CONF_LOCK = threading.Lock()
+
+
 def _scoped_confs(spark: SparkSession, confs: dict):
-    """Set confs, returning a restore closure (None-valued = unset)."""
+    """Set confs, returning a restore closure (None-valued = unset).
+
+    SQL confs are SESSION-GLOBAL: any query PLANNED while the scoped
+    confs are live would plan under them (round-10 ADVICE). Callers
+    must hold `_SCOPED_CONF_LOCK` for the whole set→plan→restore
+    window (see `scoped_confs` context manager below); the registry
+    runners execute gates sequentially, but intra-query thread pools
+    exist elsewhere in the repo, so the lock is enforced rather than
+    assumed."""
     old: dict = {}
     for k, v in confs.items():
         try:
@@ -786,6 +800,18 @@ def _scoped_confs(spark: SparkSession, confs: dict):
                 spark.conf.set(k, v)
 
     return restore
+
+
+@contextlib.contextmanager
+def scoped_confs(spark: SparkSession, confs: dict):
+    """Lock-guarded conf scope: no other `scoped_confs` block can plan
+    a query under this block's confs (round-10 ADVICE)."""
+    with _SCOPED_CONF_LOCK:
+        restore = _scoped_confs(spark, confs)
+        try:
+            yield
+        finally:
+            restore()
 
 
 def _bloom_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -831,11 +857,8 @@ def orders_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     might_contain appear in the executed plan and that the result is
     identical with the filter disabled (pruning must never change
     results). Determinism: exact decimal sum cast to double."""
-    restore = _scoped_confs(spark, _BLOOM_CONFS)
-    try:
+    with scoped_confs(spark, _BLOOM_CONFS):
         out = _bloom_join_frame(spark, sf_dir).localCheckpoint()
-    finally:
-        restore()
     return out
 
 
@@ -938,11 +961,8 @@ def events_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     run; the oracle replays the plain join (the split must be
     result-invisible). Confs are scoped around an eager
     localCheckpoint exactly like orders_bloom_join."""
-    restore = _scoped_confs(spark, _AQE_SKEW_CONFS)
-    try:
+    with scoped_confs(spark, _AQE_SKEW_CONFS):
         out = _aqe_skew_frame(spark, sf_dir).localCheckpoint()
-    finally:
-        restore()
     return out
 
 

@@ -1360,13 +1360,23 @@ def test_session_memos_are_per_session_and_consistent(spark, sf_dir):
 
     assert idx1[3].count() == n * PQ_M
 
-    ing1 = spark.__dict__.get("_dws_ingest_cent", {})
     from duckdb_wasm_spark.operators import similarity as S
 
     S.QUERIES["ivf_incremental_ingest"](spark, sf_dir)
     ing1 = spark.__dict__["_dws_ingest_cent"][sf_dir]
     S.QUERIES["ivf_incremental_ingest"](spark, sf_dir)
     assert spark.__dict__["_dws_ingest_cent"][sf_dir] is ing1
+    # value-level check: the memoized ingest codebook equals a fresh
+    # derivation over the resident (non-batch) vectors (r10 ADVICE —
+    # the other memos get this exceptAll discipline; match it here)
+    resident = normed.where(
+        ~(F.col("vec_id") % S.INGEST_MOD == 0)
+    )
+    fresh_ing = _trained_centroids(
+        resident, seed_where=F.col("vec_id") < S.INGEST_SEED_BOUND
+    )
+    assert ing1.exceptAll(fresh_ing).count() == 0
+    assert fresh_ing.exceptAll(ing1).count() == 0
 
 
 def test_lsh_candidate_growth_is_subquadratic(spark, sf_dir):

@@ -93,8 +93,7 @@ def test_bloom_join_filters_at_runtime(spark, sf_dir, oracle):
     from duckdb_wasm_spark.plans import micro
     from duckdb_wasm_spark.testing import assert_parity
 
-    restore = micro._scoped_confs(spark, micro._BLOOM_CONFS)
-    try:
+    with micro.scoped_confs(spark, micro._BLOOM_CONFS):
         df = micro._bloom_join_frame(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "bloom_filter_agg" in plan, (
@@ -120,8 +119,6 @@ def test_bloom_join_filters_at_runtime(spark, sf_dir, oracle):
             spark.conf.set(
                 "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
             )
-    finally:
-        restore()
     # the registered gate (checkpointed, confs restored) matches the
     # oracle and leaves no conf leaked behind
     out = micro.QUERIES["orders_bloom_join"](spark, sf_dir)
@@ -141,8 +138,7 @@ def test_aqe_skew_join_splits_at_runtime(spark, sf_dir, oracle):
     from duckdb_wasm_spark.plans import micro
     from duckdb_wasm_spark.testing import assert_parity
 
-    restore = micro._scoped_confs(spark, micro._AQE_SKEW_CONFS)
-    try:
+    with micro.scoped_confs(spark, micro._AQE_SKEW_CONFS):
         df = micro._aqe_skew_frame(spark, sf_dir)
         with_skew = df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
@@ -161,8 +157,6 @@ def test_aqe_skew_join_splits_at_runtime(spark, sf_dir, oracle):
             )
         finally:
             spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-    finally:
-        restore()
     out = micro.QUERIES["events_aqe_skew_join"](spark, sf_dir)
     assert (
         spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"

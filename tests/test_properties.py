@@ -132,6 +132,8 @@ _SNIPPETS = st.lists(
             "select strftime(d, '%Y-%m-%d') from t",
             "select 'a::b' from t",          # cast syntax inside a literal
             "select '* EXCLUDE (x)' from t",  # rewrite keyword in a literal
+            "select substring('a from b' from 2) from t",  # r10 ADVICE
+            "select 'it''s'::text from t",   # doubled-quote cast operand
             "select 1",
         ]
     ),
@@ -154,15 +156,42 @@ def test_dialect_rewrite_is_idempotent(parts):
 
 
 @settings(max_examples=200, deadline=None)
-@given(st.text(alphabet="ab:*()' ECXLUDE%", max_size=40))
+@given(st.text(alphabet="abfromrsting:*()' ECXLUDE%", max_size=40))
 def test_dialect_rewrite_preserves_string_literals(body):
     """Whatever surrounds it, a complete single-quoted literal's TEXT
     survives translation byte-for-byte (rewrites run outside protected
-    spans only)."""
+    spans only). The alphabet can spell 'from'/'for'/'substring' so a
+    span-unaware substring rewrite would be caught here (round-10
+    ADVICE: the pre-fix rewrite corrupted ' from ' inside literals)."""
     lit = "'" + body.replace("'", "") + "'"
     sql = f"select {lit} as c from t"
     out, _ = dialect._rewrite_query_text(sql)
     assert lit in out
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="ab from', ", max_size=24))
+def test_substring_rewrite_preserves_literal_operands(body):
+    """A literal FIRST ARGUMENT of substring(x from n) survives the
+    FROM→comma rewrite byte-for-byte even when it contains ' from '
+    itself (round-10 ADVICE golden, generalized)."""
+    lit = "'" + body.replace("'", "") + "'"
+    sql = f"select substring({lit} from 2) as c from t"
+    out, _ = dialect._rewrite_query_text(sql)
+    assert lit in out
+    assert f"substring({lit}, 2)" in out
+
+
+def test_substring_and_cast_rewrite_goldens():
+    """Pinned repros for the two round-10 ADVICE dialect bugs."""
+    out, _ = dialect._rewrite_query_text(
+        "select substring('a from b' from 2) as c from t")
+    assert "substring('a from b', 2)" in out
+    out, _ = dialect._rewrite_query_text("select 'it''s'::text as c")
+    assert "CAST('it''s' AS STRING)" in out
+    out, _ = dialect._rewrite_query_text(
+        "select substring('x for y' from 1 for 2) as c")
+    assert "substring('x for y', 1, 2)" in out
 
 
 # ----------------------------------------------------------- typenames
