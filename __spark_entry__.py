@@ -135,88 +135,47 @@ def _registries():
 # decontaminate_ngram, corpus_zipf_slope, events_daily/key_skew/
 # rolling/session/sliding/tumbling) rolls to the ROUND-10 window
 # front.
-# ROUND-10 ROTATION (applied): CORRECTNESS_r09 came back 48/50 green +
-# the two rows-only ML rows (as designed). Latest-green census entering
-# r10 (from the committed CORRECTNESS files): 27 names r6-green (four
-# rounds stale — the r9 cut tail), 45 r7-green, 41 r8, 48 r9. This
-# window is therefore: (a) NEW in round 10 — lsh_candidate_growth (the
-# sub-quadraticity audit the adaptive-bit multiprobe rewrite is gated
-# by), dedup_skew_stress (the boilerplate-skew cap proof), and
-# events_stream_outer_join (the NINTH streaming gate:
-# watermark-driven eviction via left-outer stream-stream join); (b)
-# REWRITTEN in round 10 — the five embedding-LSH consumers (adaptive
-# bits + hamming<=2 multiprobe: dedup_embedding_lsh/_clusters,
-# decontaminate_semantic, embed_knn_graph, knn_graph_recall — r9
-# verdict #1), embed_dim_truncation_audit (single-pass prefix dots —
-# #4), and sketch_hist_quantiles + source_zonemap_skip (two-phase
-# distributed rank — #2/#3); (c) the two rows-only ML rows so their
-# driver checks stay fresh (r8 verdict task 8); (d) the 27 r6-green
-# names in their r6 DRIVER-ROW order (oldest gate evidence first);
-# (e) backfill: the first 11 of the 45 r7-green names, r7 driver-row
-# order. Everything after these 50 follows in registry order.
-# Late-r10 session addendum: sim_topk_ivfpq_residual joins (a) (new
-# query), and the five ANN training consumers join (b) — their
-# executed plans changed when _trained_centroids/_pq_encoded moved
-# behind session memos (identical frames, different physical plans).
+# ROUND-11 ROTATION (applied): CORRECTNESS_r10 came back 48/50 green +
+# the two rows-only ML rows. Latest-green census entering r11 (from
+# the committed CORRECTNESS files over the 174-name registry):
+# 1 name r6-green (events_stream_stateful), 43 r7, 37 r8, 43 r9,
+# 50 r10. This window (r10 verdict #3: oldest-first, nothing older
+# than r8 afterwards): (a) REWRITTEN in round 11 — extra_stats (price
+# quantile moved to the two-level radix cumsum, qty to a domain-
+# bounded histogram; r10 verdict #1) and the four class-key-window
+# fixes (corpus_length_quantiles -> cumulative histogram;
+# sample_token_budget / sample_pack_sequences / sample_mixture_budget
+# -> ranks.keyed_prefix_sum; r10 verdict #2) — their plans changed so
+# they must re-gate first; (b) the single r6-green name; (c) all 43
+# r7-green names, alphabetical. 5+1+43 = 49 <= the ~50-row window;
+# everything after follows in registry order.
 _GATE_PRIORITY = [
-    # (a) new in round 10 — never gated
-    "lsh_candidate_growth",
-    "dedup_skew_stress",
-    "events_stream_outer_join",
-    "sim_topk_ivfpq_residual",
-    "orders_bloom_join",
-    "events_aqe_skew_join",
-    "ivf_incremental_ingest",
-    "corpus_token_regression",
-    "events_stream_upsert",
-    "micro_topk_per_group",
-    "sample_weighted_priority",
-    # (b) rewritten in round 10 — plans and oracles both changed
-    "sim_topk_pq",
-    "sim_topk_pq_rerank",
-    "sim_topk_ivfpq",
-    "embed_cluster_purity",
-    "dedup_embedding_lsh",
-    "dedup_embedding_clusters",
-    "decontaminate_semantic",
-    "embed_knn_graph",
-    "knn_graph_recall",
-    "embed_dim_truncation_audit",
-    "sketch_hist_quantiles",
-    "source_zonemap_skip",
-    # (c) rows-only ML rows: keep their driver checks fresh
-    "ann_brp_ml",
-    "dedup_minhash_ml",
-    # (d) r6-green, four rounds stale (r6 driver-row order)
+    # (a) rewritten in round 11 — plans changed, re-gate first
     "extra_stats",
-    "extra_lateral",
-    "extra_unpivot",
-    "ref_q7_sqlite",
-    "embed_centroid_outliers",
-    "sim_topk_ivf_trained",
-    "embed_random_projection",
-    "embed_pca_power",
-    # embed_cluster_purity moved up to (b): its plan switched to the
-    # session-memoized trained centroids this round
-    "pipeline_clean_corpus",
-    "sample_balanced",
-    "decontaminate_ngram",
-    "corpus_zipf_slope",
-    "quality_buckets",
-    "asof_click_attribution",
-    "range_join_price_bands",
-    "events_retention",
-    "events_funnel",
-    "events_key_skew",
-    "events_tumbling",
-    "events_sliding",
-    "events_session",
-    "events_daily_pruned",
-    "events_rolling",
-    "events_stream_tumbling",
-    "events_stream_session",
+    "corpus_length_quantiles",
+    "sample_token_budget",
+    "sample_pack_sequences",
+    "sample_mixture_budget",
+    # (b) r6-green, five rounds stale
     "events_stream_stateful",
-    # (e) backfill: r7-green, r7 driver-row order
+    # (c) r7-green, four rounds stale (alphabetical)
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_substring_capped",
+    "dedup_winnowing_capped",
+    "embed_covariance",
+    "embed_quantize_int8",
+    "events_anomaly",
+    "events_salted_join",
+    "events_stream_dedup",
+    "events_stream_join",
+    "extra_variant_json",
+    "multimodal_decode_stats",
+    "multimodal_features",
+    "multimodal_frames",
+    "multimodal_meta",
+    "multimodal_thumbnail",
     "q1",
     "q5",
     "q6",
@@ -227,6 +186,22 @@ _GATE_PRIORITY = [
     "q11",
     "q12",
     "q13",
+    "q14",
+    "q15",
+    "q16",
+    "ref_q8_sqlite",
+    "sketch_bloom_decontaminate",
+    "sketch_cms_heavy_hitters",
+    "sketch_hll_distinct",
+    "source_csv_roundtrip",
+    "source_json_roundtrip",
+    "source_orc_roundtrip",
+    "source_pydatasource",
+    "text_fingerprint",
+    "text_langid",
+    "text_pii_scan",
+    "text_repetition",
+    "text_tokens",
 ]
 
 

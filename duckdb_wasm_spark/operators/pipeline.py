@@ -219,22 +219,27 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     total stays within TOKEN_BUDGET — how a fixed-size pretraining mix
     is actually drawn (budgets are in tokens, not documents).
 
-    Scale: same single lang-partition window as sample_balanced, with a
-    running integer sum instead of a rank."""
-    from pyspark.sql.window import Window
+    Scale: the running sum goes through ranks.keyed_prefix_sum (two-
+    phase distributed cumsum) rather than a lang-partitioned window —
+    a handful-of-languages partition key would funnel each language's
+    whole corpus share through one task (round-10 verdict #2, the
+    extra_stats defect class)."""
+    from duckdb_wasm_spark.ranks import keyed_prefix_sum
 
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.size(toks()).alias("n_tokens")
+        "doc_id",
+        "lang",
+        F.size(toks()).alias("n_tokens"),
+        _hash_order()[0].alias("_ok"),
     )
-    w = (
-        Window.partitionBy("lang")
-        .orderBy(*_hash_order())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = keyed_prefix_sum(
+        docs, ["_ok", "doc_id"], "n_tokens", keys=["lang"]
     )
     return (
-        docs.withColumn("cum_tokens", F.sum("n_tokens").over(w))
-        .where(F.col("cum_tokens") <= TOKEN_BUDGET)
-        .select("doc_id", "lang", "n_tokens", "cum_tokens")
+        cum.where(F.col("cum") <= TOKEN_BUDGET)
+        .select(
+            "doc_id", "lang", "n_tokens", F.col("cum").alias("cum_tokens")
+        )
     )
 
 
@@ -449,27 +454,28 @@ def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the streaming-concat packing used for pretraining batches
     (documents are concatenated then split every SEQ_LEN tokens), not
     bin-packing — the assignment is a pure function of the running
-    cumsum, so it is one lang-partitioned window pass + one hash
-    aggregate in BOTH engines, deterministic, and oracle-checkable.
-    Scale: identical shape to sample_token_budget — one shuffle by
-    lang for the window (salt the window key if one language dominates
-    at 100 TB), one shuffle for the (lang, seq_id) aggregate."""
-    from pyspark.sql.window import Window
+    cumsum, deterministic, and oracle-checkable.
+    Scale: identical shape to sample_token_budget — the running cumsum
+    goes through ranks.keyed_prefix_sum (two-phase distributed cumsum,
+    round-10 verdict #2) instead of a handful-of-languages partitioned
+    window; one shuffle for the (lang, seq_id) aggregate."""
+    from duckdb_wasm_spark.ranks import keyed_prefix_sum
 
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.size(toks()).alias("n_tokens")
+        "doc_id",
+        "lang",
+        F.size(toks()).alias("n_tokens"),
+        _hash_order()[0].alias("_ok"),
     )
-    w = (
-        Window.partitionBy("lang")
-        .orderBy(*_hash_order())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = keyed_prefix_sum(
+        docs, ["_ok", "doc_id"], "n_tokens", keys=["lang"]
     )
-    placed = docs.select(
+    placed = cum.select(
         "doc_id",
         "lang",
         "n_tokens",
         F.floor(
-            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(SEQ_LEN)
+            (F.col("cum") - F.col("n_tokens")) / F.lit(SEQ_LEN)
         ).alias("seq_id"),
     )
     return (
@@ -587,27 +593,36 @@ def corpus_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes for a training mix. Discrete ranks keep everything integer →
     bit-identical across engines (no interpolation float math).
 
-    Scale (100 TB): one window sort per language partition + one hash
-    aggregate — same single-shuffle shape as sample_balanced; a skewed
-    language sort-spills, nothing collects."""
+    Scale (100 TB): the corpus is reduced map-side to a CUMULATIVE
+    HISTOGRAM — groupBy (lang, n_tokens) → count — before any window
+    runs, so the lang-partitioned running count's frames hold the
+    DISTINCT token-count values (bounded by the document-length
+    domain, corpus-independent), never the documents themselves
+    (round-10 verdict #2: the former per-row row_number put each
+    language's whole corpus share through one task). The value at
+    rank k is the smallest n_tokens whose running count reaches k —
+    identical to the rn == k pick because duplicates of the picked
+    value are value-identical."""
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.size(toks()).alias("n_tokens")
+        "lang", F.size(toks()).alias("n_tokens")
     )
-    w = Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
-    cw = Window.partitionBy("lang")
-    r = docs.select(
+    hist = docs.groupBy("lang", "n_tokens").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wl = Window.partitionBy("lang")
+    r = hist.select(
         "lang",
         "n_tokens",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(cw).alias("n"),
+        F.sum("c").over(wl.orderBy("n_tokens")).alias("cum"),
+        F.sum("c").over(wl).alias("n"),
     )
     picks = [
-        F.max(
+        F.min(
             F.when(
-                F.col("rn")
-                == F.expr(f"({num} * n + {den - 1}) div {den}"),
+                F.col("cum")
+                >= F.expr(f"({num} * n + {den - 1}) div {den}"),
                 F.col("n_tokens"),
             )
         ).alias(f"{label}_tokens")
@@ -1287,9 +1302,13 @@ def sample_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     straddle an integer boundary differently across engines.
 
     Scale: the weight/budget frame is |sources| rows (broadcast); the
-    selection window is one partition per source over the cleaned
-    frame — the same single-shuffle shape as sample_token_budget."""
+    selection cumsum goes through ranks.keyed_prefix_sum (two-phase
+    distributed cumsum, round-10 verdict #2) — a handful-of-sources
+    partitioned window would funnel each source's whole cleaned share
+    through one task."""
     from pyspark.sql.window import Window
+
+    from duckdb_wasm_spark.ranks import keyed_prefix_sum
 
     docs = load_table(spark, sf_dir, "documents")
     scored = (
@@ -1312,14 +1331,15 @@ def sample_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"as bigint) div {MIXB_SCALE}"
         ).alias("budget_tokens"),
     )
-    wsel = (
-        Window.partitionBy("source")
-        .orderBy(*_hash_order())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = keyed_prefix_sum(
+        clean.withColumn("_ok", _hash_order()[0]),
+        ["_ok", "doc_id"],
+        "n_tokens",
+        keys=["source"],
     )
     sel = (
-        clean.join(F.broadcast(budgets), "source")
-        .withColumn("cum_tokens", F.sum("n_tokens").over(wsel))
+        cum.join(F.broadcast(budgets), "source")
+        .withColumn("cum_tokens", F.col("cum"))
         .where(F.col("cum_tokens") <= F.col("budget_tokens"))
     )
     return (

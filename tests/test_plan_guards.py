@@ -114,6 +114,102 @@ WINDOW_NOPART_ALLOWED = {
     ),
 }
 
+# Column names whose value domain is a HANDFUL of classes (flags,
+# statuses, segments, source labels…). A window partitioned ONLY by
+# such columns has per-partition frames that grow WITH THE CORPUS —
+# the defect class of round-10 verdict #1 (extra_stats hid a corpus-
+# scale price frame behind a 6-value (flag, which) key), invisible to
+# the partition-less guard above. Any such window must either also
+# partition by a scaling column (bucket id, entity id, partition id)
+# or join the audited allowlist below with the reason its INPUT frame
+# is bounded by construction.
+CLASS_KEY_COLS = {
+    "l_returnflag",
+    "l_linestatus",
+    "l_shipmode",
+    "l_shipinstruct",
+    "o_orderstatus",
+    "o_orderpriority",
+    "c_mktsegment",
+    "n_name",
+    "r_name",
+    "p_brand",
+    "p_container",
+    "source",
+    "lang",
+    "which",
+    "kind",
+    "label",
+    "subset",
+    "split",
+}
+
+# name -> why every class-key-partitioned window in that plan runs
+# over an input bounded by construction (NOT the corpus)
+WINDOW_CLASSKEY_ALLOWED = {
+    "extra_stats": (
+        "qty cum-hist: partition l_returnflag, frames <= 50 distinct "
+        "l_quantity values (domain-bounded); price radix level 1: "
+        "partition l_returnflag over <= max_cents/2^12 bucket rows "
+        "(domain-bounded; the in-bucket window partitions by the "
+        "scaling hi column and is not class-key-only)"
+    ),
+    "corpus_length_quantiles": (
+        "cum over the (lang, n_tokens) histogram — frames hold the "
+        "DISTINCT token-count values (document-length domain), the "
+        "corpus is reduced map-side before the window"
+    ),
+    "sample_token_budget": (
+        "keyed_prefix_sum offsets: <= ranks.RANK_PARTS rows per lang "
+        "by construction (the corpus-scale cumsum runs within "
+        "(_pid, lang) behind the checkpoint)"
+    ),
+    "sample_pack_sequences": (
+        "keyed_prefix_sum offsets: <= ranks.RANK_PARTS rows per lang"
+    ),
+    "sample_mixture_budget": (
+        "keyed_prefix_sum offsets: <= ranks.RANK_PARTS rows per "
+        "source; the mix-weight cum runs over the |sources| aggregate"
+    ),
+    # ---- rank-<=-K windows executed as WindowGroupLimit: Spark caps
+    # per-partition state at K rows in the PARTIAL stage before the
+    # shuffle, so the class-key partition never materializes its
+    # corpus share in one task. Liveness asserted below: these plans
+    # must actually contain a WindowGroupLimit node.
+    "sample_balanced": "row_number <= BALANCE_CAP via WindowGroupLimit",
+    "sample_weighted_priority": (
+        "row_number <= WPRI_K via WindowGroupLimit (r10 verdict: "
+        "mergeable per-stratum top-K)"
+    ),
+    "sketch_kmv_distinct": (
+        "k smallest hashes per source via WindowGroupLimit (KMV's "
+        "bounded sketch state)"
+    ),
+    "sketch_kmv_jaccard": (
+        "same KMV k-smallest WindowGroupLimit, once per sketch side"
+    ),
+    "corpus_zipf_slope": (
+        "rank <= ZIPF_TOP via WindowGroupLimit, over the (lang, tok) "
+        "AGGREGATED vocabulary (already sublinear), not the corpus"
+    ),
+    "embed_centroid_outliers": (
+        "rank <= OUTLIER_TOP_K via WindowGroupLimit over per-label "
+        "distances"
+    ),
+}
+
+# the subset of the allowlist whose justification IS the group-limit
+# pushdown — their executed plans must contain a WindowGroupLimit
+# node, or the allowance is stale pre-authorization
+WINDOW_CLASSKEY_GROUPLIMIT = {
+    "sample_balanced",
+    "sample_weighted_priority",
+    "sketch_kmv_distinct",
+    "sketch_kmv_jaccard",
+    "corpus_zipf_slope",
+    "embed_centroid_outliers",
+}
+
 # queries whose WHERE is selective on a scanned column — parquet scan
 # must show pushed filters
 PUSHDOWN_SPOT_CHECKS = {
@@ -198,6 +294,76 @@ def test_no_partitionless_window_outside_allowlist(plans):
     assert stale == [], (
         f"WINDOW_NOPART_ALLOWED entries whose plans no longer contain "
         f"a partition-less Window (remove them): {stale}"
+    )
+
+
+def _classkey_window_specs(plan):
+    """Partition-column name lists of every windowspecdefinition whose
+    partition spec is NON-empty and consists ONLY of plain class-key
+    attributes (expressions and scaling columns exempt a window)."""
+    import re
+
+    out = []
+    for m in re.finditer(r"windowspecdefinition\(", plan):
+        # slice to the frame spec; partition+order cols precede it
+        seg = plan[m.end():m.end() + 400]
+        head = seg.split("specifiedwindowframe", 1)[0]
+        parts = []
+        only_class = True
+        for tok in head.split(","):
+            tok = tok.strip()
+            if not tok:
+                continue
+            if " ASC" in tok or " DESC" in tok:
+                break  # order columns start here
+            name = tok.split("#")[0]
+            parts.append(name)
+            if "(" in tok or name not in CLASS_KEY_COLS:
+                only_class = False
+        if parts and only_class:
+            out.append(parts)
+    return out
+
+
+def test_no_classkey_only_window_outside_allowlist(plans):
+    """A Window partitioned ONLY by low-cardinality class columns
+    (flags, statuses, segments) has per-partition frames that grow
+    with the corpus — one task per class value sorts its whole share
+    of the data (round-10 verdict #1/#2). Every such window must run
+    over an input bounded by construction, and say why here."""
+    offenders = {
+        n: specs
+        for n, p in plans.items()
+        if n not in WINDOW_CLASSKEY_ALLOWED
+        and (specs := _classkey_window_specs(p))
+    }
+    assert offenders == {}, (
+        f"class-key-only windows outside the audited allowlist: "
+        f"{offenders}. If the window's INPUT is bounded by "
+        f"construction (a value-domain histogram, a fixed grid), add "
+        f"a WINDOW_CLASSKEY_ALLOWED entry stating that bound; if the "
+        f"input is corpus-derived, add a scaling column to the "
+        f"partition spec (radix bucket, entity id) or use "
+        f"ranks.global_ranks(keys=...)."
+    )
+    stale = sorted(
+        n
+        for n in WINDOW_CLASSKEY_ALLOWED
+        if n not in plans or not _classkey_window_specs(plans[n])
+    )
+    assert stale == [], (
+        f"WINDOW_CLASSKEY_ALLOWED entries whose plans no longer "
+        f"contain a class-key-only window (remove them): {stale}"
+    )
+    no_limit = sorted(
+        n
+        for n in WINDOW_CLASSKEY_GROUPLIMIT
+        if "WindowGroupLimit" not in plans.get(n, "")
+    )
+    assert no_limit == [], (
+        f"allowances justified by WindowGroupLimit whose plans no "
+        f"longer contain one (the rank-limit pushdown regressed — "
+        f"per-partition state is corpus-scale again): {no_limit}"
     )
 
 

@@ -76,3 +76,36 @@ def test_global_ranks_plan_has_no_partitionless_corpus_window(spark):
     )
     lplan = loc._jdf.queryExecution().executedPlan().toString()
     assert "windowspecdefinition(_pid" in lplan
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_keyed_ranks_match_per_group_sorted_order(spark, name):
+    """keys= variant: rn restarts per key group and equals the
+    in-group sorted position — checked against a python groupby over
+    the same adversarial value shapes as the global cases."""
+    vals = CASES[name]
+    rows = [(i % 3, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(7)
+    got = ranks.global_ranks(df, ["v"], keys=["k"]).collect()
+    for k in {r[0] for r in rows}:
+        grp = sorted(v for kk, v in rows if kk == k)
+        got_k = sorted(
+            (r["rn"], r["v"]) for r in got if r["k"] == k
+        )
+        assert [rn for rn, _ in got_k] == list(range(1, len(grp) + 1))
+        assert [v for _, v in got_k] == grp
+
+
+def test_keyed_ranks_plan_is_fully_partitioned(spark):
+    """With keys, even the offsets prefix sum is partitioned (by the
+    keys) — the executed plan contains NO partition-less window at
+    all, and the rank window partitions by (_pid, key)."""
+    import re
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 4).alias("k"), F.col("id").alias("v")
+    )
+    ranked = ranks.global_ranks(df, ["v"], keys=["k"])
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    pat = re.compile(r"windowspecdefinition\([^,()]+ (?:ASC|DESC) NULLS")
+    assert pat.findall(plan) == [], plan[:1500]
+    assert "windowspecdefinition(_pid" in plan or "windowspecdefinition(k" in plan
