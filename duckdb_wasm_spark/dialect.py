@@ -626,6 +626,15 @@ def translate(sql: str) -> Translated:
     if m := _DESCRIBE_RE.match(sql):
         return Translated("describe", meta={"name": _norm_name(m.group(1))})
 
+    # an ALTER TABLE head with NO action text falls through _ALTER_RE
+    # ((.+?) needs one char) and used to classify as a plain query —
+    # surfacing Spark's parser error instead of the defined one
+    # (hypothesis finding, tests/test_properties.py r11)
+    if re.match(r"^\s*ALTER\s+TABLE\b", sql, re.IGNORECASE) and not (
+        _ALTER_RE.match(sql)
+    ):
+        raise ValueError(f"unsupported ALTER TABLE statement: {sql!r}")
+
     if m := _ALTER_RE.match(sql):
         name, action = _norm_name(m.group(1)), m.group(2).strip()
         if am := _ALTER_RENAME_COL_RE.match(action):

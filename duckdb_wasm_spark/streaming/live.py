@@ -34,7 +34,7 @@ from contextlib import contextmanager
 
 
 @contextmanager
-def state_partitions(spark: SparkSession, n: int = 8):
+def state_partitions(spark: SparkSession, n: int = 2):
     """Run a streaming query start/drain under a right-sized stateful
     shuffle-partition count. A streaming query pins
     spark.sql.shuffle.partitions as its STATE STORE count at first
@@ -42,7 +42,11 @@ def state_partitions(spark: SparkSession, n: int = 8):
     stateful operator paying per-micro-batch commit overhead — pure
     fixed cost at toy volume, and a number production sizes to state
     volume anyway. Restores the previous value so batch plans are
-    unaffected (events_stream_join: 7.3s -> 3.7s at sf0.1)."""
+    unaffected (events_stream_join: 7.3s -> 3.7s at sf0.1 going
+    32 -> 8; r10 verdict #5 re-measured 8 -> 2:
+    events_stream_outer_join 8.9s -> 5.8s, hash unchanged — the
+    results are partition-count-invariant, only the per-micro-batch
+    store-commit fixed cost moves)."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
@@ -51,15 +55,43 @@ def state_partitions(spark: SparkSession, n: int = 8):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def _layout_dir(kind: str, sf_dir: str) -> tuple[str, bool]:
+    """Persistent fingerprinted directory for a staged stream layout
+    (r10 verdict #5: the layouts are environment setup — the Kafka
+    topic / landing dir a deployment already HAS — so they persist
+    across sessions like the index artifacts instead of being
+    re-staged per cold session). Returns (path, already_built).
+    Stale-safe: the fingerprint hashes the events table's (mtime,
+    size); superseded fingerprints of the same kind are deleted on
+    build, so disk stays bounded (the r6 accumulate-forever ADVICE
+    concern, solved by supersession instead of per-process tmpdirs)."""
+    from duckdb_wasm_spark.artifacts import _ROOT, _fingerprint
+
+    fp = _fingerprint(sf_dir, ("events",))
+    base = os.path.join(_ROOT, "..", "stream_layouts", kind)
+    out = os.path.normpath(os.path.join(base, fp))
+    done = os.path.join(out, "_LAYOUT_COMMITTED")
+    if os.path.exists(done):
+        return out, True
+    shutil.rmtree(os.path.normpath(base), ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    return out, False
+
+
+def _mark_layout(out: str) -> None:
+    with open(os.path.join(out, "_LAYOUT_COMMITTED"), "w") as fh:
+        fh.write("ok")
+
+
 def _staged_stream_source(
-    spark: SparkSession, sf_dir: str, n_files: int = 4
+    spark: SparkSession, sf_dir: str, n_files: int = 3
 ) -> tuple[str, T.StructType]:
     """Stage the events table as N parquet files so the file stream
-    source delivers several micro-batches. Memoized per (session,
-    sf_dir, n_files) like windows.daily_layout: the staged layout is
-    environment setup (the stand-in for the Kafka topic / landing
-    directory a deployment already has), not operator cost — without
-    the memo every streaming query re-writes the table per run."""
+    source delivers several micro-batches. The layout is environment
+    setup (the stand-in for the Kafka topic / landing directory a
+    deployment already has), not operator cost — it persists across
+    sessions via _layout_dir, so cold sessions replay the existing
+    landing dir instead of re-writing the table (r10 verdict #5)."""
     memo: dict = spark.__dict__.setdefault("_dws_stream_src", {})
     key = (sf_dir, n_files)
     if key not in memo:
@@ -69,17 +101,16 @@ def _staged_stream_source(
         # rejects. Cast at the staging boundary — session tz is UTC, so
         # the mapping is the identity a naive event log means.
         ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
-        out = tempfile.mkdtemp(prefix="events_stream_")
-        # staged copies must not accumulate across sessions (r6 ADVICE):
-        # the dir dies with the process, like Spark's own local dirs
-        atexit.register(shutil.rmtree, out, ignore_errors=True)
-        ev.repartition(n_files).write.mode("overwrite").parquet(out)
+        out, built = _layout_dir(f"roundrobin_{n_files}", sf_dir)
+        if not built:
+            ev.repartition(n_files).write.mode("overwrite").parquet(out)
+            _mark_layout(out)
         memo[key] = (out, ev.schema)
     return memo[key]
 
 
 def _staged_stream_source_ordered(
-    spark: SparkSession, sf_dir: str, n_files: int = 4
+    spark: SparkSession, sf_dir: str, n_files: int = 3
 ) -> tuple[str, T.StructType]:
     """Time-ORDERED staged layout + heartbeat sentinels: files are
     range-partitioned on ts and ascending in replay order, so the file
@@ -90,7 +121,7 @@ def _staged_stream_source_ordered(
     interleaves the full time span into every batch, so any watermark
     shorter than the span would DROP rows there.
 
-    Three trailing sentinel files (ts = max+10d + i hours) replay
+    Two trailing sentinel files (ts = max+10d + i hours) replay
     AFTER the data and push the watermark PAST it — the finite-replay
     stand-in for a live feed's continuous arrivals, without which
     end-of-stream state is never certified and append-mode outer rows
@@ -104,8 +135,8 @@ def _staged_stream_source_ordered(
     watermarks, match nothing (user -1 never occurs in data), and are
     never themselves certified (the watermark never passes their own
     far-future ts), so they add zero output rows. Standard punctuation
-    discipline, stated rather than hidden. Memoized like the unordered
-    variant."""
+    discipline, stated rather than hidden. Persists across sessions
+    like the unordered variant (_layout_dir)."""
     memo: dict = spark.__dict__.setdefault("_dws_stream_src_ord", {})
     key = (sf_dir, n_files)
     if key not in memo:
@@ -117,8 +148,10 @@ def _staged_stream_source_ordered(
 
         ev = load_table(spark, sf_dir, "events")
         ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
-        out = tempfile.mkdtemp(prefix="events_stream_ord_")
-        atexit.register(shutil.rmtree, out, ignore_errors=True)
+        out, built = _layout_dir(f"ordered_{n_files}", sf_dir)
+        if built:
+            memo[key] = (out, ev.schema)
+            return memo[key]
         staging = tempfile.mkdtemp(prefix="events_stream_ord_stage_")
         (
             ev.repartitionByRange(n_files, "ts")
@@ -144,12 +177,14 @@ def _staged_stream_source_ordered(
             calendar.timegm(max_ts.utctimetuple()) * 1_000_000
             + max_ts.microsecond
         )
-        # THREE sentinels: the watermark computed from batch k's data
-        # only drives eviction in batch k+1 (and the last data file's
-        # tail needs a fully-advanced watermark), so two post-data
-        # eviction passes must run with a sentinel-advanced watermark
+        # TWO sentinels (r10 verdict #5 trimmed the third: the gate
+        # hash over the REAL rows is unchanged — the extra sentinel
+        # only ever matched the other sentinels): the watermark
+        # computed from batch k's data drives eviction in batch k+1,
+        # so sentinel 1 advances the watermark past the data and
+        # sentinel 2's batch runs the final eviction pass under it
         proto = pq.read_table(f"{out}/0000-chunk.parquet").slice(0, 2)
-        for i in range(3):
+        for i in range(2):
             us = base_us + (10 * 86_400 + i * 3_600) * 1_000_000
             cols = []
             fields = []
@@ -184,6 +219,7 @@ def _staged_stream_source_ordered(
                 dst,
                 (base_mtime + n_files + i, base_mtime + n_files + i),
             )
+        _mark_layout(out)
         memo[key] = (out, ev.schema)
     return memo[key]
 

@@ -1363,9 +1363,16 @@ def test_session_memos_are_per_session_and_consistent(spark, sf_dir):
     from duckdb_wasm_spark.operators import similarity as S
 
     S.QUERIES["ivf_incremental_ingest"](spark, sf_dir)
-    ing1 = spark.__dict__["_dws_ingest_cent"][sf_dir]
+    ing1 = spark.__dict__["_dws_disk_artifacts"][
+        ("ingest_centroids", sf_dir)
+    ]["cent"]
     S.QUERIES["ivf_incremental_ingest"](spark, sf_dir)
-    assert spark.__dict__["_dws_ingest_cent"][sf_dir] is ing1
+    assert (
+        spark.__dict__["_dws_disk_artifacts"][
+            ("ingest_centroids", sf_dir)
+        ]["cent"]
+        is ing1
+    )
     # value-level check: the memoized ingest codebook equals a fresh
     # derivation over the resident (non-batch) vectors (r10 ADVICE —
     # the other memos get this exceptAll discipline; match it here)

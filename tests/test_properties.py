@@ -301,3 +301,169 @@ def test_qualify_and_generate_series_rewrites_idempotent(parts):
     o1, _ = dialect._rewrite_query_text(sql)
     o2, _ = dialect._rewrite_query_text(o1)
     assert o1 == o2
+
+
+# ------------------------------------------ r11: remaining rewrites
+# (round-10 verdict #6: UPDATE/DELETE/ALTER/QUALIFY/EXCLUDE and the
+# typename parser are the same regex surface class that yielded two
+# real bugs in r10 — give each the idempotence / literal-preservation
+# / fails-closed treatment)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="strftime%Ymd('), ", max_size=32))
+def test_strftime_rewrite_preserves_literals(body):
+    """A literal that can spell strftime(...) text survives
+    translation byte-for-byte; the rewrite only fires on real
+    format-first calls outside literals."""
+    lit = "'" + body.replace("'", "") + "'"
+    sql = f"select {lit} as c from t"
+    out, _ = dialect._rewrite_query_text(sql)
+    assert lit in out
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(alphabet="abc_", min_size=1, max_size=6),
+    st.sampled_from(["%Y", "%Y-%m", "%Y-%m-%d", "%H:%M:%S", "%d/%m"]),
+)
+def test_strftime_rewrite_maps_every_directive(col, fmt):
+    """Every sqlite directive in the map is translated and no '%'
+    survives into the date_format pattern for mapped-only formats."""
+    out, _ = dialect._rewrite_query_text(
+        f"select strftime('{fmt}', {col}) from t"
+    )
+    assert "date_format(" in out and "%" not in out
+    twice, _ = dialect._rewrite_query_text(out)
+    assert twice == out
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(alphabet="qualify rown()<=3'odrebt ", max_size=40))
+def test_qualify_never_crashes_and_preserves_literals(body):
+    """Arbitrary QUALIFY-ish text either rewrites or raises the
+    defined ValueError — never an IndexError/AttributeError — and a
+    complete literal spelling 'qualify'/'order' is never the split
+    point."""
+    lit = "'" + body.replace("'", "") + "'"
+    sql = f"select {lit} as c from t qualify row_number() over (order by c) <= 2"
+    try:
+        out, _ = dialect._rewrite_query_text(sql)
+    except ValueError:
+        return
+    assert lit in out
+    assert "__qualify__" in out
+
+
+def test_qualify_rejects_distinct_and_handles_tails():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dialect._rewrite_query_text(
+            "select distinct a from t qualify row_number() "
+            "over (order by a) = 1"
+        )
+    out, _ = dialect._rewrite_query_text(
+        "select a from t qualify row_number() over (order by a) <= 2 "
+        "order by a limit 1"
+    )
+    assert out.rstrip().endswith("order by a limit 1")
+    # 'order' inside the OVER parens must not cut the predicate
+    assert "over (order by a) <= 2" in out
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(alphabet="ab=1,  ", min_size=1, max_size=20),
+    st.one_of(st.none(), st.text(alphabet="ab<>=1 ", min_size=1, max_size=12)),
+    st.sampled_from([
+        "",
+        " (select x from u where y = 1)",
+        " 'a where b'",
+        " -- where comment\n",
+    ]),
+)
+def test_split_where_tail_finds_only_top_level_where(body, cond, decoy):
+    """_split_where_tail must split at the TOP-LEVEL WHERE only:
+    a WHERE inside a subquery's parens, a string literal, or a comment
+    (the decoys) never mis-splits; with no top-level WHERE the whole
+    tail is the body. (Bodies are quote-balanced by construction — an
+    unterminated literal legitimately swallows everything after it.)"""
+    body = body.replace("where", "ab") + decoy
+    tail = body if cond is None else f"{body} where {cond}"
+    got_body, got_cond = dialect._split_where_tail(tail)
+    if cond is None:
+        assert got_cond is None
+        assert got_body == body.strip()
+    else:
+        assert got_cond == cond.strip()
+        assert got_body == body.strip()
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.sampled_from(["orders", 'my."tbl"', "t1"]),
+    st.text(alphabet="abcdef_", min_size=1, max_size=8),
+    st.text(alphabet="abcdef_", min_size=1, max_size=8),
+)
+def test_alter_statements_round_trip(table, old, new):
+    """The three supported ALTER forms classify with exact metadata;
+    arbitrary other actions fail CLOSED as unsupported (never a crash,
+    never a silent partial parse)."""
+    t = dialect.translate(f"ALTER TABLE {table} RENAME COLUMN {old} TO {new}")
+    assert t.kind == "alter" and t.meta["op"] == "rename_column"
+    assert t.meta["old"] == old and t.meta["new"] == new
+    t = dialect.translate(f"ALTER TABLE {table} DROP COLUMN {old}")
+    assert t.kind == "alter" and t.meta["op"] == "drop_column"
+    assert t.meta["column"] == old
+    t = dialect.translate(f"ALTER TABLE {table} RENAME TO {new}")
+    assert t.kind == "alter" and t.meta["op"] == "rename_table"
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet="abcdef_() 1", max_size=18))
+def test_alter_arbitrary_actions_fail_closed(action):
+    try:
+        t = dialect.translate(f"ALTER TABLE t {action}")
+    except Exception as e:  # noqa: BLE001 — must be a defined error
+        assert isinstance(e, ValueError), type(e)
+        return
+    assert t.kind in ("alter", "unsupported"), t.kind
+
+
+# valid leaf type names the parser supports — round-trip through the
+# SPARK simpleString and back must be a fixpoint
+_LEAF_TYPES = st.sampled_from([
+    "int8", "int16", "int32", "int64", "float", "double", "bool",
+    "utf8", "binary", "date32", "timestamp",
+])
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.recursive(
+    _LEAF_TYPES.map(lambda s: {"type": s}),
+    lambda child: st.one_of(
+        st.fixed_dictionaries({"type": st.just("list"),
+                               "children": st.lists(child, min_size=1, max_size=1)}),
+        st.fixed_dictionaries({"type": st.just("map"),
+                               "children": st.lists(child, min_size=2, max_size=2)}),
+        st.fixed_dictionaries({"type": st.just("struct"),
+                               "children": st.lists(child, min_size=1, max_size=3)}),
+    ),
+    max_leaves=6,
+))
+def test_parse_type_round_trip_is_fixpoint(spec):
+    """parse_type over a valid nested typedef, serialized to Spark's
+    own JSON type encoding and parsed back (pure-Python, no JVM),
+    yields the identical DataType — the parser agrees with Spark's
+    type lattice on every nesting it accepts (r10 advice: the
+    typenames parser had only the fails-closed property, no
+    round-trip)."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    dt = tn.parse_type(spec)
+    back = T._parse_datatype_json_string(_json.dumps(dt.jsonValue()))
+    assert back == dt
+    assert back.simpleString() == dt.simpleString()
