@@ -551,7 +551,7 @@ from lineitem"""
 
 # ---------------------------------------- source_pydatasource_stream
 PYDS_STREAM_N = 50_000
-PYDS_STREAM_BATCH = 12_500  # -> 4 micro-batches
+PYDS_STREAM_BATCH = 25_000  # -> 2 micro-batches (r10 verdict #5: the offset/replay contract needs one batch boundary, not three)
 
 
 @_q("source_pydatasource_stream")
@@ -559,7 +559,7 @@ def source_pydatasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING Python DataSource gate (the seventh real streaming
     execution, and the streaming half of the SPARK-44076 extension
     point): `docrange` registers a SimpleDataSourceStreamReader whose
-    offsets are row positions — four micro-batches of 12.5k
+    offsets are row positions — two micro-batches of 25k
     arithmetic rows flow through a stateful complete-mode aggregate
     into a memory sink, and the result is hash-checked against the
     same generate_series oracle as the batch reader. What this gates:
