@@ -57,6 +57,31 @@ def _fingerprint(sf_dir: str, sources: tuple[str, ...]) -> str:
     return hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
 
 
+def _source_key(sf_dir: str) -> str:
+    """Stable per-source-DIRECTORY key: fingerprints nest under it so
+    superseding a regenerated table only deletes THAT directory's old
+    fingerprints — sf0.01 and sf0.1 artifacts coexist (an early flat
+    layout wiped one scale's artifacts whenever the other built)."""
+    return hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+
+
+def _prune_dead_sources(kind_dir: str) -> None:
+    """Drop source-key subtrees whose sf_dir no longer exists (e.g.
+    the temporary staged bench layouts) so the store stays bounded."""
+    try:
+        keys = os.listdir(kind_dir)
+    except FileNotFoundError:
+        return
+    for k in keys:
+        src_file = os.path.join(kind_dir, k, "_SOURCE_DIR")
+        try:
+            src = open(src_file).read().strip()
+        except OSError:
+            continue
+        if not os.path.isdir(src):
+            shutil.rmtree(os.path.join(kind_dir, k), ignore_errors=True)
+
+
 def persisted_frames(
     spark: SparkSession,
     kind: str,
@@ -78,13 +103,20 @@ def persisted_frames(
         if key in memo:  # raced
             return memo[key]
         fp = _fingerprint(sf_dir, sources)
-        base = os.path.join(_ROOT, kind, fp)
+        src_dir = os.path.join(_ROOT, kind, _source_key(sf_dir))
+        base = os.path.join(src_dir, fp)
         marker = os.path.join(base, _DONE)
         if not os.path.exists(marker):
             built = build()
-            # drop superseded fingerprints of this kind (regenerated
-            # testdata) so the artifact dir stays bounded
-            shutil.rmtree(os.path.join(_ROOT, kind), ignore_errors=True)
+            # drop THIS source dir's superseded fingerprints
+            # (regenerated testdata) and any source keys whose
+            # directory is gone (temp staged layouts) so the store
+            # stays bounded; other sf_dirs' artifacts are untouched
+            shutil.rmtree(src_dir, ignore_errors=True)
+            _prune_dead_sources(os.path.join(_ROOT, kind))
+            os.makedirs(src_dir, exist_ok=True)
+            with open(os.path.join(src_dir, "_SOURCE_DIR"), "w") as fh:
+                fh.write(os.path.abspath(sf_dir))
             for name, df in built.items():
                 df.write.mode("overwrite").parquet(
                     os.path.join(base, name)

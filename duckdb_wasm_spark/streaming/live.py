@@ -81,16 +81,29 @@ def _layout_dir(kind: str, sf_dir: str) -> tuple[str, bool]:
     size); superseded fingerprints of the same kind are deleted on
     build, so disk stays bounded (the r6 accumulate-forever ADVICE
     concern, solved by supersession instead of per-process tmpdirs)."""
-    from duckdb_wasm_spark.artifacts import _ROOT, _fingerprint
+    from duckdb_wasm_spark.artifacts import (
+        _ROOT,
+        _fingerprint,
+        _prune_dead_sources,
+        _source_key,
+    )
 
     fp = _fingerprint(sf_dir, ("events",))
-    base = os.path.join(_ROOT, "..", "stream_layouts", kind)
-    out = os.path.normpath(os.path.join(base, fp))
+    kind_dir = os.path.normpath(
+        os.path.join(_ROOT, "..", "stream_layouts", kind)
+    )
+    src_dir = os.path.join(kind_dir, _source_key(sf_dir))
+    out = os.path.join(src_dir, fp)
     done = os.path.join(out, "_LAYOUT_COMMITTED")
     if os.path.exists(done):
         return out, True
-    shutil.rmtree(os.path.normpath(base), ignore_errors=True)
+    # supersede only THIS sf_dir's old fingerprints (sf0.01/sf0.1
+    # layouts coexist) and prune source keys whose directory is gone
+    shutil.rmtree(src_dir, ignore_errors=True)
+    _prune_dead_sources(kind_dir)
     os.makedirs(out, exist_ok=True)
+    with open(os.path.join(src_dir, "_SOURCE_DIR"), "w") as fh:
+        fh.write(os.path.abspath(sf_dir))
     return out, False
 
 

@@ -625,7 +625,7 @@ group by event_type
 def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming EXACT DEDUP through the engine's
     ``dropDuplicatesWithinWatermark`` operator, driver-gated:
-    live.stream_dedup_keys streams the events table as 4 micro-batches
+    live.stream_dedup_keys streams the events table micro-batch-wise
     and drops repeated (user_id, event_type) keys across batches in
     watermarked dedup state (append-mode memory sink = first
     occurrence of each key). The watermark delay exceeds the staged

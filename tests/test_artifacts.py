@@ -85,10 +85,13 @@ def test_fingerprint_invalidates_on_source_change(spark, scratch_sf):
         spark, "t_stale", scratch_sf, ("embeddings",), build
     )
     assert calls["n"] == 2
-    kind_dir = os.path.join(artifacts._ROOT, "t_stale")
-    assert sorted(os.listdir(kind_dir)) == [fp2], (
-        "superseded fingerprint not cleaned"
+    src_dir = os.path.join(
+        artifacts._ROOT, "t_stale", artifacts._source_key(scratch_sf)
     )
+    got = sorted(
+        d for d in os.listdir(src_dir) if not d.startswith("_")
+    )
+    assert got == [fp2], "superseded fingerprint not cleaned"
 
 
 def test_partial_build_is_not_served(spark, scratch_sf):
@@ -109,3 +112,55 @@ def test_partial_build_is_not_served(spark, scratch_sf):
     )
     assert calls["n"] == 1
     assert got["a"].count() == 4
+
+
+def test_two_source_dirs_coexist_and_dead_sources_prune(
+    spark, tmp_path
+):
+    """Artifacts for DIFFERENT sf_dirs of the same kind must coexist
+    (the flat first cut wiped sf0.01's store whenever sf0.1 built);
+    source keys whose directory vanished (temp staged bench layouts)
+    are pruned on the next build."""
+    _clean("t_coex")
+    dirs = []
+    for name in ("sfA", "sfB"):
+        d = tmp_path / name
+        d.mkdir()
+        spark.range(5).select(F.col("id").alias("vec_id")).coalesce(
+            1
+        ).write.parquet(str(d / "embeddings.parquet"))
+        dirs.append(str(d))
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return {"a": spark.range(3).select(F.col("id").alias("x"))}
+
+    for d in dirs:
+        artifacts.persisted_frames(
+            spark, "t_coex", d, ("embeddings",), build
+        )
+    assert calls["n"] == 2
+    # both coexist: a fresh session serves BOTH without rebuilding
+    spark.__dict__.pop("_dws_disk_artifacts")
+    for d in dirs:
+        artifacts.persisted_frames(
+            spark, "t_coex", d, ("embeddings",), build
+        )
+    assert calls["n"] == 2, "coexisting artifact was wiped"
+    # kill sfA's source dir: the next build prunes its subtree
+    shutil.rmtree(dirs[0])
+    spark.__dict__.pop("_dws_disk_artifacts")
+    c = tmp_path / "sfC"
+    c.mkdir()
+    spark.range(2).select(F.col("id").alias("vec_id")).coalesce(
+        1
+    ).write.parquet(str(c / "embeddings.parquet"))
+    artifacts.persisted_frames(
+        spark, "t_coex", str(c), ("embeddings",), build
+    )
+    kind_dir = os.path.join(artifacts._ROOT, "t_coex")
+    keys = set(os.listdir(kind_dir))
+    assert artifacts._source_key(dirs[0]) not in keys, "dead source kept"
+    assert artifacts._source_key(dirs[1]) in keys
+    assert artifacts._source_key(str(c)) in keys
