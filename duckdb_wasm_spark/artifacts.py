@@ -124,7 +124,22 @@ def persisted_frames(
             with open(marker, "w") as fh:
                 fh.write("\n".join(sorted(built)))
         names = open(marker).read().split()
+        # Re-parallelize + localCheckpoint the loaded frames: the
+        # artifacts are byte-SMALL (codebooks, codes, signatures,
+        # candidate pairs), so the parquet read coalesces them into
+        # ~ONE input partition (maxPartitionBytes) — and every
+        # downstream per-row stage (the pandas-UDF dot over 1.5M
+        # candidate orderings) would run SERIALLY on it (measured
+        # +4.9s on embed_knn_graph at sf0.1). The one-time repartition
+        # + checkpoint per (session, kind) restores the parallel
+        # in-memory shape the pre-persistence localCheckpoint memos
+        # had, while the disk copy still makes cold sessions
+        # build-free.
+        par = spark.sparkContext.defaultParallelism
         memo[key] = {
-            n: spark.read.parquet(os.path.join(base, n)) for n in names
+            n: spark.read.parquet(os.path.join(base, n))
+            .repartition(par)
+            .localCheckpoint()
+            for n in names
         }
         return memo[key]

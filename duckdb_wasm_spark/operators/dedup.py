@@ -1180,13 +1180,27 @@ def _lsh_pairs_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
     growth law. Stale-safe via the embeddings fingerprint."""
     from duckdb_wasm_spark.artifacts import persisted_frames
 
-    return persisted_frames(
-        spark,
-        "lsh_pairs",
-        sf_dir,
-        ("embeddings",),
-        lambda: {"pairs": _lsh_candidate_pairs(spark, sf_dir)},
-    )["pairs"]
+    memo: dict = spark.__dict__.setdefault("_dws_lsh_pairs_hinted", {})
+    if sf_dir not in memo:
+        pairs = persisted_frames(
+            spark,
+            "lsh_pairs",
+            sf_dir,
+            ("embeddings",),
+            lambda: {"pairs": _lsh_candidate_pairs(spark, sf_dir)},
+        )["pairs"]
+        # merge-join hint: the reloaded artifact reports its TRUE
+        # (tiny) on-disk size, which flips Catalyst into broadcasting
+        # the candidate side of the downstream embedding joins —
+        # building a 1.5M-entry hash relation probed by 2k rows
+        # (measured 2.5s→7.6s on the knn dot stage). The hint pins the
+        # plan the truthful-stats lineage picked, and the one that is
+        # RIGHT at 100 TB: candidate and embedding sides are both
+        # corpus-scale there, so the join must shuffle — never
+        # broadcast either side. Memoized so consumers share ONE
+        # frame object (the memo-identity contract the tests pin).
+        memo[sf_dir] = pairs.hint("merge")
+    return memo[sf_dir]
 
 
 @_q("dedup_embedding_lsh")
@@ -2042,11 +2056,16 @@ def embed_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (r9: carrying norm doubles through the dedup measured +30%
     # wall); norms re-join with the embeddings below.
     pairs = _lsh_pairs_memo(spark, sf_dir)
+    # re-hint AFTER the union: the merge hint on the memoized frame
+    # does not propagate through Union, and an un-hinted cand frame
+    # gets broadcast by the artifact's tiny true size (see
+    # _lsh_pairs_memo — shuffling the candidate⋈embedding joins is
+    # the 100 TB-correct shape)
     cand = pairs.select(
         F.col("a_id").alias("src"), F.col("b_id").alias("nbr")
     ).unionByName(
         pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("nbr"))
-    )
+    ).hint("merge")
     norms = sigs.where(F.col("band") == 0).select("vec_id", "norm")
     ea = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("ea"))
     eb = emb.select(F.col("vec_id").alias("nbr"), F.col("embedding").alias("eb"))
