@@ -150,6 +150,13 @@ def _registries():
 # r7-green names, alphabetical. 5+1+43 = 49 <= the ~50-row window;
 # everything after follows in registry order.
 _GATE_PRIORITY = [
+    # (a0) NEW in round 11 (continuation session) — never gated:
+    # the data-selection family (operators/selection.py) + weighted LPA
+    "dedup_semdedup",
+    "sample_dsir",
+    "embed_silhouette",
+    "corpus_ppl_buckets",
+    "graph_label_propagation",
     # (a) rewritten in round 11 — plans changed, re-gate first
     "extra_stats",
     "corpus_length_quantiles",

@@ -43,6 +43,14 @@ BNLJ_ALLOWED = {
     "sim_topk_ivf_trained": "same 8-row panel per Lloyd iteration",
     "ivf_centroid_refine": "same 8-row centroid panel",
     "embed_cluster_purity": "trained centroids: IVF_CELLS=8 rows",
+    "embed_silhouette": "same 8-row trained-centroid panel",
+    "sample_dsir": (
+        "two 1-row corpus-total scalars crossed into the DSIR_B-row "
+        "weight table — both sides corpus-independent"
+    ),
+    "corpus_ppl_buckets": (
+        "inherits text_lm_score's 1-row vocab-size scalar"
+    ),
     "range_join_price_bands": "derived band table: 12 rows, fixed grid",
     "text_tfidf_topk": "corpus-size scalar: exactly 1 row for idf",
     "text_lm_score": "vocab-size scalar: exactly 1 row for smoothing",
@@ -195,6 +203,11 @@ WINDOW_CLASSKEY_ALLOWED = {
     "embed_centroid_outliers": (
         "rank <= OUTLIER_TOP_K via WindowGroupLimit over per-label "
         "distances"
+    ),
+    "corpus_ppl_buckets": (
+        "global_ranks offsets: <= ranks.RANK_PARTS rows per lang by "
+        "construction (the corpus-scale tercile rank runs within "
+        "(_pid, lang) behind the checkpoint)"
     ),
 }
 
