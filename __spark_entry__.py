@@ -157,6 +157,7 @@ _GATE_PRIORITY = [
     "embed_silhouette",
     "corpus_ppl_buckets",
     "graph_label_propagation",
+    "dedup_span_removal",
     # (a) rewritten in round 11 — plans changed, re-gate first
     "extra_stats",
     "corpus_length_quantiles",

@@ -1652,6 +1652,135 @@ def dedup_substring_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["dedup_substring_capped"] = substring_oracle_sql(SUBSTR_MAX_DF)
 
 
+# ------------------------------------------------- dedup_span_removal
+@_q("dedup_span_removal")
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL step of exact-substring dedup (Lee et al. 2021
+    actually delete the repeated spans — dedup_substring only audits
+    them): every DUP_SUBSTR_N-token window keeps its corpus-FIRST
+    occurrence (min (doc_id, pos) — a total order); every other
+    occurrence's token span is removed, and the surviving tokens are
+    re-assembled into the cleaned document text. Output: one row per
+    MODIFIED document — (doc_id, n_before, n_removed, cleaned_text),
+    the actual deliverable a span-dedup pipeline writes back.
+
+    Unlike dedup_substring there is NO pair expansion at all: the
+    canonical occurrence per window is one map-side-combining
+    min-STRUCT hash aggregate over the inverted index (skew-safe on
+    boilerplate windows — a hot gram contributes partial mins, never a
+    single-task sort, so the uncapped form is already the scale
+    shape), duplicates are the occurrences that differ from the min,
+    their coverage explodes ×N, and the cleaned text is one anti-join
+    plus one per-doc ordered re-assembly (the array_sort/collect
+    pattern of _trained_centroids).
+
+    Determinism: no floats anywhere — struct mins, integer positions,
+    exact string re-assembly (tokens cannot contain the separator, so
+    join-by-space is the tokenizer's inverse on the kept sequence).
+
+    Scale (100 TB): three narrow tokenizer passes (windows, tokens,
+    sizes) are RE-RUN rather than materializing the tokenized corpus —
+    pipelined maps, no shuffle; the shuffles are the (gram) aggregate,
+    the coverage distinct, the anti-join, and the per-doc rebuild,
+    each keyed on high-cardinality columns. Coverage volume is
+    N × duplicate-window count — linear in the duplication actually
+    present, the quantity the operator exists to delete."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = DUP_SUBSTR_N
+    tk = docs.select("doc_id", toks().alias("tk"))
+    w = (
+        tk.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"if(size(tk) < {n}, array(), "
+                    f"transform(sequence(1, size(tk) - {n - 1}), "
+                    f"i -> slice(tk, i, {n})))"
+                )
+            ).alias("pos0", "gram"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+    )
+    first = w.groupBy("gram").agg(
+        F.min(F.struct("doc_id", "pos")).alias("fo")
+    )
+    cover = (
+        w.join(first, "gram")
+        .where(
+            ~(
+                (F.col("doc_id") == F.col("fo.doc_id"))
+                & (F.col("pos") == F.col("fo.pos"))
+            )
+        )
+        .select(
+            F.col("doc_id").alias("cdoc"),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("cpos"),
+        )
+        .distinct()
+    )
+    tokens = tk.select(
+        "doc_id", F.posexplode("tk").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = tokens.join(
+        cover,
+        (tokens.doc_id == cover.cdoc) & (tokens.pos == cover.cpos),
+        "left_anti",
+    )
+    reb = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("cleaned"),
+    )
+    st = tk.select("doc_id", F.size("tk").alias("n_before"))
+    return (
+        st.join(reb, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_before",
+            (F.col("n_before") - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.coalesce("cleaned", F.lit("")).alias("cleaned_text"),
+        )
+        .where(F.col("n_removed") > 0)
+    )
+
+
+ORACLE["dedup_span_removal"] = f"""
+with t as (select doc_id, {sql_toks('text')} toks from documents),
+w as (select doc_id, u.s.pos pos, u.s.gram gram
+      from t, unnest({_sql_pos_ngrams('toks', DUP_SUBSTR_N)}) u(s)),
+f as (select gram, min({{'d': doc_id, 'p': pos}}) fo from w group by gram),
+cover as (
+  select distinct doc_id, cpos from (
+    select w.doc_id, unnest(range(w.pos, w.pos + {DUP_SUBSTR_N})) cpos
+    from w join f using (gram)
+    where not (w.doc_id = f.fo.d and w.pos = f.fo.p))),
+tok as (select doc_id, pos, tok from (
+  select doc_id, unnest(toks) tok, generate_subscripts(toks, 1) pos
+  from t)),
+kept as (select tok.doc_id, tok.pos, tok.tok from tok
+         anti join cover
+         on tok.doc_id = cover.doc_id and tok.pos = cover.cpos),
+reb as (select doc_id, count(*) n_kept,
+               string_agg(tok, ' ' order by pos) cleaned
+        from kept group by doc_id),
+st as (select doc_id, len(toks) n_before from t)
+select st.doc_id, st.n_before,
+       st.n_before - coalesce(reb.n_kept, 0) n_removed,
+       coalesce(reb.cleaned, '') cleaned_text
+from st left join reb on st.doc_id = reb.doc_id
+where st.n_before - coalesce(reb.n_kept, 0) > 0
+"""
+
+
 # -------------------------------------------------- dedup_containment
 CONTAINMENT_THRESHOLD = 0.5  # max(|A∩B|/|A|, |A∩B|/|B|) cut
 

@@ -131,3 +131,42 @@ def test_lpa_stays_pre_flood(spark, sf_dir):
     # sizes are emitted largest-first with a total tie-break
     sizes = [r["n_members"] for r in out]
     assert sizes == sorted(sizes, reverse=True)
+
+
+def test_span_removal_matches_python_replay(spark, sf_dir):
+    """Replay the whole removal algorithm in pure Python (tokenize,
+    positional windows, corpus-first canonical, coverage union, rebuild)
+    and require identical cleaned texts — pins the greedy semantics
+    independently of both engines' SQL."""
+    from duckdb_wasm_spark.operators import dedup
+
+    N = dedup.DUP_SUBSTR_N
+    docs = {
+        r["doc_id"]: [t for t in r["text"].split(" ") if t != ""]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    first: dict = {}
+    for d in sorted(docs):
+        tk = docs[d]
+        for i in range(len(tk) - N + 1):
+            g = tuple(tk[i : i + N])
+            if g not in first:
+                first[g] = (d, i + 1)
+    expected = {}
+    for d in sorted(docs):
+        tk = docs[d]
+        cover = set()
+        for i in range(len(tk) - N + 1):
+            if first[tuple(tk[i : i + N])] != (d, i + 1):
+                cover.update(range(i + 1, i + 1 + N))
+        if cover:
+            kept = [t for p, t in enumerate(tk, 1) if p not in cover]
+            expected[d] = (len(tk), len(cover & set(range(1, len(tk) + 1))),
+                           " ".join(kept))
+    out = {
+        r["doc_id"]: (r["n_before"], r["n_removed"], r["cleaned_text"])
+        for r in dedup.QUERIES["dedup_span_removal"](spark, sf_dir).collect()
+    }
+    assert set(out) == set(expected)
+    for d, exp in expected.items():
+        assert out[d] == exp, f"doc {d}: {out[d][:2]} != {exp[:2]}"
