@@ -158,6 +158,8 @@ _GATE_PRIORITY = [
     "corpus_ppl_buckets",
     "graph_label_propagation",
     "dedup_span_removal",
+    "ivf_kmeanspp_init",
+    "dedup_source_matrix",
     # (a) rewritten in round 11 — plans changed, re-gate first
     "extra_stats",
     "corpus_length_quantiles",

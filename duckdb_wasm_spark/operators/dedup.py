@@ -2931,3 +2931,63 @@ order by new_id"""
 
 
 ORACLE["dedup_incremental_ingest"] = _incremental_sql()
+
+
+# ------------------------------------------------- dedup_source_matrix
+@_q("dedup_source_matrix")
+def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: the exact trigram-Jaccard
+    near-dup pairs rolled up by (source, source) — the diagnostic that
+    says WHERE the duplication lives. Off-diagonal mass means two
+    sources ship the same documents, so a mixture that weights them
+    independently double-counts that content (the mixture-design
+    counterpart of corpus_source_overlap, which compares vocabularies;
+    this compares actual near-duplicate documents). Output: normalized
+    (source_a <= source_b) pair, pair count, strongest jaccard.
+
+    Plan (100 TB): the pair frame is dedup_ngram_jaccard's posting-
+    list join (collision-bounded); the rollup adds two doc_id equi-
+    joins to attach sources and one |sources|²-bounded aggregate —
+    nothing new shuffles at corpus scale."""
+    pairs = QUERIES["dedup_ngram_jaccard"](spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    j = pairs.join(
+        src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
+        "doc_a",
+    ).join(
+        src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")),
+        "doc_b",
+    )
+    return (
+        j.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
+
+
+ORACLE["dedup_source_matrix"] = f"""{_SQL_PAIR_OVERLAPS},
+pj as (
+  select doc_a, doc_b,
+         cast(n_common as double) / (sa.n + sb.n - n_common) jaccard
+  from inter
+  join sizes sa on doc_a = sa.doc_id
+  join sizes sb on doc_b = sb.doc_id
+  where cast(n_common as double) / (sa.n + sb.n - n_common)
+        >= {JACCARD_THRESHOLD}),
+sp as (
+  select least(da.source, db.source) source_a,
+         greatest(da.source, db.source) source_b,
+         pj.jaccard
+  from pj
+  join documents da on pj.doc_a = da.doc_id
+  join documents db on pj.doc_b = db.doc_id)
+select source_a, source_b, count(*) n_pairs, max(jaccard) max_jaccard
+from sp group by source_a, source_b
+"""

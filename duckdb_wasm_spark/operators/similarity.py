@@ -2717,3 +2717,194 @@ order by dims"""
 
 
 ORACLE["embed_dim_truncation_audit"] = _dim_truncation_sql()
+
+
+# ---------------------------------------------------- ivf_kmeanspp_init
+KPP_L = 16  # oversampling factor per round (~2k, Bahmani et al. §3)
+KPP_T = 2  # oversampling rounds
+_KPP_SCALE = 1 << 20  # fixed-point unit for the cost-sum phi
+
+
+def _kpp_u(t: int):
+    """Exact md5-fraction in (0,1) for round t's selection coin —
+    power-of-two denominator, identical in both engines."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"kpp{t}-"), F.col("vec_id").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .cast("double")
+        / F.lit(float(1 << 60))
+    )
+
+
+def _sql_kpp_u(t: int) -> str:
+    return (
+        f"cast(('0x' || substr(md5('kpp{t}-' || cast(vec_id as varchar)),"
+        f" 1, 15))::bigint as double) / {float(1 << 60)}"
+    )
+
+
+@_q("ivf_kmeanspp_init")
+def ivf_kmeanspp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means|| initialization (Bahmani et al. 2012, VLDB — the
+    scalable k-means++ seeding Spark ML's own KMeans uses): instead of
+    k sequential D²-weighted draws (k round trips over the corpus),
+    oversample ~KPP_L points per round for KPP_T rounds with
+    probability min(1, l·d²(x,C)/φ(C)), then weight the candidates by
+    the points they serve and keep the top N_CENTROIDS — the
+    data-spread seeds the Lloyd gates' naive first-k seeding lacks.
+    Output: the k chosen seeds as (cid, weight).
+
+    Determinism: the "probabilistic" coin is the md5 fraction of
+    (round, vec_id) — u < l·d²/φ evaluated as u·φ < l·d² on exact
+    doubles (φ is a 2^20 fixed-point bigint sum — order-independent —
+    whose /2^20 is an exact exponent shift; boundary ties are
+    measure-zero); d² composes (xx − 2·x·c) + cc from the shared fold
+    dot, identical text both engines; the argmin assignment and the
+    final top-k order on (d2|weight, cid) are total.
+
+    Plan (100 TB): the textbook k-means|| decomposition — per round,
+    the candidate set (O(k·l) rows) is collected into ONE 1-row array
+    frame and broadcast (BNLJ-allowlisted scalar), d²(x, C) is a
+    zero-shuffle narrow map (array_min over the candidate array), φ is
+    a 1-row aggregate, and selection is a filter; NO corpus shuffle in
+    any round. The final weighting is one (cid) count aggregate and a
+    k-row TakeOrdered. Candidate frames are localCheckpoint'd per
+    round (the Lloyd-iteration discipline: lineage must not re-run
+    prior rounds)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    normed = emb.select(
+        "vec_id", "embedding", dot_fold("embedding", "embedding").alias("xx")
+    )
+    cand = (
+        normed.where(F.col("vec_id") == 0)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("ec"),
+            F.col("xx").alias("cxx"),
+        )
+        .localCheckpoint()
+    )
+
+    def d2_col(cs_col):
+        return F.array_min(
+            F.transform(
+                cs_col,
+                lambda c: (
+                    F.col("xx")
+                    - F.lit(2.0) * dot_fold(F.col("embedding"), c["ec"])
+                )
+                + c["cxx"],
+            )
+        )
+
+    for t in range(1, KPP_T + 1):
+        cl = cand.agg(
+            F.collect_list(F.struct("cid", "ec", "cxx")).alias("cs")
+        )
+        scored = normed.crossJoin(F.broadcast(cl)).select(
+            "vec_id", "embedding", "xx", d2_col(F.col("cs")).alias("d2")
+        )
+        phi = scored.agg(
+            F.sum(
+                F.floor(F.col("d2") * F.lit(float(_KPP_SCALE))).cast("long")
+            ).alias("phi_fp")
+        )
+        sel = (
+            scored.crossJoin(F.broadcast(phi))
+            .where(
+                _kpp_u(t)
+                * (
+                    F.col("phi_fp").cast("double")
+                    / F.lit(float(_KPP_SCALE))
+                )
+                < F.lit(float(KPP_L)) * F.col("d2")
+            )
+            .select(
+                F.col("vec_id").alias("cid"),
+                F.col("embedding").alias("ec"),
+                F.col("xx").alias("cxx"),
+            )
+        )
+        cand = cand.unionByName(sel).localCheckpoint()
+
+    cl = cand.agg(F.collect_list(F.struct("cid", "ec", "cxx")).alias("cs"))
+    assigned = normed.crossJoin(F.broadcast(cl)).select(
+        F.array_min(
+            F.transform(
+                F.col("cs"),
+                lambda c: F.struct(
+                    (
+                        (
+                            F.col("xx")
+                            - F.lit(2.0)
+                            * dot_fold(F.col("embedding"), c["ec"])
+                        )
+                        + c["cxx"]
+                    ).alias("d2"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        )["cid"].alias("cid")
+    )
+    w = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("weight"))
+    return w.orderBy(F.col("weight").desc(), F.col("cid").asc()).limit(
+        N_CENTROIDS
+    )
+
+
+def _kpp_round_sql(t: int, prev: str) -> str:
+    """One oversampling round as oracle CTEs: d² against `prev`'s
+    collected candidate array, fixed-point φ, md5-coin selection."""
+    d2 = (
+        "list_min(list_transform(cs, c -> "
+        f"(xx - 2 * {sql_dot('embedding', 'c.ec')}) + c.cxx))"
+    )
+    return f"""
+cl{t} as (select list({{'cid': cid, 'ec': ec, 'cxx': cxx}}) cs from {prev}),
+s{t} as (select vec_id, embedding, xx, {d2} d2 from normed, cl{t}),
+p{t} as (select cast(sum(cast(floor(d2 * {_KPP_SCALE}) as bigint))
+                     as bigint) phi_fp from s{t}),
+c{t} as (
+  select cid, ec, cxx from {prev}
+  union all
+  select vec_id cid, embedding ec, xx cxx
+  from s{t}, p{t}
+  where {_sql_kpp_u(t)} * (cast(phi_fp as double) / {float(_KPP_SCALE)})
+        < {float(KPP_L)} * d2)"""
+
+
+ORACLE["ivf_kmeanspp_init"] = f"""
+with normed as (
+  select vec_id, embedding, {sql_dot('embedding', 'embedding')} xx
+  from embeddings),
+k0 as (select vec_id cid, embedding ec, xx cxx from normed
+       where vec_id = 0),
+{','.join(_kpp_round_sql(t, 'k0' if t == 1 else f'c{t - 1}')
+          for t in range(1, KPP_T + 1))},
+assigned as (
+  select vec_id, cid from (
+    select n.vec_id, c.cid,
+           row_number() over (
+             partition by n.vec_id
+             order by (n.xx - 2 * {sql_dot('n.embedding', 'c.ec')})
+                      + c.cxx asc, c.cid asc) rn
+    from normed n, c{KPP_T} c) r
+  where rn = 1)
+select cid, count(*) weight
+from assigned
+group by cid
+order by weight desc, cid asc
+limit {N_CENTROIDS}
+"""

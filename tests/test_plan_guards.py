@@ -44,13 +44,18 @@ BNLJ_ALLOWED = {
     "ivf_centroid_refine": "same 8-row centroid panel",
     "embed_cluster_purity": "trained centroids: IVF_CELLS=8 rows",
     "embed_silhouette": "same 8-row trained-centroid panel",
+    "ivf_kmeanspp_init": (
+        "per-round 1-row collected candidate array (O(k*l) entries) "
+        "x 1-row phi scalar — the k-means|| decomposition, never the "
+        "corpus"
+    ),
     "sample_dsir": (
         "two 1-row corpus-total scalars crossed into the DSIR_B-row "
         "weight table — both sides corpus-independent"
     ),
-    "corpus_ppl_buckets": (
-        "inherits text_lm_score's 1-row vocab-size scalar"
-    ),
+    # corpus_ppl_buckets' inherited text_lm_score vocab BNLJ executes
+    # behind global_ranks' localCheckpoint, so it never appears in the
+    # returned plan this guard inspects — no allowance needed
     "range_join_price_bands": "derived band table: 12 rows, fixed grid",
     "text_tfidf_topk": "corpus-size scalar: exactly 1 row for idf",
     "text_lm_score": "vocab-size scalar: exactly 1 row for smoothing",

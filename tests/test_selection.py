@@ -170,3 +170,33 @@ def test_span_removal_matches_python_replay(spark, sf_dir):
     assert set(out) == set(expected)
     for d, exp in expected.items():
         assert out[d] == exp, f"doc {d}: {out[d][:2]} != {exp[:2]}"
+
+
+def test_kmeanspp_seeds_beat_naive_cost(spark, sf_dir):
+    """The point of k-means|| seeding: the quantization cost
+    sum_x min_c d2(x, c) of the chosen seeds must beat the naive
+    first-k seeding the Lloyd gates start from (numpy, exact)."""
+    from duckdb_wasm_spark.operators import similarity
+
+    seeds = [
+        r["cid"]
+        for r in similarity.QUERIES["ivf_kmeanspp_init"](
+            spark, sf_dir
+        ).collect()
+    ]
+    assert len(seeds) == similarity.N_CENTROIDS
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    X = np.stack([emb[i] for i in sorted(emb)])
+
+    def cost(centroid_ids):
+        C = np.stack([emb[i] for i in centroid_ids])
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return d2.min(axis=1).sum()
+
+    naive = list(range(similarity.N_CENTROIDS))
+    assert cost(seeds) < cost(naive), (
+        f"kpp cost {cost(seeds):.2f} !< naive {cost(naive):.2f}"
+    )
