@@ -160,6 +160,7 @@ _GATE_PRIORITY = [
     "dedup_span_removal",
     "ivf_kmeanspp_init",
     "dedup_source_matrix",
+    "sim_topk_mmr",
     # (a) rewritten in round 11 — plans changed, re-gate first
     "extra_stats",
     "corpus_length_quantiles",

@@ -2908,3 +2908,165 @@ group by cid
 order by weight desc, cid asc
 limit {N_CENTROIDS}
 """
+
+
+# -------------------------------------------------------- sim_topk_mmr
+MMR_CAND = 20  # cosine shortlist per query the greedy re-ranks
+MMR_K = 5  # results returned per query
+MMR_LAMBDA = 0.7  # relevance weight; 1-λ penalizes redundancy
+
+
+@_q("sim_topk_mmr")
+def sim_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): plain top-k returns near-duplicate neighbors; MMR greedily
+    picks argmax of λ·sim(q,c) − (1−λ)·max_{s∈selected} sim(c,s), so
+    each result is relevant AND novel — the diversification step
+    retrieval pipelines run between ANN shortlist and answer.
+
+    Greedy selection is inherently sequential in k, so the MMR_K
+    steps are UNROLLED (the Lloyd/PageRank fixed-chain discipline):
+    step 1 takes the top cosine hit; each later step anti-joins the
+    shortlist against the picks, computes each survivor's worst-case
+    redundancy against the picked set (a per-query ≤CAND×k pair
+    frame), and takes the per-query argmax of the MMR score with ties
+    on neighbor id. The oracle replays the identical chain.
+
+    Determinism: all sims ride the shared fold dot; the score
+    λ·sim − (1−λ)·red is the same two IEEE ops both engines; every
+    argmax key ((score desc, nid), (sim desc, nid)) is total.
+
+    Plan (100 TB): ONE corpus-scale stage — the brute shortlist scan
+    (broadcast 50-query panel, WindowGroupLimit top-CAND per query,
+    the sim_topk_brute shape; swap in the IVF probe for a trained
+    shortlist at scale). Everything after runs on the checkpointed
+    ≤|Q|·CAND-row shortlist: per step one anti-join, one pair
+    aggregate, one rank-1 window — frames bounded by the panel, never
+    the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    normed = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot_fold("embedding", "embedding")).alias("nrm"),
+    )
+    q = normed.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("eq"),
+        F.col("nrm").alias("nq"),
+    )
+    c = normed.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("en"),
+        F.col("nrm").alias("nn"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("sim").desc(), F.col("nid").asc()
+    )
+    cand = (
+        c.join(F.broadcast(q))
+        .where(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            "en",
+            "nn",
+            (dot_fold("eq", "en") / (F.col("nq") * F.col("nn"))).alias(
+                "sim"
+            ),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= MMR_CAND)
+        .localCheckpoint()
+    )
+    sel = (
+        cand.where(F.col("rk") == 1)
+        .select("qid", "nid", "en", "nn", "sim", F.lit(1).alias("step"))
+        .localCheckpoint()
+    )
+    lam = F.lit(MMR_LAMBDA)
+    for t in range(2, MMR_K + 1):
+        rem = cand.join(
+            sel.select("qid", "nid"), ["qid", "nid"], "left_anti"
+        )
+        red = (
+            rem.join(
+                sel.select(
+                    "qid",
+                    F.col("en").alias("es"),
+                    F.col("nn").alias("ns"),
+                ),
+                "qid",
+            )
+            .select(
+                "qid",
+                "nid",
+                (
+                    dot_fold("en", "es") / (F.col("nn") * F.col("ns"))
+                ).alias("pair"),
+            )
+            .groupBy("qid", "nid")
+            .agg(F.max("pair").alias("red"))
+        )
+        score = lam * F.col("sim") - (F.lit(1.0) - lam) * F.col("red")
+        pw = Window.partitionBy("qid").orderBy(
+            F.col("score").desc(), F.col("nid").asc()
+        )
+        pick = (
+            rem.join(red, ["qid", "nid"])
+            .withColumn("score", score)
+            .withColumn("prk", F.row_number().over(pw))
+            .where(F.col("prk") == 1)
+            .select(
+                "qid", "nid", "en", "nn", "sim", F.lit(t).alias("step")
+            )
+        )
+        sel = sel.unionByName(pick).localCheckpoint()
+    return sel.select(
+        F.col("qid").alias("query_id"),
+        F.col("nid").alias("neighbor_id"),
+        "step",
+        "sim",
+    )
+
+
+def _mmr_step_sql(t: int) -> str:
+    return f"""
+rem{t} as (select c.* from cand c anti join s{t - 1} s
+           on c.qid = s.qid and c.nid = s.nid),
+red{t} as (
+  select r.qid, r.nid,
+         max({sql_dot('r.en', 's.en')} / (r.nn * s.nn)) red
+  from rem{t} r join s{t - 1} s on r.qid = s.qid
+  group by r.qid, r.nid),
+pick{t} as (
+  select qid, nid, en, nn, sim, {t} step from (
+    select r.*, row_number() over (
+      partition by r.qid
+      order by {MMR_LAMBDA} * r.sim - {1.0 - MMR_LAMBDA} * d.red desc,
+               r.nid asc) prk
+    from rem{t} r join red{t} d on r.qid = d.qid and r.nid = d.nid) p
+  where prk = 1),
+s{t} as (select * from s{t - 1} union all select * from pick{t})"""
+
+
+ORACLE["sim_topk_mmr"] = f"""
+with normed as (
+  select vec_id, embedding,
+         sqrt({sql_dot('embedding', 'embedding')}) nrm
+  from embeddings),
+q as (select vec_id qid, embedding eq, nrm nq from normed
+      where vec_id < {N_QUERIES}),
+cand as (
+  select * from (
+    select qid, nid, en, nn, sim,
+           row_number() over (partition by qid
+                              order by sim desc, nid asc) rk
+    from (select q.qid, n.vec_id nid, n.embedding en, n.nrm nn,
+                 {sql_dot('q.eq', 'n.embedding')} / (q.nq * n.nrm) sim
+          from q, normed n
+          where q.qid <> n.vec_id))
+  where rk <= {MMR_CAND}),
+s1 as (select qid, nid, en, nn, sim, 1 step from cand where rk = 1),
+{','.join(_mmr_step_sql(t) for t in range(2, MMR_K + 1))}
+select qid query_id, nid neighbor_id, step, sim from s{MMR_K}
+"""

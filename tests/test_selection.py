@@ -200,3 +200,30 @@ def test_kmeanspp_seeds_beat_naive_cost(spark, sf_dir):
     assert cost(seeds) < cost(naive), (
         f"kpp cost {cost(seeds):.2f} !< naive {cost(naive):.2f}"
     )
+
+
+def test_mmr_diversifies_within_shortlist(spark, sf_dir):
+    """MMR laws: picks per query are MMR_K distinct members of the
+    cosine shortlist; step 1 IS the plain top-1; and the greedy
+    re-ranking must actually fire somewhere (some query's pick set or
+    order differs from the plain top-K) — otherwise the redundancy
+    term is dead code on this corpus."""
+    from duckdb_wasm_spark.operators import similarity
+
+    out = similarity.QUERIES["sim_topk_mmr"](spark, sf_dir).collect()
+    brute = similarity.QUERIES["sim_topk_brute"](spark, sf_dir).collect()
+    top1 = {r["query_id"]: r["neighbor_id"] for r in brute if r["rank"] == 1}
+    topk = {}
+    for r in sorted(brute, key=lambda r: (r["query_id"], r["rank"])):
+        topk.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    by_q = {}
+    for r in sorted(out, key=lambda r: (r["query_id"], r["step"])):
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    diverged = 0
+    for qid, picks in by_q.items():
+        assert len(picks) == similarity.MMR_K
+        assert len(set(picks)) == similarity.MMR_K
+        assert picks[0] == top1[qid], "step 1 must be the plain top-1"
+        if picks != topk[qid][: similarity.MMR_K]:
+            diverged += 1
+    assert diverged > 0, "MMR never re-ranked — redundancy term dead"
