@@ -149,9 +149,17 @@ def _registries():
 # they must re-gate first; (b) the single r6-green name; (c) all 43
 # r7-green names, alphabetical. 5+1+43 = 49 <= the ~50-row window;
 # everything after follows in registry order.
+# ROUND-11 CONTINUATION: the driver restarted the round, so the nine
+# operators added in the continuation session (never gated — tier a0
+# below) lead the window ahead of the first session's rewrites; the
+# 50-row window then still covers (a) + (b) + most of (c), and the
+# committed REPLICA_r11.json (same-session, full registry) backstops
+# whatever the window cut off.
 _GATE_PRIORITY = [
     # (a0) NEW in round 11 (continuation session) — never gated:
-    # the data-selection family (operators/selection.py) + weighted LPA
+    # the data-selection family (operators/selection.py), weighted
+    # LPA, span removal, k-means|| seeding, the source-duplication
+    # matrix, and MMR re-ranking
     "dedup_semdedup",
     "sample_dsir",
     "embed_silhouette",
