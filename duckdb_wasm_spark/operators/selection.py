@@ -54,7 +54,11 @@ from duckdb_wasm_spark.operators._text import (
     sql_toks,
     toks,
 )
-from duckdb_wasm_spark.operators.dedup import dot_fold, sql_dot
+from duckdb_wasm_spark.operators.dedup import (
+    _pair_dot_udf,
+    dot_fold,
+    sql_dot,
+)
 from duckdb_wasm_spark.operators.similarity import (
     N_CENTROIDS,
     TRAIN_ITERS,
@@ -255,14 +259,20 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("eb"),
         F.col("nrm").alias("nb"),
     )
+    # pair cosine rides the Arrow-batched columnar fold (shared with
+    # embed_knn_graph — bit-identical to the oracle's list_reduce):
+    # the interpreted higher-order dot_fold dominated the ~250k
+    # within-cell pairs at sf0.1 (bench 4.0s -> 1.5s isolated warm)
+    pair_dot = _pair_dot_udf()
     dups = (
         a.join(b, "cell")
         .where(F.col("ra") < F.col("rb"))
         .select(
             "bid",
-            (dot_fold("ea", "eb") / (F.col("na") * F.col("nb"))).alias(
-                "sim"
-            ),
+            (
+                pair_dot(F.col("ea"), F.col("eb"))
+                / (F.col("na") * F.col("nb"))
+            ).alias("sim"),
         )
         .groupBy("bid")
         .agg(
