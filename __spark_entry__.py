@@ -169,6 +169,7 @@ _GATE_PRIORITY = [
     "ivf_kmeanspp_init",
     "dedup_source_matrix",
     "sim_topk_mmr",
+    "dedup_edit_verify",
     # (a) rewritten in round 11 — plans changed, re-gate first
     "extra_stats",
     "corpus_length_quantiles",

@@ -2991,3 +2991,74 @@ sp as (
 select source_a, source_b, count(*) n_pairs, max(jaccard) max_jaccard
 from sp group by source_a, source_b
 """
+
+
+# -------------------------------------------------- dedup_edit_verify
+EDIT_SIM_MIN = 0.8  # normalized edit similarity to call a fuzzy dup
+
+
+@_q("dedup_edit_verify")
+def dedup_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance VERIFICATION of near-dup candidates — the verify
+    stage of a fuzzy-dedup pipeline (candidates from a cheap
+    set-similarity index, the expensive character-level check run only
+    on them): for every exact trigram-Jaccard candidate pair, the
+    Levenshtein distance over the raw texts and the normalized
+    similarity 1 − d/max(|a|, |b|), flagged at EDIT_SIM_MIN. Jaccard
+    sees bags of shingles — it misses that two docs differ by a
+    scattered character noise pattern vs a block edit; edit distance
+    is the order-sensitive ground truth on the candidate set.
+
+    Determinism: Levenshtein is an exact integer (Spark
+    `levenshtein` ≡ DuckDB `levenshtein`, the standard DP); lengths
+    are exact ints; the one division per pair is correctly rounded
+    IEEE on integer-derived operands.
+
+    Plan (100 TB): the candidate pairs come from the posting-list
+    join (collision-bounded, never n²); texts attach via two doc_id
+    equi-joins; the O(|a|·|b|) DP runs ONLY on candidate pairs —
+    exactly the index-then-verify decomposition that makes
+    character-level dedup feasible at scale."""
+    pairs = QUERIES["dedup_ngram_jaccard"](spark, sf_dir)
+    txt = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    j = pairs.join(
+        txt.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta")),
+        "doc_a",
+    ).join(
+        txt.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb")),
+        "doc_b",
+    )
+    d = F.levenshtein("ta", "tb")
+    mx = F.greatest(F.length("ta"), F.length("tb"))
+    sim = F.lit(1.0) - d.cast("double") / mx.cast("double")
+    return j.select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        d.alias("edit_distance"),
+        sim.alias("edit_sim"),
+        (sim >= EDIT_SIM_MIN).alias("is_fuzzy_dup"),
+    )
+
+
+ORACLE["dedup_edit_verify"] = f"""{_SQL_PAIR_OVERLAPS},
+pj as (
+  select doc_a, doc_b,
+         cast(n_common as double) / (sa.n + sb.n - n_common) jaccard
+  from inter
+  join sizes sa on doc_a = sa.doc_id
+  join sizes sb on doc_b = sb.doc_id
+  where cast(n_common as double) / (sa.n + sb.n - n_common)
+        >= {JACCARD_THRESHOLD})
+select pj.doc_a, pj.doc_b, pj.jaccard,
+       cast(levenshtein(da.text, db.text) as int) edit_distance,
+       1.0 - cast(levenshtein(da.text, db.text) as double)
+             / cast(greatest(length(da.text), length(db.text)) as double)
+         edit_sim,
+       1.0 - cast(levenshtein(da.text, db.text) as double)
+             / cast(greatest(length(da.text), length(db.text)) as double)
+         >= {EDIT_SIM_MIN} is_fuzzy_dup
+from pj
+join documents da on pj.doc_a = da.doc_id
+join documents db on pj.doc_b = db.doc_id
+"""

@@ -227,3 +227,64 @@ def test_mmr_diversifies_within_shortlist(spark, sf_dir):
         if picks != topk[qid][: similarity.MMR_K]:
             diverged += 1
     assert diverged > 0, "MMR never re-ranked — redundancy term dead"
+
+
+def test_span_removal_randomized_corpora(spark, tmp_path):
+    """Seeded random corpora (shared blocks + noise, intra-doc repeats,
+    docs shorter than the window, full duplicates) written to a temp
+    parquet layout and checked against the pure-Python replay — the
+    edge cases the fixed testdata may not contain."""
+    import random
+
+    from duckdb_wasm_spark.operators import dedup
+
+    N = dedup.DUP_SUBSTR_N
+    for seed in range(4):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(12)]
+        block = [rng.choice(vocab) for _ in range(N + 3)]
+        docs = {}
+        for d in range(12):
+            style = d % 4
+            if style == 0:  # shared block + noise
+                tk = block + [rng.choice(vocab) for _ in range(rng.randint(0, 8))]
+            elif style == 1:  # short doc (< window)
+                tk = [rng.choice(vocab) for _ in range(rng.randint(1, N - 1))]
+            elif style == 2:  # intra-doc repeat of its own window
+                base = [rng.choice(vocab) for _ in range(N)]
+                tk = base + [rng.choice(vocab)] + base
+            else:  # full duplicate of the shared block
+                tk = list(block)
+            docs[d] = tk
+        rows = [
+            (d, " ".join(tk), "en", "src0", len(" ".join(tk)))
+            for d, tk in docs.items()
+        ]
+        out_dir = str(tmp_path / f"corpus{seed}")
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{out_dir}/documents.parquet"
+        )
+        first: dict = {}
+        for d in sorted(docs):
+            tk = docs[d]
+            for i in range(len(tk) - N + 1):
+                first.setdefault(tuple(tk[i : i + N]), (d, i + 1))
+        expected = {}
+        for d in sorted(docs):
+            tk = docs[d]
+            cover = set()
+            for i in range(len(tk) - N + 1):
+                if first[tuple(tk[i : i + N])] != (d, i + 1):
+                    cover.update(range(i + 1, i + 1 + N))
+            if cover:
+                kept = [t for p, t in enumerate(tk, 1) if p not in cover]
+                expected[d] = (len(tk), len(cover), " ".join(kept))
+        got = {
+            r["doc_id"]: (r["n_before"], r["n_removed"], r["cleaned_text"])
+            for r in dedup.QUERIES["dedup_span_removal"](
+                spark, out_dir
+            ).collect()
+        }
+        assert got == expected, f"seed {seed}: {got} != {expected}"
