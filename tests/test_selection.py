@@ -288,3 +288,74 @@ def test_span_removal_randomized_corpora(spark, tmp_path):
             ).collect()
         }
         assert got == expected, f"seed {seed}: {got} != {expected}"
+
+
+def test_dsir_matches_python_replay_on_random_corpus(spark, tmp_path):
+    """Full pure-Python replay of DSIR (bucket hashing, Laplace
+    smoothing, fixed-point log-ratio weights, Gumbel keys, top-k) on a
+    seeded random corpus written to a temp parquet layout — pins the
+    arithmetic end-to-end, including the md5 bucket/coin recipes."""
+    import hashlib
+    import math
+    import random
+
+    from duckdb_wasm_spark.operators import selection
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(30)]
+    rows = []
+    for d in range(40):
+        lang = "en" if d % 3 == 0 else "xx"
+        n = rng.randint(2, 25)
+        text = " ".join(rng.choice(vocab) for _ in range(n))
+        rows.append((d, text, lang, "src0", len(text)))
+    out_dir = str(tmp_path / "dsir")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+
+    B, S = selection.DSIR_B, selection._SCALE
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+
+    feats, raw, tgt = {}, {}, {}
+    for d, text, lang, _, _ in rows:
+        tk = [t for t in text.split(" ") if t]
+        fs = [bucket(f"{a} {b}") for a, b in zip(tk, tk[1:])]
+        feats[d] = fs
+        for f in fs:
+            raw[f] = raw.get(f, 0) + 1
+            if lang == "en":
+                tgt[f] = tgt.get(f, 0) + 1
+    tot_r, tot_t = sum(raw.values()), sum(tgt.values())
+    term = {
+        f: math.floor(
+            (
+                math.log((tgt.get(f, 0) + 1) / (tot_t + B))
+                - math.log((cr + 1) / (tot_r + B))
+            )
+            * S
+        )
+        for f, cr in raw.items()
+    }
+    expected = []
+    for d, text, lang, _, _ in rows:
+        if not feats[d]:
+            continue
+        w = sum(term[f] for f in feats[d])
+        h = int(
+            hashlib.md5(f"dsir{d}".encode()).hexdigest()[:15], 16
+        )
+        u = float(h) / float(1 << 60)
+        g = math.floor(-math.log(-math.log(u)) * S)
+        expected.append((d, lang, w, w + g))
+    expected.sort(key=lambda r: (-r[3], r[0]))
+    expected = expected[: selection.DSIR_K]
+    got = [
+        (r["doc_id"], r["lang"], r["w_fp"], r["score_fp"])
+        for r in selection.QUERIES["sample_dsir"](spark, out_dir).collect()
+    ]
+    assert got == expected
