@@ -1,10 +1,17 @@
-"""Structural properties of the data-selection operators
-(operators/selection.py) that the SQL oracle can't express: SemDeDup's
-greedy-order semantics verified against a brute-force numpy replay,
-silhouette range/accounting laws, DSIR's target-domain lift, and the
-perplexity terciles' partition-and-order laws.
+"""Structural properties of the continuation-session operators that
+the SQL oracle can't express — two kinds:
 
-(Exact oracle parity for all four is covered by
+- laws on the driver testdata: SemDeDup's greedy-order semantics vs a
+  brute-force numpy replay, silhouette range/accounting, DSIR's
+  target-domain lift, perplexity-tercile partition/order, LPA's
+  pre-flood community structure, MMR's shortlist/divergence laws, and
+  k-means|| seeds beating naive seeding on quantization cost;
+- full pure-Python replays on SEEDED RANDOM corpora written to temp
+  parquet layouts (span removal, DSIR, k-means||, weighted LPA) —
+  edge cases and exact arithmetic (md5 recipes, fixed-point floors,
+  fold association) pinned independently of both engines.
+
+(Exact oracle parity for every operator is covered by
 tests/test_operators.py::test_operator_parity via the registry.)"""
 
 import numpy as np
@@ -357,5 +364,129 @@ def test_dsir_matches_python_replay_on_random_corpus(spark, tmp_path):
     got = [
         (r["doc_id"], r["lang"], r["w_fp"], r["score_fp"])
         for r in selection.QUERIES["sample_dsir"](spark, out_dir).collect()
+    ]
+    assert got == expected
+
+
+def test_kmeanspp_matches_python_replay_on_random_corpus(spark, tmp_path):
+    """Pure-Python replay of the whole k-means|| chain (fold dots, d²
+    association, fixed-point φ, md5 selection coins, argmin
+    assignment, weight top-k) on seeded random float32 vectors —
+    every constant and operation order must match the operator."""
+    import hashlib
+    import math
+
+    from duckdb_wasm_spark.operators import similarity as sim
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(60, 8).astype(np.float32)
+    rows = [(int(i), [float(x) for x in vecs[i]], int(i % 3)) for i in range(60)]
+    out_dir = str(tmp_path / "kpp")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{out_dir}/embeddings.parquet"
+    )
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    emb = {i: [float(x) for x in vecs[i]] for i in range(60)}
+    xx = {i: fold_dot(emb[i], emb[i]) for i in emb}
+    cand = [(0, emb[0], xx[0])]
+    S = sim._KPP_SCALE
+    for t in range(1, sim.KPP_T + 1):
+        d2 = {
+            i: min((xx[i] - 2.0 * fold_dot(emb[i], ec)) + cxx
+                   for _, ec, cxx in cand)
+            for i in emb
+        }
+        phi = sum(int(math.floor(d2[i] * S)) for i in emb)
+        phi_d = float(phi) / float(S)
+        sel = []
+        for i in sorted(emb):
+            h = int(hashlib.md5(f"kpp{t}-{i}".encode()).hexdigest()[:15], 16)
+            u = float(h) / float(1 << 60)
+            if u * phi_d < float(sim.KPP_L) * d2[i]:
+                sel.append((i, emb[i], xx[i]))
+        cand = cand + sel
+    weights = {}
+    for i in sorted(emb):
+        best = min(
+            ((xx[i] - 2.0 * fold_dot(emb[i], ec)) + cxx, cid)
+            for cid, ec, cxx in cand
+        )
+        weights[best[1]] = weights.get(best[1], 0) + 1
+    expected = sorted(weights.items(), key=lambda kv: (-kv[1], kv[0]))[
+        : sim.N_CENTROIDS
+    ]
+    got = [
+        (r["cid"], r["weight"])
+        for r in sim.QUERIES["ivf_kmeanspp_init"](spark, out_dir).collect()
+    ]
+    assert got == expected
+
+
+def test_lpa_matches_python_replay_on_random_graph(spark, tmp_path):
+    """Pure-Python replay of the weighted LPA rounds on a seeded random
+    trade graph written as temp lineitem/orders parquet — vote sums,
+    self-loops, and the (cnt desc, lbl asc) winner pick must match."""
+    import random
+
+    from duckdb_wasm_spark.operators import graph
+
+    rng = random.Random(3)
+    orders = [(ok, rng.randint(0, 11)) for ok in range(120)]
+    lineitem = [
+        (rng.choice(orders)[0], rng.randint(0, 7))
+        for _ in range(400)
+    ]
+    out_dir = str(tmp_path / "lpa")
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
+    spark.createDataFrame(
+        lineitem, "l_orderkey long, l_suppkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{out_dir}/lineitem.parquet"
+    )
+    ocust = dict(orders)
+    w: dict = {}
+    for ok, sk in lineitem:
+        a, b = ocust[ok] * 2, sk * 2 + 1
+        w[(a, b)] = w.get((a, b), 0) + 1
+    edges: dict = {}
+    for (a, b), wt in w.items():
+        edges[(a, b)] = edges.get((a, b), 0) + wt
+        edges[(b, a)] = edges.get((b, a), 0) + wt
+    nodes = {a for a, _ in edges}
+    for n in nodes:
+        edges[(n, n)] = edges.get((n, n), 0) + 1
+    lbl = {n: n for n in nodes}
+    for _ in range(graph.LPA_ITERS):
+        votes: dict = {}
+        for (src, dst), wt in edges.items():
+            key = (dst, lbl[src])
+            votes[key] = votes.get(key, 0) + wt
+        new = {}
+        for (node, label), cnt in votes.items():
+            cur = new.get(node)
+            if cur is None or (cnt, -label) > (cur[0], -cur[1]):
+                new[node] = (cnt, label)
+        lbl = {n: v[1] for n, v in new.items()}
+    sizes: dict = {}
+    for n, l in lbl.items():
+        sizes[l] = sizes.get(l, 0) + 1
+    expected = sorted(sizes.items(), key=lambda kv: (-kv[1], kv[0]))[
+        : graph.LPA_TOPK
+    ]
+    got = [
+        (r["community"], r["n_members"])
+        for r in graph.QUERIES["graph_label_propagation"](
+            spark, out_dir
+        ).collect()
     ]
     assert got == expected
