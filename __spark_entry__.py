@@ -170,6 +170,7 @@ _GATE_PRIORITY = [
     "dedup_source_matrix",
     "sim_topk_mmr",
     "dedup_edit_verify",
+    "pipeline_canonical_best",
     # (a) rewritten in round 11 — plans changed, re-gate first
     "extra_stats",
     "corpus_length_quantiles",

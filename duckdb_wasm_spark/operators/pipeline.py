@@ -1669,3 +1669,104 @@ select source, doc_id, n_chars, rk from (
   from documents)
 where rk <= {WPRI_K}
 """
+
+
+# ----------------------------------------------- pipeline_canonical_best
+@_q("pipeline_canonical_best")
+def pipeline_canonical_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: the near-dup clusters of
+    pipeline_near_dedup_corpus, but each cluster keeps its BEST member
+    (quality desc, doc_id asc) instead of the min-id CC root — the
+    keeper rule production curation actually uses (among N crawls of
+    the same page, keep the cleanest copy, not the first-seen one).
+    Output: one row per kept document with its cluster id, quality,
+    token count, and the cluster size it won.
+
+    Determinism: quality is the shared exact-arithmetic score (same
+    expression both engines); the keeper key (quality desc, doc_id) is
+    total; cluster ids are the CC min-labels, bit-identical to the
+    recursive-CTE closure.
+
+    Plan (100 TB): identical chain to pipeline_near_dedup_corpus
+    (scored pass, survivor MinHash-LSH pairs, pointer-jumping CC) plus
+    ONE window over the cluster_id partition — high-cardinality
+    (clusters ≈ documents; the giant-cluster hazard is bounded by the
+    LSH bands the pairs come from), executed as a rank-1 group limit."""
+    from pyspark.sql.window import Window
+
+    from duckdb_wasm_spark.operators.dedup import (
+        connected_components,
+        minhash_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    surviving = _scored(docs).where(F.col("quality") >= QUALITY_MIN)
+    pairs = minhash_pairs(surviving).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .toDF("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    labels = connected_components(surviving.select("doc_id"), edges)
+    member = surviving.select(
+        "doc_id", "lang", "n_tokens", "quality"
+    ).join(labels, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    csize = Window.partitionBy("cluster_id")
+    return (
+        member.withColumn("rk", F.row_number().over(w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(csize))
+        .where(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "quality",
+            "cluster_size",
+        )
+    )
+
+
+def _canonical_best_sql() -> str:
+    from duckdb_wasm_spark.operators.dedup import _minhash_sql_parts
+
+    ctes, pair_select = _minhash_sql_parts(source="surviving")
+    ctes = ctes.lstrip()
+    assert ctes.startswith("with ")
+    return f"""
+with recursive scored as ({_SQL_SCORED}),
+surviving as (select * from scored where quality >= {QUALITY_MIN}),
+{ctes[len("with "):]},
+pairs as ({pair_select}),
+edges as (
+  select doc_a src, doc_b dst from pairs
+  union
+  select doc_b src, doc_a dst from pairs),
+reach(a, b) as (
+  select doc_id, doc_id from surviving
+  union
+  select r.a, e.dst from reach r join edges e on r.b = e.src),
+labels as (select a doc_id, min(b) cluster_id from reach group by a),
+member as (
+  select s.doc_id, s.lang, s.n_tokens, s.quality, l.cluster_id
+  from surviving s join labels l on s.doc_id = l.doc_id),
+ranked as (
+  select *,
+         row_number() over (partition by cluster_id
+                            order by quality desc, doc_id asc) rk,
+         count(*) over (partition by cluster_id) cluster_size
+  from member)
+select cluster_id, doc_id, lang, n_tokens, quality,
+       cast(cluster_size as bigint) cluster_size
+from ranked where rk = 1
+"""
+
+
+ORACLE["pipeline_canonical_best"] = _canonical_best_sql()
