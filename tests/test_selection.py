@@ -490,3 +490,78 @@ def test_lpa_matches_python_replay_on_random_graph(spark, tmp_path):
         ).collect()
     ]
     assert got == expected
+
+
+def test_mmr_matches_numpy_greedy_replay(spark, sf_dir):
+    """Replay the full MMR greedy (shortlist build, lambda score, max
+    redundancy to picked set, total tie-breaks) in numpy from the raw
+    vectors and require identical pick sequences per query."""
+    from duckdb_wasm_spark.operators import similarity as sim
+
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    nrm = {i: float(np.linalg.norm(v)) for i, v in emb.items()}
+
+    def cos(a, b):
+        return float(emb[a] @ emb[b]) / (nrm[a] * nrm[b])
+
+    expected = {}
+    for q in range(sim.N_QUERIES):
+        cands = sorted(
+            ((cos(q, n), n) for n in emb if n != q),
+            key=lambda t: (-t[0], t[1]),
+        )[: sim.MMR_CAND]
+        picks = [cands[0][1]]
+        simq = dict((n, s) for s, n in cands)
+        while len(picks) < sim.MMR_K:
+            best = None
+            for s, n in cands:
+                if n in picks:
+                    continue
+                red = max(cos(n, p) for p in picks)
+                score = sim.MMR_LAMBDA * s - (1.0 - sim.MMR_LAMBDA) * red
+                key = (-score, n)
+                if best is None or key < best[0]:
+                    best = (key, n)
+            picks.append(best[1])
+        expected[q] = picks
+    got = {}
+    rows = sim.QUERIES["sim_topk_mmr"](spark, sf_dir).collect()
+    for r in sorted(rows, key=lambda r: (r["query_id"], r["step"])):
+        got.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert got == expected
+
+
+def test_edit_verify_matches_python_dp(spark, sf_dir):
+    """Recompute the Levenshtein DP in pure Python for every candidate
+    pair and require identical distances and flags."""
+    from duckdb_wasm_spark.operators import dedup
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    rows = dedup.QUERIES["dedup_edit_verify"](spark, sf_dir).collect()
+    assert rows, "no candidate pairs at this scale"
+    for r in rows:
+        a, b = texts[r["doc_a"]], texts[r["doc_b"]]
+        d = lev(a, b)
+        assert r["edit_distance"] == d
+        exp_sim = 1.0 - float(d) / float(max(len(a), len(b)))
+        assert r["edit_sim"] == exp_sim
+        assert r["is_fuzzy_dup"] == (exp_sim >= dedup.EDIT_SIM_MIN)
