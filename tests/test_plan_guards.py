@@ -91,6 +91,13 @@ BNLJ_ALLOWED = {
         "1-row rank-picked bounds frame crossed into the zone map and "
         "the scan; final 1-row x 1-row scalar cross"
     ),
+    "semdedup_cell_growth": (
+        "the _assign_cells broadcast of the half-corpus trained-"
+        "centroid frame (N_CENTROIDS/2 = 4 rows by construction) "
+        "crossed into the half corpus for nearest-cell ranking; the "
+        "full-corpus side reloads the persisted ranked artifact, so "
+        "only the bounded codebook panel is ever BNLJ'd"
+    ),
     "ivf_incremental_ingest": (
         "the _assign_cells broadcast of the C-row trained-centroid "
         "frame (N_CENTROIDS=8 rows by construction) crossed into the "

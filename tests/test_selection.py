@@ -565,3 +565,305 @@ def test_edit_verify_matches_python_dp(spark, sf_dir):
         exp_sim = 1.0 - float(d) / float(max(len(a), len(b)))
         assert r["edit_sim"] == exp_sim
         assert r["is_fuzzy_dup"] == (exp_sim >= dedup.EDIT_SIM_MIN)
+
+
+# ------------------------------------------------- round-12 additions
+def _fold_dot(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def _replay_trained_centroids(emb, seed_ids, iters):
+    """Pure-Python replay of similarity._trained_centroids: seeded
+    centroids, then `iters` exact fixed-point Lloyd iterations (argmax
+    cosine with ties to the smaller cell id; per-component mean of
+    floor(v·2^20) summed exactly as ints)."""
+    import math
+
+    S = float(1 << 20)  # similarity._FP_SCALE
+    nrm = {i: math.sqrt(_fold_dot(emb[i], emb[i])) for i in emb}
+    cur = [
+        (i, [float(x) for x in emb[i]], nrm[i]) for i in sorted(seed_ids)
+    ]
+    for _ in range(iters):
+        cells: dict = {}
+        for i in sorted(emb):
+            best = max(
+                (_fold_dot(emb[i], ec) / (nrm[i] * nc), -cid)
+                for cid, ec, nc in cur
+            )
+            cells.setdefault(-best[1], []).append(i)
+        nxt = []
+        for cid in sorted(cells):
+            members = cells[cid]
+            dim = len(emb[members[0]])
+            ec = []
+            for p in range(dim):
+                sv = sum(
+                    int(math.floor(float(emb[i][p]) * S)) for i in members
+                )
+                ec.append(float(sv) / float(len(members)) / S)
+            nxt.append((cid, ec, math.sqrt(_fold_dot(ec, ec))))
+        cur = nxt
+    return cur
+
+
+def _replay_assign(emb, cents):
+    """arn=1 hard assignment: (cell, c_sim) per vector, ties to the
+    smaller cell id — the _assign_cells rule."""
+    import math
+
+    out = {}
+    for i in sorted(emb):
+        nrm = math.sqrt(_fold_dot(emb[i], emb[i]))
+        best = max(
+            (_fold_dot(emb[i], ec) / (nrm * nc), -cid)
+            for cid, ec, nc in cents
+        )
+        out[i] = (-best[1], best[0])
+    return out
+
+
+def _write_random_embeddings(spark, out_dir, n=64, dim=8, seed=3):
+    rng = np.random.RandomState(seed)
+    vecs = rng.randn(n, dim).astype(np.float32)
+    rows = [
+        (int(i), [float(x) for x in vecs[i]], int(i % 3)) for i in range(n)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{out_dir}/embeddings.parquet"
+    )
+    return {i: [float(x) for x in vecs[i]] for i in range(n)}
+
+
+def test_semdedup_cell_growth_law(spark, sf_dir):
+    """The scale law dedup_semdedup's docstring claims, EXECUTED (r11
+    verdict #1, the lsh_candidate_growth mold): doubling the corpus
+    with the cell count doubled must keep members-per-cell ~O(1) and
+    grow the within-cell pair count SUB-quadratically (< 4x is the
+    budget an unscaled C would exactly spend; measured ~2.0x at
+    sf0.01 and sf0.1)."""
+    rows = {
+        r["subset"]: r
+        for r in selection.QUERIES["semdedup_cell_growth"](
+            spark, sf_dir
+        ).collect()
+    }
+    full, half = rows["full"], rows["half"]
+    assert full["n_vectors"] >= 2 * half["n_vectors"] - 1
+    assert full["n_cells"] == 2 * half["n_cells"]
+    pair_growth = full["n_within_pairs"] / max(1, half["n_within_pairs"])
+    assert pair_growth < 4.0, (
+        f"within-cell pair growth {pair_growth:.2f}x per corpus "
+        f"doubling — the quadratic regime cell scaling must prevent"
+    )
+    # members-per-cell stays a sizing constant: the max cell of the
+    # doubled corpus is bounded by the half corpus's max times skew
+    # slack, NOT by 2x (which would mean C scaling bought nothing)
+    assert full["max_cell_members"] <= 1.5 * half["max_cell_members"], (
+        full["max_cell_members"],
+        half["max_cell_members"],
+    )
+    # each subset's mean occupancy matches n/C exactly
+    for r in (full, half):
+        assert r["n_within_pairs"] >= 0
+        assert r["max_cell_members"] >= r["n_vectors"] / r["n_cells"]
+
+
+def test_semdedup_ranked_artifact_reload_equals_rebuild(spark, sf_dir):
+    """The persisted per-cell ranked assignment (r11 verdict #1) must
+    serve exactly the frame a fresh derivation computes — the rank key
+    is total, so row identity is deterministic and the parity is
+    row-for-row."""
+    served = selection._semdedup_ranked_memo(spark, sf_dir).select(
+        "vec_id", "cell", "rn"
+    )
+    fresh = selection._semdedup_ranked_build(spark, sf_dir).select(
+        "vec_id", "cell", "rn"
+    )
+    assert served.exceptAll(fresh).count() == 0
+    assert fresh.exceptAll(served).count() == 0
+
+
+def test_semdedup_matches_python_replay_on_random_corpus(spark, tmp_path):
+    """FULL pure-Python replay of the SemDeDup chain — fixed-point
+    Lloyd training from the first-C seeds, tie-broken hard assignment,
+    (c_sim, vec_id) rank order, upper-triangular prior-dup counts —
+    on a seeded random corpus written to a temp parquet layout (the
+    stronger replay form DSIR/k-means|| got in r11; r11 verdict #7)."""
+    from duckdb_wasm_spark.operators import similarity as sim
+
+    out_dir = str(tmp_path / "semdedup")
+    emb = _write_random_embeddings(spark, out_dir, n=64, dim=8, seed=3)
+    cents = _replay_trained_centroids(
+        emb, [i for i in sorted(emb) if i < sim.N_CENTROIDS], sim.TRAIN_ITERS
+    )
+    assign = _replay_assign(emb, cents)
+    import math
+
+    nrm = {i: math.sqrt(_fold_dot(emb[i], emb[i])) for i in emb}
+    by_cell: dict = {}
+    for i, (cell, c_sim) in assign.items():
+        by_cell.setdefault(cell, []).append((c_sim, i))
+    expected = {}
+    for cell, members in by_cell.items():
+        members.sort()
+        for rank, (_, i) in enumerate(members, 1):
+            n_prior = sum(
+                1
+                for _, j in members[: rank - 1]
+                if _fold_dot(emb[i], emb[j]) / (nrm[i] * nrm[j])
+                >= selection.SEMDEDUP_TAU
+            )
+            expected[i] = (cell, rank, n_prior, n_prior == 0)
+    got = {
+        r["vec_id"]: (r["cell"], r["rn"], r["n_prior_dups"], r["kept"])
+        for r in selection.QUERIES["dedup_semdedup"](
+            spark, out_dir
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_silhouette_matches_python_replay_on_random_corpus(spark, tmp_path):
+    """Pure-Python replay of the simplified silhouette (a/b from the
+    trained codebook, fixed-point floor BEFORE the per-cell sum) on a
+    seeded random corpus (r11 verdict #7)."""
+    import math
+
+    from duckdb_wasm_spark.operators import similarity as sim
+
+    out_dir = str(tmp_path / "sil")
+    emb = _write_random_embeddings(spark, out_dir, n=48, dim=8, seed=5)
+    cents = _replay_trained_centroids(
+        emb, [i for i in sorted(emb) if i < sim.N_CENTROIDS], sim.TRAIN_ITERS
+    )
+    S = float(selection._SCALE)
+    agg: dict = {}
+    for i in sorted(emb):
+        nrm = math.sqrt(_fold_dot(emb[i], emb[i]))
+        sims = sorted(
+            (
+                (_fold_dot(emb[i], ec) / (nrm * nc), -cid)
+                for cid, ec, nc in cents
+            ),
+            reverse=True,
+        )
+        cell = -sims[0][1]
+        a = 1.0 - sims[0][0]
+        b = 1.0 - sims[1][0]
+        s = 0.0 if max(a, b) == 0 else (b - a) / max(a, b)
+        fp = int(math.floor(s * S))
+        n, neg, tot = agg.get(cell, (0, 0, 0))
+        agg[cell] = (n + 1, neg + (1 if fp < 0 else 0), tot + fp)
+    expected = {
+        cell: (n, neg, float(tot) / S / n)
+        for cell, (n, neg, tot) in agg.items()
+    }
+    got = {
+        r["cell"]: (r["n_vecs"], r["n_neg"], r["mean_sil"])
+        for r in selection.QUERIES["embed_silhouette"](
+            spark, out_dir
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_ppl_buckets_matches_python_replay_on_random_corpus(spark, tmp_path):
+    """Pure-Python replay of the CCNet tercile chain — the bigram-LM
+    score (add-alpha smoothing, 12-decimal HALF_UP rounding, exact
+    decimal sum) and the per-language integer tercile boundaries — on
+    a seeded random corpus (r11 verdict #7)."""
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from duckdb_wasm_spark.operators import text as text_ops
+
+    rng = random.Random(13)
+    vocab = [f"t{i}" for i in range(18)]
+    rows = []
+    docs = {}
+    for d in range(36):
+        lang = ("en", "de", "fr")[d % 3]
+        n = rng.randint(2, 20)
+        tk = [rng.choice(vocab) for _ in range(n)]
+        docs[d] = (lang, tk)
+        rows.append((d, " ".join(tk), lang, "src0", len(" ".join(tk))))
+    out_dir = str(tmp_path / "ppl")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+
+    alpha = text_ops.LM_ALPHA
+    vocab_seen = {t for _, tk in docs.values() for t in tk}
+    cb: dict = {}
+    cp: dict = {}
+    per_doc: dict = {}
+    for d, (_, tk) in docs.items():
+        for w1, w2 in zip(tk, tk[1:]):
+            g = f"{w1} {w2}"
+            cb[g] = cb.get(g, 0) + 1
+            cp[w1] = cp.get(w1, 0) + 1
+            key = (d, w1, g)
+            per_doc[key] = per_doc.get(key, 0) + 1
+    scored = {}
+    for d, (lang, tk) in docs.items():
+        if len(tk) < 2:
+            continue
+        tot = Decimal(0)
+        n_bg = 0
+        for (dd, w1, g), k in per_doc.items():
+            if dd != d:
+                continue
+            p = float(k) * (
+                (float(cb[g]) + alpha)
+                / (float(cp[w1]) + alpha * len(vocab_seen))
+            )
+            kp = Decimal(repr(p)).quantize(
+                Decimal("1e-12"), rounding=ROUND_HALF_UP
+            )
+            tot += kp
+            n_bg += k
+        scored[d] = (lang, n_bg, float(tot) / n_bg)
+    by_lang: dict = {}
+    for d, (lang, n_bg, avg) in scored.items():
+        by_lang.setdefault(lang, []).append((avg, d, n_bg))
+    expected: dict = {}
+    for lang, lst in by_lang.items():
+        lst.sort()
+        n = len(lst)
+        for rn, (avg, d, n_bg) in enumerate(lst, 1):
+            if rn * 3 <= n:
+                bucket = "tail"
+            elif rn * 3 <= 2 * n:
+                bucket = "middle"
+            else:
+                bucket = "head"
+            key = (lang, bucket)
+            cnt, bgs, mn, mx = expected.get(
+                key, (0, 0, float("inf"), float("-inf"))
+            )
+            expected[key] = (
+                cnt + 1,
+                bgs + n_bg,
+                min(mn, avg),
+                max(mx, avg),
+            )
+    got = {
+        (r["lang"], r["bucket"]): (
+            r["n_docs"],
+            r["n_bigrams"],
+            r["min_prob"],
+            r["max_prob"],
+        )
+        for r in selection.QUERIES["corpus_ppl_buckets"](
+            spark, out_dir
+        ).collect()
+    }
+    assert got == expected
