@@ -174,6 +174,7 @@ def _registries():
 _GATE_PRIORITY = [
     # (a0) NEW in round 12 — never gated
     "semdedup_cell_growth",
+    "text_bm25_topk",
     # (a) rewritten in round 12 — plans/expressions changed:
     # dedup_semdedup serves its ranked assignment from a disk
     # artifact; sample_dsir clamps the Gumbel u (r11 advice); the six
@@ -187,6 +188,12 @@ _GATE_PRIORITY = [
     "graph_triangle_count",
     "graph_kcore",
     "graph_common_neighbors",
+    # the two stream-stream join gates re-gate: the outer join's
+    # staged layout moved to one data file and the inner join drops
+    # the trailing no-data micro-batch (r11 verdict #5 trims; every
+    # gate also moved its checkpoint to tmpfs — config, not plan)
+    "events_stream_outer_join",
+    "events_stream_join",
     # (b) r7-green, five rounds stale (alphabetical)
     "sketch_hll_distinct",
     "source_csv_roundtrip",

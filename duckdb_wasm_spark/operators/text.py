@@ -1168,3 +1168,148 @@ select m.source, m.n_docs, m.median_chars, a.mad_chars
 from med m join mad a using (source)
 order by source
 """
+
+
+# ------------------------------------------------------- text_bm25_topk
+# Okapi BM25 (Robertson & Walker 1994) constants — the standard values
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_NQ = 25  # query panel: the first 25 documents (more-like-this)
+BM25_QTOK = 8  # distinct query terms = first 8 tokens of the doc
+BM25_TOPK = 5
+
+
+@_q("text_bm25_topk")
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-K retrieval over the corpus — the lexical ranking
+    function every retrieval-augmented pipeline and every
+    dedup-by-retrieval pass starts from (Okapi BM25, Robertson &
+    Walker 1994). Query panel = "more-like-this": for each of the
+    first BM25_NQ documents, the distinct set of its first BM25_QTOK
+    tokens queries the rest of the corpus; per query the BM25_TOPK
+    best documents (self excluded) are returned.
+
+      score(q, d) = Σ_{t ∈ q∩d} ln(1 + (N − df + 0.5)/(df + 0.5))
+                    · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    Determinism (the text_lm_score discipline): every input to the
+    per-term score is an exact integer (tf, df, dl, N) or the exact
+    integer ratio avgdl = Σdl/N evaluated identically in both
+    engines; the one ln() rides a 12-decimal round (the tfidf-topk
+    ulp policy), and per-(query, doc) scores sum the rounded terms
+    EXACTLY as decimal(28,12) — a double Σ over a hash aggregate
+    would be partition-order-dependent. The final rank key
+    (score desc, doc_id asc) is total.
+
+    Plan (100 TB): one (doc, tok) TF hash aggregate (the tfidf
+    pipeline's shape — token array materialized BEFORE the explode);
+    df is the vocabulary-sized aggregate broadcast back (flip to a
+    shuffle join at a vocab beyond broadcast); the query-term table is
+    a ≤ NQ·QTOK-row broadcast, so candidate generation is one
+    postings-style equi-join on the term — cost follows the panel's
+    posting lists, never corpus × corpus; corpus stats (N, avgdl) ride
+    one 1-row broadcast scalar (BNLJ-allowlisted); top-K per query is
+    a rank ≤ K window over the panel's candidates (WindowGroupLimit
+    caps per-partition state at K)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    ta = docs.select("doc_id", toks().alias("ta"))
+    tf = (
+        ta.select(
+            "doc_id", F.size("ta").alias("dl"), F.explode("ta").alias("tok")
+        )
+        .groupBy("doc_id", "dl", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfs = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    stats = ta.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.size("ta")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    q = ta.where(F.col("doc_id") < BM25_NQ).select(
+        F.col("doc_id").alias("query_id"),
+        F.explode(
+            F.array_distinct(F.slice("ta", 1, BM25_QTOK))
+        ).alias("tok"),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs").cast("double") - F.col("df") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+    )
+    tf_part = (
+        F.col("tf").cast("double") * (BM25_K1 + 1.0)
+    ) / (
+        F.col("tf").cast("double")
+        + BM25_K1
+        * (1.0 - BM25_B + BM25_B * F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    scored = (
+        F.broadcast(q)
+        .join(tf, "tok")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .join(F.broadcast(dfs), "tok")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(idf * tf_part, 12).alias("term"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(F.col("term").cast("decimal(28,12)"))
+            .cast("double")
+            .alias("score")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= BM25_TOPK)
+        .select("query_id", "rk", "doc_id", "score")
+    )
+
+
+ORACLE["text_bm25_topk"] = f"""
+with ta as (
+  select doc_id, {sql_toks('text')} ta from documents),
+tf as (
+  select doc_id, len(ta) dl, tok, count(*) tf
+  from (select doc_id, ta, unnest(ta) tok from ta)
+  group by 1, 2, 3),
+dfs as (select tok, count(*) df from tf group by 1),
+stats as (
+  select count(*) n_docs,
+         cast(sum(len(ta)) as double) / cast(count(*) as double) avgdl
+  from ta),
+q as (
+  select doc_id query_id, unnest(list_distinct(ta[1:{BM25_QTOK}])) tok
+  from ta where doc_id < {BM25_NQ}),
+scored as (
+  select query_id, doc_id,
+         cast(sum(cast(round(
+           ln(1.0 + (cast(n_docs as double) - df + 0.5)
+                    / (cast(df as double) + 0.5))
+           * (cast(tf as double) * {BM25_K1 + 1.0})
+             / (cast(tf as double)
+                + {BM25_K1} * (1.0 - {BM25_B}
+                               + {BM25_B} * cast(dl as double) / avgdl)),
+           12) as decimal(28,12))) as double) score
+  from q join tf using (tok)
+  join dfs using (tok) cross join stats
+  where doc_id <> query_id
+  group by 1, 2),
+ranked as (
+  select query_id, doc_id, score,
+         row_number() over (partition by query_id
+                            order by score desc, doc_id asc) rk
+  from scored)
+select query_id, rk, doc_id, score
+from ranked where rk <= {BM25_TOPK}
+"""

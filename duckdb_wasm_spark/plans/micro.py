@@ -572,7 +572,11 @@ def source_pydatasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-planned batch half of this source covers the
     executor-parallel shape."""
     from duckdb_wasm_spark.sources import pydatasource
-    from duckdb_wasm_spark.streaming.live import state_partitions
+    from duckdb_wasm_spark.streaming.live import (
+        no_trailing_empty_batch,
+        scratch_checkpoint,
+        state_partitions,
+    )
 
     pydatasource.register(spark)
     stream = (
@@ -591,9 +595,12 @@ def source_pydatasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     name = f"pyds_stream_{os.getpid()}"
-    with state_partitions(spark):
+    with state_partitions(spark), no_trailing_empty_batch(
+        spark
+    ), scratch_checkpoint() as _ck:
         q = (
-            stream.writeStream.format("memory")
+            stream.writeStream.option("checkpointLocation", _ck)
+            .format("memory")
             .queryName(name)
             .outputMode("complete")
             .start()

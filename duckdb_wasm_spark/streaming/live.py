@@ -11,6 +11,23 @@ Scale notes: the file source feeds micro-batches per file
 (maxFilesPerTrigger); watermark bounds state for late data; the
 stateful operator's state is per-group and partition-local — the same
 code runs against a Kafka source on a cluster unchanged.
+
+Family floor ledger (r11 verdict #5; sf0.1/local[32], warm, measured
+from recentProgress.durationMs): a drained 2-batch stateful gate pays
+~0.9s batch-0 (addBatch ~0.4s + incremental queryPlanning ~0.25s +
+first commitOffsets ~0.15s) + ~0.5s batch-1 + ~0.2s start/stop — a
+~1.1-1.7s floor per gate that is FIXED cost, flat in data volume
+(production amortizes it over unbounded input; a finite replay cannot).
+The r12 trims: RAM-backed checkpoints (scratch_checkpoint — offset/
+commit/state-store I/O off disk), trailing no-data micro-batch
+disabled wherever the sink's emission is not watermark-flushed
+(stream_late_data_drop keeps it: append-mode session windows flush ON
+the no-data batch), and the outer join's layout at one data file.
+Family warm total 20.3s → 17.6s across the ten gates, every gate
+hash-green; what remains is ten × the per-query floor above, with the
+two stream-stream joins (2.4s, 3.4s — two sources per side, 4 state
+stores per batch) and the Python-datasource gate (2.5s — ~1s/batch
+driver-side Python read through the runner) the priced outliers.
 """
 
 from __future__ import annotations
@@ -53,6 +70,25 @@ def state_partitions(spark: SparkSession, n: int = 2):
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+@contextmanager
+def scratch_checkpoint():
+    """RAM-backed checkpoint directory for one finite replay drain
+    (r11 verdict #5). Without an explicit location Spark creates a
+    temporary checkpoint under java.io.tmpdir — DISK here — and every
+    micro-batch pays offset-log, commit-log, and state-store file
+    I/O against it; a production deployment puts checkpoints on the
+    fastest durable store it has, and for a drain whose sink is an
+    in-memory table the checkpoint has no post-query value at all.
+    /dev/shm (tmpfs) is the single-node stand-in; falls back to the
+    default temp dir when absent. Removed on exit — bounded memory."""
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    d = tempfile.mkdtemp(prefix="dws_ckpt_", dir=base)
+    try:
+        yield d
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 @contextmanager
@@ -277,7 +313,14 @@ def stream_outer_join(
     rows advance event time without entering the join.
 
     Returns the streamed join rows."""
-    src_dir, schema = _staged_stream_source_ordered(spark, sf_dir)
+    # ONE data file (r11 verdict #5): the matched multiplicities are
+    # in-batch either way, and the eviction semantics the gate exists
+    # for live entirely in the sentinel batches' watermark trajectory
+    # (WM = max_data - 1d after the data batch certifies part of the
+    # purchases, then WM past max_data certifies the rest) — the
+    # second data batch was one fixed micro-batch round buying
+    # nothing (measured 4.5s -> 3.2s at sf0.1, hash unchanged)
+    src_dir, schema = _staged_stream_source_ordered(spark, sf_dir, n_files=1)
 
     def side(event_type: str, prefix: str) -> DataFrame:
         return (
@@ -311,9 +354,12 @@ def stream_outer_join(
         "leftOuter",
     ).select("p_id", "p_user", "p_ts", "c_id")
     name = f"sojoin_{os.getpid()}_{abs(hash(src_dir)) % 10000}"
-    with state_partitions(spark), no_trailing_empty_batch(spark):
+    with state_partitions(spark), no_trailing_empty_batch(
+        spark
+    ), scratch_checkpoint() as _ck:
         q = (
-            joined.writeStream.outputMode("append")
+            joined.writeStream.option("checkpointLocation", _ck)
+            .outputMode("append")
             .format("memory")
             .queryName(name)
             .start()
@@ -341,9 +387,12 @@ def stream_tumbling_counts(
         .select(F.col("w.start").alias("window_start"), "event_type", "n")
     )
     name = f"tumbling_{os.getpid()}_{abs(hash(src_dir)) % 10000}"
-    with state_partitions(spark):
+    with state_partitions(spark), no_trailing_empty_batch(
+        spark
+    ), scratch_checkpoint() as _ck:
         q = (
-            stream.writeStream.outputMode("complete")
+            stream.writeStream.option("checkpointLocation", _ck)
+            .outputMode("complete")
             .format("memory")
             .queryName(name)
             .start()
@@ -400,9 +449,12 @@ def run_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"stateful_{os.getpid()}_{abs(hash(src_dir)) % 10000}"
-    with state_partitions(spark):
+    with state_partitions(spark), no_trailing_empty_batch(
+        spark
+    ), scratch_checkpoint() as _ck:
         q = (
-            stream.writeStream.outputMode("update")
+            stream.writeStream.option("checkpointLocation", _ck)
+            .outputMode("update")
             .format("memory")
             .queryName(name)
             .start()
@@ -436,9 +488,12 @@ def stream_dedup_keys(
         .select("user_id", "event_type")
     )
     name = f"dedup_{os.getpid()}_{abs(hash(src_dir)) % 10000}"
-    with state_partitions(spark):
+    with state_partitions(spark), no_trailing_empty_batch(
+        spark
+    ), scratch_checkpoint() as _ck:
         q = (
-            stream.writeStream.outputMode("append")
+            stream.writeStream.option("checkpointLocation", _ck)
+            .outputMode("append")
             .format("memory")
             .queryName(name)
             .start()
@@ -478,9 +533,12 @@ def stream_session_counts(
         )
     )
     name = f"session_{os.getpid()}_{abs(hash(src_dir)) % 10000}"
-    with state_partitions(spark):
+    with state_partitions(spark), no_trailing_empty_batch(
+        spark
+    ), scratch_checkpoint() as _ck:
         q = (
-            stream.writeStream.outputMode("complete")
+            stream.writeStream.option("checkpointLocation", _ck)
+            .outputMode("complete")
             .format("memory")
             .queryName(name)
             .start()
@@ -571,9 +629,10 @@ def stream_late_data_drop(
         .select("user_id", F.col("w.start").alias("session_start"), "n")
     )
     name = f"late_{os.getpid()}_{abs(hash(src)) % 10000}"
-    with state_partitions(spark):
+    with state_partitions(spark), scratch_checkpoint() as _ck:
         q = (
-            stream.writeStream.outputMode("append")
+            stream.writeStream.option("checkpointLocation", _ck)
+            .outputMode("append")
             .format("memory")
             .queryName(name)
             .start()
@@ -665,9 +724,12 @@ def stream_interval_join(
         ),
     ).select("p_id", "c_id", "p_user")
     name = f"sjoin_{os.getpid()}_{abs(hash(src_dir)) % 10000}"
-    with state_partitions(spark):
+    with state_partitions(spark), no_trailing_empty_batch(
+        spark
+    ), scratch_checkpoint() as _ck:
         q = (
-            joined.writeStream.outputMode("append")
+            joined.writeStream.option("checkpointLocation", _ck)
+            .outputMode("append")
             .format("memory")
             .queryName(name)
             .start()
@@ -739,9 +801,12 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"senrich_{os.getpid()}_{abs(hash(src_dir)) % 10000}"
-    with state_partitions(spark):
+    with state_partitions(spark), no_trailing_empty_batch(
+        spark
+    ), scratch_checkpoint() as _ck:
         q = (
-            stream.writeStream.outputMode("complete")
+            stream.writeStream.option("checkpointLocation", _ck)
+            .outputMode("complete")
             .format("memory")
             .queryName(name)
             .start()
@@ -801,9 +866,12 @@ def stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(store)
         )
 
-    with state_partitions(spark):
+    with state_partitions(spark), no_trailing_empty_batch(
+        spark
+    ), scratch_checkpoint() as _ck:
         q = (
-            counts.writeStream.outputMode("update")
+            counts.writeStream.option("checkpointLocation", _ck)
+            .outputMode("update")
             .foreachBatch(upsert_batch)
             .start()
         )

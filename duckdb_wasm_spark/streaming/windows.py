@@ -481,11 +481,15 @@ def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # suffixed + try/finally for the same reasons as events_stream_session
     name = f"events_stream_tumbling_{os.getpid()}_{abs(hash(sf_dir)) % 10000}"
-    from duckdb_wasm_spark.streaming.live import state_partitions
+    from duckdb_wasm_spark.streaming.live import (
+        scratch_checkpoint,
+        state_partitions,
+    )
 
-    with state_partitions(spark):
+    with state_partitions(spark), scratch_checkpoint() as _ck:
         q = (
-            agg.writeStream.format("memory")
+            agg.writeStream.option("checkpointLocation", _ck)
+            .format("memory")
             .queryName(name)
             .outputMode("complete")
             .trigger(availableNow=True)
@@ -563,11 +567,15 @@ def events_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collide with a concurrent run in the same session), and stopped
     # in a finally so a mid-query failure can't leak a running stream
     name = f"events_stream_session_{os.getpid()}_{abs(hash(sf_dir)) % 10000}"
-    from duckdb_wasm_spark.streaming.live import state_partitions
+    from duckdb_wasm_spark.streaming.live import (
+        scratch_checkpoint,
+        state_partitions,
+    )
 
-    with state_partitions(spark):
+    with state_partitions(spark), scratch_checkpoint() as _ck:
         q = (
-            agg.writeStream.format("memory")
+            agg.writeStream.option("checkpointLocation", _ck)
+            .format("memory")
             .queryName(name)
             .outputMode("complete")
             .trigger(availableNow=True)
@@ -734,7 +742,10 @@ def events_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src_dir, schema = _staged_stream_source(spark, sf_dir)
     out = tempfile.mkdtemp(prefix="events_sink_")
-    cp = tempfile.mkdtemp(prefix="events_sink_cp_")
+    # checkpoint on tmpfs (see live.scratch_checkpoint); the sink dir
+    # stays on disk — it IS the gated output
+    _shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    cp = tempfile.mkdtemp(prefix="events_sink_cp_", dir=_shm)
     for d in (out, cp):
         atexit.register(shutil.rmtree, d, ignore_errors=True)
     stream = (

@@ -58,6 +58,10 @@ BNLJ_ALLOWED = {
     # returned plan this guard inspects — no allowance needed
     "range_join_price_bands": "derived band table: 12 rows, fixed grid",
     "text_tfidf_topk": "corpus-size scalar: exactly 1 row for idf",
+    "text_bm25_topk": (
+        "corpus stats scalar (N, avgdl): exactly 1 row crossed into "
+        "the panel's candidate postings"
+    ),
     "text_lm_score": "vocab-size scalar: exactly 1 row for smoothing",
     "text_bpe_merge": "winning-pair scalar: exactly 1 row per merge",
     "embed_abtt": "mean + top component: two 1-row vector broadcasts",

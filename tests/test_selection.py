@@ -674,19 +674,21 @@ def test_semdedup_cell_growth_law(spark, sf_dir):
         assert r["max_cell_members"] >= r["n_vectors"] / r["n_cells"]
 
 
-def test_semdedup_ranked_artifact_reload_equals_rebuild(spark, sf_dir):
-    """The persisted per-cell ranked assignment (r11 verdict #1) must
-    serve exactly the frame a fresh derivation computes — the rank key
-    is total, so row identity is deterministic and the parity is
-    row-for-row."""
-    served = selection._semdedup_ranked_memo(spark, sf_dir).select(
-        "vec_id", "cell", "rn"
-    )
-    fresh = selection._semdedup_ranked_build(spark, sf_dir).select(
-        "vec_id", "cell", "rn"
-    )
+def test_semdedup_index_artifact_reload_equals_rebuild(spark, sf_dir):
+    """The persisted SemDeDup index (r11 verdict #1) must serve
+    exactly what a fresh derivation computes, for BOTH frames — the
+    rank key is total, so row identity is deterministic and the
+    parity is row-for-row; the dup verdicts are exact fold dots over
+    that deterministic order."""
+    idx = selection._semdedup_index_memo(spark, sf_dir)
+    served = idx["ranked"].select("vec_id", "cell", "rn")
+    fresh_ranked = selection._semdedup_ranked_build(spark, sf_dir)
+    fresh = fresh_ranked.select("vec_id", "cell", "rn")
     assert served.exceptAll(fresh).count() == 0
     assert fresh.exceptAll(served).count() == 0
+    fresh_dups = selection._semdedup_dups_build(spark, fresh_ranked)
+    assert idx["dups"].exceptAll(fresh_dups).count() == 0
+    assert fresh_dups.exceptAll(idx["dups"]).count() == 0
 
 
 def test_semdedup_matches_python_replay_on_random_corpus(spark, tmp_path):
@@ -867,3 +869,32 @@ def test_ppl_buckets_matches_python_replay_on_random_corpus(spark, tmp_path):
         ).collect()
     }
     assert got == expected
+
+
+def test_bm25_ranking_laws(spark, sf_dir):
+    """Structural BM25 laws the oracle hash can't articulate: every
+    query returns <= K results, never itself; scores are positive and
+    strictly rank-ordered under the total (score desc, doc_id asc)
+    key; and a query's top hit shares at least one query term with the
+    query document (it scored, so it must)."""
+    from duckdb_wasm_spark.operators import text as text_ops
+
+    rows = text_ops.QUERIES["text_bm25_topk"](spark, sf_dir).collect()
+    assert rows
+    toks_by_doc = {
+        r["doc_id"]: [t for t in r["text"].split(" ") if t]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    by_q: dict = {}
+    for r in rows:
+        assert r["doc_id"] != r["query_id"]
+        assert r["score"] > 0
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, hits in by_q.items():
+        assert len(hits) <= text_ops.BM25_TOPK
+        hits.sort(key=lambda r: r["rk"])
+        assert [h["rk"] for h in hits] == list(range(1, len(hits) + 1))
+        for lo, hi in zip(hits, hits[1:]):
+            assert (lo["score"], -lo["doc_id"]) >= (hi["score"], -hi["doc_id"])
+        qterms = set(toks_by_doc[qid][: text_ops.BM25_QTOK])
+        assert qterms & set(toks_by_doc[hits[0]["doc_id"]])
