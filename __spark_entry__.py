@@ -175,6 +175,7 @@ _GATE_PRIORITY = [
     # (a0) NEW in round 12 — never gated
     "semdedup_cell_growth",
     "text_bm25_topk",
+    "corpus_novelty",
     # (a) rewritten in round 12 — plans/expressions changed:
     # dedup_semdedup serves its ranked assignment from a disk
     # artifact; sample_dsir clamps the Gumbel u (r11 advice); the six
@@ -194,6 +195,9 @@ _GATE_PRIORITY = [
     # gate also moved its checkpoint to tmpfs — config, not plan)
     "events_stream_outer_join",
     "events_stream_join",
+    # ivf_kmeanspp_init re-gates: its candidate set is now a disk
+    # artifact (r11 verdict #4 iteration-floor family)
+    "ivf_kmeanspp_init",
     # (b) r7-green, five rounds stale (alphabetical)
     "sketch_hll_distinct",
     "source_csv_roundtrip",

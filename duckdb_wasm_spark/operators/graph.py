@@ -49,6 +49,17 @@ Scale notes (100 TB framing):
   - The iteration count is fixed (5) and unrolled in BOTH engines —
     the oracle is a 5-deep chained-CTE pipeline generated from the
     same Python constants, so the texts cannot drift.
+  - Cold-floor ledger (r11 verdict #4; sf0.1/local[32], warmed
+    session): with the edge artifacts on disk, a graph query's cold
+    premium decomposes as (a) its own frames' lazy reload
+    (parquet read + respread + checkpoint, ~0.9s/frame — only the
+    frames THAT query consumes, see artifacts._LazyFrames) and
+    (b) first-run whole-stage-codegen of the unrolled iteration DAG
+    (~4s for PageRank's 5 broadcast-join rounds, ~2s for LPA's 2) —
+    JIT cost, flat in data size, amortized to zero across a session.
+    Steady-state walls are the scheduled iteration rounds themselves
+    (PageRank ~3.7s, LPA ~2.0s at sf0.1): the honest price of
+    synchronous fixed-point iteration, linear in rounds, not corpus.
   - common-neighbors pairs expand per-customer degree d as d*(d-1)/2;
     the CAP=64 guard bounds the expansion exactly like
     dedup_ngram_jaccard_capped's max_df posting-list cap (dedup.py):

@@ -1313,3 +1313,77 @@ ranked as (
 select query_id, rk, doc_id, score
 from ranked where rk <= {BM25_TOPK}
 """
+
+
+# ------------------------------------------------------ corpus_novelty
+@_q("corpus_novelty")
+def corpus_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY against everything ingested before
+    it — the crawl-freshness audit an ingest pipeline runs to decide
+    when a source has gone stale (novelty collapsing toward 0 means
+    new snapshots are re-serving old content; RefinedWeb/FineWeb-class
+    pipelines track exactly this curve per dump). A document's novelty
+    is the fraction of its DISTINCT trigram shingles whose FIRST
+    corpus occurrence (min doc_id — ingest order on the synthetic
+    corpus) is the document itself. Output: per (source, novelty
+    decile) rollup — doc counts, total/mean novel shingles — the
+    curve's shape without a corpus-sized result.
+
+    Determinism: first-occurrence is an integer min; novelty is the
+    exact integer pair (novel, total) with the decile bucket computed
+    as the integer floor (novel*10)/total clamped to 9; every output
+    is an integer aggregate — no floats anywhere.
+
+    Plan (100 TB): one (gram) min-aggregate builds the first-occurrence
+    index (vocabulary-sized, grows sublinearly), one equi-join back on
+    the gram (postings shape — never corpus x corpus), one (doc) count
+    aggregate, one (source, decile) rollup. All hash aggregates with
+    map-side combine; nothing sorts the corpus. An incremental ingest
+    maintains the same index as a running min."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(trigrams(toks())).alias("gram"),
+    )
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(first, "gram")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("novel"),
+        )
+    )
+    # integer floor-division in BOTH engines: `/` is double division
+    # whose cast ROUNDS in DuckDB but truncates in Spark
+    decile = F.least(F.lit(9).cast("long"), F.expr("novel * 10 div total"))
+    return per_doc.select("source", decile.alias("decile"), "novel").groupBy(
+        "source", "decile"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("novel").cast("long").alias("novel_shingles"),
+    )
+
+
+ORACLE["corpus_novelty"] = f"""
+with grams as (
+  select doc_id, source, unnest({sql_trigrams(sql_toks('text'))}) gram
+  from documents),
+first as (select gram, min(doc_id) first_doc from grams group by 1),
+per_doc as (
+  select doc_id, source, count(*) total,
+         cast(count(*) filter (where first_doc = doc_id) as bigint) novel
+  from grams join first using (gram)
+  group by 1, 2)
+select source,
+       least(9, (novel * 10) // total) decile,
+       count(*) n_docs,
+       cast(sum(novel) as bigint) novel_shingles
+from per_doc
+group by 1, 2
+"""

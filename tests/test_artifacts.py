@@ -253,3 +253,15 @@ def test_graph_edges_reload_equals_rebuild(spark, sf_dir):
     )
     assert served_symw.exceptAll(fresh_symw).count() == 0
     assert fresh_symw.exceptAll(served_symw).count() == 0
+
+
+def test_kmeanspp_cand_reload_equals_rebuild(spark, sf_dir):
+    """The disk-persisted k-means|| candidate set (r11 verdict #4) must
+    serve exactly what a fresh derivation of the KPP_T oversampling
+    rounds computes."""
+    from duckdb_wasm_spark.operators import similarity as sim
+
+    served = sim._kmeanspp_cand_memo(spark, sf_dir).select("cid")
+    fresh = sim._kmeanspp_cand_build(spark, sf_dir).select("cid")
+    assert served.exceptAll(fresh).count() == 0
+    assert fresh.exceptAll(served).count() == 0

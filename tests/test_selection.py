@@ -898,3 +898,25 @@ def test_bm25_ranking_laws(spark, sf_dir):
             assert (lo["score"], -lo["doc_id"]) >= (hi["score"], -hi["doc_id"])
         qterms = set(toks_by_doc[qid][: text_ops.BM25_QTOK])
         assert qterms & set(toks_by_doc[hits[0]["doc_id"]])
+
+
+def test_novelty_first_doc_and_accounting(spark, sf_dir):
+    """Novelty laws: the rollup accounts for every document with >= 3
+    tokens (shorter docs have no trigram); deciles are in [0, 9]; and
+    the smallest doc_id with shingles is fully novel by construction
+    (its shingles' first occurrence can only be itself), so its
+    source must have docs in decile 9."""
+    from duckdb_wasm_spark.operators import text as text_ops
+
+    out = text_ops.QUERIES["corpus_novelty"](spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    eligible = [
+        r for r in docs if len([t for t in r["text"].split(" ") if t]) >= 3
+    ]
+    assert sum(r["n_docs"] for r in out) == len(eligible)
+    for r in out:
+        assert 0 <= r["decile"] <= 9
+        assert r["novel_shingles"] >= 0
+    first = min(eligible, key=lambda r: r["doc_id"])
+    nines = {r["source"] for r in out if r["decile"] == 9}
+    assert first["source"] in nines
