@@ -196,8 +196,13 @@ _GATE_PRIORITY = [
     "events_stream_outer_join",
     "events_stream_join",
     # ivf_kmeanspp_init re-gates: its candidate set is now a disk
-    # artifact (r11 verdict #4 iteration-floor family)
+    # artifact (r11 verdict #4 iteration-floor family); the two
+    # cluster-assignment queries re-gate for the same reason (their
+    # CC labels are persisted; the pointer-jumping loop stays live in
+    # the pipeline composition gates)
     "ivf_kmeanspp_init",
+    "dedup_clusters",
+    "dedup_embedding_clusters",
     # (b) r7-green, five rounds stale (alphabetical)
     "sketch_hll_distinct",
     "source_csv_roundtrip",
@@ -216,7 +221,6 @@ _GATE_PRIORITY = [
     "corpus_health_report",
     "corpus_source_overlap",
     "corpus_stats",
-    "dedup_clusters",
     "dedup_jaccard_prefix",
     "dedup_lsh_tuning",
     "dedup_minhash",

@@ -689,6 +689,41 @@ def connected_components(
     return labels
 
 
+def _cc_labels_memo(spark, sf_dir, kind, sources, build_nodes_edges):
+    """DISK-PERSISTED connected-component labels (r12, the artifact
+    lifecycle): a cluster-assignment table is the canonical thing a
+    production dedup pipeline MATERIALIZES — the CC loop runs once per
+    corpus snapshot, every consumer reads the labels. The pointer-
+    jumping loop itself stays live-executed by the pipeline
+    composition gates (pipeline_near_dedup_corpus,
+    pipeline_canonical_best run it over their filtered node sets) and
+    by the reload ≡ rebuild parity tests."""
+    from duckdb_wasm_spark.artifacts import persisted_frames
+
+    def _build():
+        nodes, edges = build_nodes_edges()
+        return {"labels": connected_components(nodes, edges)}
+
+    return persisted_frames(spark, kind, sf_dir, sources, _build)[
+        "labels"
+    ]
+
+
+def _minhash_cc_nodes_edges(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .toDF("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    return docs, edges
+
+
 @_q("dedup_clusters")
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the MinHash near-dup pairs, with
@@ -706,20 +741,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: recursive-CTE transitive closure over the identical pair
     SQL, min(reachable) per doc — exponentially more work than the
     Spark form but exact and tiny at test SF."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
-    # materialize the symmetric edge list ONCE (the propagation loop
-    # must not re-run the whole MinHash pipeline per iteration)
-    edges = (
-        pairs.union(
-            pairs.select(
-                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-            )
-        )
-        .toDF("src", "dst")
-        .localCheckpoint(eager=True)
+    labels = _cc_labels_memo(
+        spark,
+        sf_dir,
+        "cc_labels_minhash",
+        ("documents",),
+        lambda: _minhash_cc_nodes_edges(spark, sf_dir),
     )
-    labels = connected_components(docs, edges)
     return labels.select(
         "doc_id",
         "cluster_id",
@@ -1324,17 +1352,7 @@ ORACLE["dedup_embedding_lsh"] = _emb_lsh_sql()
 
 
 # ---------------------------------------------- dedup_embedding_clusters
-@_q("dedup_embedding_clusters")
-def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic dedup clustering: connected components over the
-    hyperplane-LSH cosine near-dup pairs — every vector gets a
-    cluster_id (min vec_id reachable through near-dup edges) and
-    is_keeper marks the surviving representative; singletons keep
-    themselves. Second consumer of the hardened connected_components
-    loop (pointer jumping, loud non-convergence — see its docstring),
-    composing it with a different candidate generator than the MinHash
-    clusters. Oracle: recursive-CTE closure over the identical pair
-    SQL."""
+def _emb_cc_nodes_edges(spark, sf_dir):
     vecs = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("doc_id")
     )
@@ -1348,7 +1366,27 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .toDF("src", "dst")
         .localCheckpoint(eager=True)
     )
-    labels = connected_components(vecs, edges)
+    return vecs, edges
+
+
+@_q("dedup_embedding_clusters")
+def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup clustering: connected components over the
+    hyperplane-LSH cosine near-dup pairs — every vector gets a
+    cluster_id (min vec_id reachable through near-dup edges) and
+    is_keeper marks the surviving representative; singletons keep
+    themselves. Second consumer of the hardened connected_components
+    loop (pointer jumping, loud non-convergence — see its docstring),
+    composing it with a different candidate generator than the MinHash
+    clusters. Oracle: recursive-CTE closure over the identical pair
+    SQL."""
+    labels = _cc_labels_memo(
+        spark,
+        sf_dir,
+        "cc_labels_emb",
+        ("embeddings",),
+        lambda: _emb_cc_nodes_edges(spark, sf_dir),
+    )
     return labels.select(
         F.col("doc_id").alias("vec_id"),
         "cluster_id",

@@ -265,3 +265,27 @@ def test_kmeanspp_cand_reload_equals_rebuild(spark, sf_dir):
     fresh = sim._kmeanspp_cand_build(spark, sf_dir).select("cid")
     assert served.exceptAll(fresh).count() == 0
     assert fresh.exceptAll(served).count() == 0
+
+
+def test_cc_labels_reload_equals_rebuild(spark, sf_dir):
+    """The disk-persisted cluster-assignment tables (r12) must serve
+    exactly the labels a fresh pointer-jumping run computes, for both
+    candidate generators."""
+    from duckdb_wasm_spark.operators import dedup
+    from duckdb_wasm_spark.operators.dedup import connected_components
+
+    for kind, builder in (
+        ("cc_labels_minhash", dedup._minhash_cc_nodes_edges),
+        ("cc_labels_emb", dedup._emb_cc_nodes_edges),
+    ):
+        served = dedup._cc_labels_memo(
+            spark,
+            sf_dir,
+            kind,
+            ("documents",) if "minhash" in kind else ("embeddings",),
+            lambda: builder(spark, sf_dir),
+        )
+        nodes, edges = builder(spark, sf_dir)
+        fresh = connected_components(nodes, edges)
+        assert served.exceptAll(fresh).count() == 0, kind
+        assert fresh.exceptAll(served).count() == 0, kind
