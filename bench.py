@@ -68,18 +68,42 @@ def _stage_layout(spark, sf_dir: str, cpus: int) -> str:
     this corpus (57.8s vs 57.0s), while DuckDB's near-zero per-row-
     group cost cuts its total 69.0s -> 27.0s. Default is therefore OFF
     (SPARK_GRAFT_STAGE=1 opts in) — the raw layout is also what the
-    driver's round-over-round BENCH comparisons assume."""
-    import tempfile
+    driver's round-over-round BENCH comparisons assume.
 
-    out = tempfile.mkdtemp(prefix="bench_layout_")
+    PERSISTENT (r12): the staged copy lives in a fingerprinted
+    warehouse dir (the stream-layout discipline, live._layout_dir's
+    shape) instead of a fresh tempdir per run. A fresh tempdir
+    invalidated every index-artifact fingerprint on every staged run —
+    the r11 staged-cold column was mostly one-time index builds
+    against a layout that would never be seen again. The staged copy
+    IS environment setup (the multi-file landing layout a deployment
+    already has), so it persists and the artifacts built against it
+    persist with it; regenerated testdata re-stages automatically via
+    the source fingerprint."""
+    import hashlib
+
+    from duckdb_wasm_spark.artifacts import _ROOT, _fingerprint
     from duckdb_wasm_spark.tables import TABLES
 
+    fp = _fingerprint(sf_dir, tuple(TABLES))
+    base = os.path.normpath(os.path.join(_ROOT, "..", "bench_staged"))
+    out = os.path.join(base, f"{fp}_c{cpus}")
+    marker = os.path.join(out, "_STAGED_COMMITTED")
+    if os.path.exists(marker):
+        return out
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)  # supersede stale layouts
+    os.makedirs(out, exist_ok=True)
     for t in TABLES:
         (
             spark.read.parquet(f"{sf_dir}/{t}.parquet")
             .repartition(cpus)
-            .write.parquet(f"{out}/{t}.parquet")
+            .write.mode("overwrite")
+            .parquet(f"{out}/{t}.parquet")
         )
+    with open(marker, "w") as fh:
+        fh.write("ok")
     return out
 
 
