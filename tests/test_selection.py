@@ -920,3 +920,126 @@ def test_novelty_first_doc_and_accounting(spark, sf_dir):
     first = min(eligible, key=lambda r: r["doc_id"])
     nines = {r["source"] for r in out if r["decile"] == 9}
     assert first["source"] in nines
+
+
+def test_bm25_matches_python_replay_on_random_corpus(spark, tmp_path):
+    """Full pure-Python replay of the BM25 chain (tokenize, tf/df/dl,
+    avgdl, idf, 12-decimal HALF_UP term rounding, exact decimal sum,
+    total-order rank cut) on a seeded random corpus — pins the
+    arithmetic end-to-end independently of both engines."""
+    import math
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from duckdb_wasm_spark.operators import text as text_ops
+
+    rng = random.Random(29)
+    vocab = [f"t{i}" for i in range(25)]
+    docs = {}
+    rows = []
+    for d in range(40):
+        n = rng.randint(1, 30)
+        tk = [rng.choice(vocab) for _ in range(n)]
+        docs[d] = tk
+        rows.append((d, " ".join(tk), "en", "src0", len(" ".join(tk))))
+    out_dir = str(tmp_path / "bm25")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+
+    k1, b = text_ops.BM25_K1, text_ops.BM25_B
+    n_docs = len(docs)
+    avgdl = float(sum(len(tk) for tk in docs.values())) / float(n_docs)
+    df: dict = {}
+    for tk in docs.values():
+        for t in set(tk):
+            df[t] = df.get(t, 0) + 1
+    expected: dict = {}
+    for qid in range(min(text_ops.BM25_NQ, n_docs)):
+        qterms = []
+        for t in docs[qid][: text_ops.BM25_QTOK]:
+            if t not in qterms:
+                qterms.append(t)
+        scored = []
+        for d, tk in docs.items():
+            if d == qid:
+                continue
+            tot = Decimal(0)
+            hit = False
+            for t in qterms:
+                tf = tk.count(t)
+                if tf == 0:
+                    continue
+                hit = True
+                idf = math.log(
+                    1.0 + (float(n_docs) - df[t] + 0.5) / (float(df[t]) + 0.5)
+                )
+                part = (float(tf) * (k1 + 1.0)) / (
+                    float(tf) + k1 * (1.0 - b + b * float(len(tk)) / avgdl)
+                )
+                tot += Decimal(repr(idf * part)).quantize(
+                    Decimal("1e-12"), rounding=ROUND_HALF_UP
+                )
+            if hit:
+                scored.append((-float(tot), d))
+        scored.sort()
+        for rk, (negs, d) in enumerate(scored[: text_ops.BM25_TOPK], 1):
+            expected[(qid, rk)] = (d, -negs)
+    got = {
+        (r["query_id"], r["rk"]): (r["doc_id"], r["score"])
+        for r in text_ops.QUERIES["text_bm25_topk"](spark, out_dir).collect()
+    }
+    assert got == expected
+
+
+def test_novelty_matches_python_replay_on_random_corpus(spark, tmp_path):
+    """Pure-Python replay of the novelty rollup (first-occurrence
+    trigram index, per-doc novel/total counts, integer decile floor)
+    on a seeded random corpus with planted duplicates."""
+    import random
+
+    from duckdb_wasm_spark.operators import text as text_ops
+
+    rng = random.Random(31)
+    vocab = [f"w{i}" for i in range(10)]
+    docs = {}
+    rows = []
+    for d in range(30):
+        if d % 5 == 4:  # planted full duplicate of an earlier doc
+            tk = list(docs[d - 2])
+        else:
+            tk = [rng.choice(vocab) for _ in range(rng.randint(1, 15))]
+        docs[d] = tk
+        src = f"s{d % 3}"
+        rows.append((d, " ".join(tk), "en", src, len(" ".join(tk))))
+    out_dir = str(tmp_path / "novelty")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+
+    first: dict = {}
+    for d in sorted(docs):
+        for g in {
+            tuple(docs[d][i : i + 3]) for i in range(len(docs[d]) - 2)
+        }:
+            if g not in first:
+                first[g] = d
+    expected: dict = {}
+    for d in sorted(docs):
+        grams = {tuple(docs[d][i : i + 3]) for i in range(len(docs[d]) - 2)}
+        if not grams:
+            continue
+        novel = sum(1 for g in grams if first[g] == d)
+        decile = min(9, (novel * 10) // len(grams))
+        key = (f"s{d % 3}", decile)
+        nd, ns = expected.get(key, (0, 0))
+        expected[key] = (nd + 1, ns + novel)
+    got = {
+        (r["source"], r["decile"]): (r["n_docs"], r["novel_shingles"])
+        for r in text_ops.QUERIES["corpus_novelty"](spark, out_dir).collect()
+    }
+    assert got == expected
