@@ -736,7 +736,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pointer jumping (see its docstring); converges in O(log diameter)
     rounds and RAISES if the budget runs out rather than returning
     partially-merged clusters. At 100 TB the same loop holds (edges
-    shuffle by src, labels by doc_id).
+    shuffle by src, labels by doc_id). The finished labels are a
+    DISK-PERSISTED artifact (r12 — see _cc_labels_memo): the loop runs
+    once per corpus snapshot, every session serves the assignment
+    table.
 
     Oracle: recursive-CTE transitive closure over the identical pair
     SQL, min(reachable) per doc — exponentially more work than the

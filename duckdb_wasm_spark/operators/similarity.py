@@ -2864,7 +2864,9 @@ def ivf_kmeanspp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
     any round. The final weighting is one (cid) count aggregate and a
     k-row TakeOrdered. Candidate frames are localCheckpoint'd per
     round (the Lloyd-iteration discipline: lineage must not re-run
-    prior rounds)."""
+    prior rounds), and the finished candidate set is a DISK-PERSISTED
+    artifact (r12 — see _kmeanspp_cand_memo): the KPP_T training
+    rounds run once per corpus snapshot; every session reloads."""
     emb = load_table(spark, sf_dir, "embeddings")
     normed = emb.select(
         "vec_id", "embedding", dot_fold("embedding", "embedding").alias("xx")
