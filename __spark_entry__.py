@@ -161,16 +161,23 @@ def _registries():
 # the 185-name registry): 10 names r7-green (sketch_hll_distinct, the
 # four source_* roundtrips, the five text_* rows — the r11 verdict #2
 # shortfall), 36 r8, 40 r9, 47 r10, 50 r11, plus the two rows-only
-# ML rows last rows-checked r10. This window LEADS with: (a0) new in
-# round 12 — semdedup_cell_growth (never gated); (a) rewritten in
-# round 12 — dedup_semdedup (ranked assignment now a disk artifact),
-# sample_dsir (Gumbel u clamped away from 0, r11 advice) — plans/
-# expressions changed so they re-gate; (b) the 10 r7-stale names,
-# alphabetical (r11 verdict #2: the r12 window MUST lead with these);
-# (c) the two rows-only ML rows so their driver checks stay fresh;
-# (d) the 36 r8-green names, alphabetical — 1+8+10+2 = 21 rows lead
-# them, so the last ~7 roll past the ~50-row window to lead r13;
-# REPLICA_r12 (same-session, full registry) backstops the cut.
+# ML rows last rows-checked r10. This window LEADS with: (a0) THREE
+# never-gated round-12 additions (semdedup_cell_growth,
+# text_bm25_topk, corpus_novelty); (a) THIRTEEN rewritten in round 12
+# — dedup_semdedup (ranked assignment + pair verdicts now one disk
+# artifact), sample_dsir (Gumbel u clamped away from 0, r11 advice),
+# the six graph queries (edge/degree frames now disk artifacts), the
+# two stream-stream join gates (outer layout at one data file; inner
+# drops the trailing no-data batch), ivf_kmeanspp_init (candidate set
+# persisted), and the two cluster-assignment queries (CC labels
+# persisted) — plans/expressions changed so they re-gate; (b) the 10
+# r7-stale names, alphabetical (r11 verdict #2: the r12 window MUST
+# lead with these); (c) the two rows-only ML rows so their driver
+# checks stay fresh; (d) the 35 remaining r8-green names,
+# alphabetical (dedup_clusters moved up to tier (a)) — 3+13+10+2 = 28
+# rows lead them, so the last ~13 roll past the ~50-row window to
+# lead r13; REPLICA_r12 (same-session, full-registry, 188/188 ok)
+# backstops the cut.
 _GATE_PRIORITY = [
     # (a0) NEW in round 12 — never gated
     "semdedup_cell_growth",
