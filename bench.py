@@ -80,21 +80,37 @@ def _stage_layout(spark, sf_dir: str, cpus: int) -> str:
     already has), so it persists and the artifacts built against it
     persist with it; regenerated testdata re-stages automatically via
     the source fingerprint."""
-    import hashlib
-
-    from duckdb_wasm_spark.artifacts import _ROOT, _fingerprint
+    from duckdb_wasm_spark.artifacts import (
+        _ROOT,
+        _fingerprint,
+        _prune_dead_sources,
+        _source_key,
+    )
     from duckdb_wasm_spark.tables import TABLES
 
     fp = _fingerprint(sf_dir, tuple(TABLES))
     base = os.path.normpath(os.path.join(_ROOT, "..", "bench_staged"))
-    out = os.path.join(base, f"{fp}_c{cpus}")
+    src_dir = os.path.join(base, _source_key(sf_dir))
+    out = os.path.join(src_dir, f"{fp}_c{cpus}")
     marker = os.path.join(out, "_STAGED_COMMITTED")
     if os.path.exists(marker):
         return out
     import shutil
 
-    shutil.rmtree(base, ignore_errors=True)  # supersede stale layouts
+    # Supersede ONLY this sf_dir's stale-fingerprint layouts (same
+    # discipline as live._layout_dir / artifacts.persisted_frames —
+    # an early version rmtree'd the whole base, so alternating staged
+    # benches over sf0.01 and sf0.1 re-staged every run and orphaned
+    # every index artifact fingerprinted against the deleted dirs).
+    # Same-fingerprint layouts for OTHER cpu counts stay: they are not
+    # stale, just differently sliced.
+    for entry in os.listdir(src_dir) if os.path.isdir(src_dir) else []:
+        if entry != "_SOURCE_DIR" and not entry.startswith(f"{fp}_c"):
+            shutil.rmtree(os.path.join(src_dir, entry), ignore_errors=True)
+    _prune_dead_sources(base)
     os.makedirs(out, exist_ok=True)
+    with open(os.path.join(src_dir, "_SOURCE_DIR"), "w") as fh:
+        fh.write(os.path.abspath(sf_dir))
     for t in TABLES:
         (
             spark.read.parquet(f"{sf_dir}/{t}.parquet")

@@ -75,12 +75,47 @@ class _LazyFrames(dict):
     def keys(self):
         return self._suppliers.keys()
 
+    # The remaining dict reads must route through the suppliers too —
+    # dict.get/values/items/len do NOT call __getitem__, so a caller
+    # using them would silently see only the frames already
+    # materialized (r12 ADVICE).
+    def get(self, name, default=None):
+        return self[name] if name in self._suppliers else default
 
-def _fingerprint(sf_dir: str, sources: tuple[str, ...]) -> str:
+    def values(self):
+        return [self[n] for n in self._suppliers]
+
+    def items(self):
+        return [(n, self[n]) for n in self._suppliers]
+
+    def __len__(self):
+        return len(self._suppliers)
+
+    def __eq__(self, other):
+        return self is other
+
+    def __ne__(self, other):
+        return self is not other
+
+    __hash__ = None  # mutable mapping, like dict
+
+
+def _fingerprint(
+    sf_dir: str, sources: tuple[str, ...], version: str = ""
+) -> str:
+    """Hash of the source tables' (mtime, size) PLUS the builder's
+    constants token: the persisted frames bake constants into the
+    data (the SemDeDup 'dups' frame bakes SEMDEDUP_TAU, graph edges
+    the node encoding, the k-means|| candidates KPP_T/KPP_L), so a
+    constant bump must invalidate the stored artifact exactly like
+    regenerated data does (r12 ADVICE — previously a stale artifact
+    was served until a parity test happened to run)."""
     parts = [os.path.abspath(sf_dir)]
     for s in sources:
         st = os.stat(os.path.join(sf_dir, f"{s}.parquet"))
         parts.append(f"{s}:{st.st_mtime_ns}:{st.st_size}")
+    if version:
+        parts.append(f"v:{version}")
     return hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
 
 
@@ -116,13 +151,26 @@ def persisted_frames(
     sources: tuple[str, ...],
     build: Callable[[], dict[str, DataFrame]],
     layout: dict[str, list[str]] | None = None,
-) -> dict[str, DataFrame]:
+    version: str = "",
+    meta_build: Callable[[dict[str, DataFrame]], dict] | None = None,
+) -> "_LazyFrames":
     """Serve `kind`'s artifact frames for `sf_dir`: from the session
     memo, else from the on-disk parquet layout, else build → persist →
     reload. The returned frames are plain parquet scans (flat lineage,
     like the localCheckpoints they replace). Thread-safe: the repo
     runs intra-query thread pools, and two racing builders of the same
-    kind would tear each other's output dirs."""
+    kind would tear each other's output dirs.
+
+    `version` is the builder-constants token mixed into the
+    fingerprint (bump a baked-in constant → the artifact rebuilds).
+    `meta_build(built_frames) -> dict` computes JSON-serializable
+    SCALARS at build time (e.g. the graph node count) persisted in a
+    `_META.json` sidecar and served on reload as the returned
+    object's `.meta` dict — so consumers that need a count derived
+    from a persisted frame don't re-pay a Spark count() job every
+    cold session (r12 verdict #1)."""
+    import json
+
     memo: dict = spark.__dict__.setdefault("_dws_disk_artifacts", {})
     key = (kind, sf_dir)
     if key in memo:
@@ -130,7 +178,7 @@ def persisted_frames(
     with _LOCK:
         if key in memo:  # raced
             return memo[key]
-        fp = _fingerprint(sf_dir, sources)
+        fp = _fingerprint(sf_dir, sources, version)
         src_dir = os.path.join(_ROOT, kind, _source_key(sf_dir))
         base = os.path.join(src_dir, fp)
         marker = os.path.join(base, _DONE)
@@ -149,9 +197,16 @@ def persisted_frames(
                 df.write.mode("overwrite").parquet(
                     os.path.join(base, name)
                 )
+            if meta_build is not None:
+                with open(os.path.join(base, "_META.json"), "w") as fh:
+                    json.dump(meta_build(built), fh)
             with open(marker, "w") as fh:
                 fh.write("\n".join(sorted(built)))
         names = open(marker).read().split()
+        meta: dict = {}
+        meta_path = os.path.join(base, "_META.json")
+        if os.path.exists(meta_path):
+            meta = json.load(open(meta_path))
         # Re-parallelize + localCheckpoint the loaded frames: the
         # artifacts are byte-SMALL (codebooks, codes, signatures,
         # candidate pairs), so the parquet read coalesces them into
@@ -167,7 +222,13 @@ def persisted_frames(
         # on specific columns (the graph edge frames are join-consumed
         # per iteration keyed on src — a round-robin reload would
         # re-shuffle them in every consumer); everything else gets the
-        # round-robin spread.
+        # round-robin spread. The special value "raw" serves the
+        # plain parquet scan with NO respread/checkpoint job at all —
+        # right for byte-tiny frames (occupancy counts, degree
+        # tables) whose consumers are JVM aggregates/joins that
+        # shuffle them anyway: the scan is re-read per reference, but
+        # a few thousand rows × a few references is cheaper than any
+        # materialization job (r12 verdict #1 cold-gap work).
         # LAZY per frame (r12): a multi-frame kind (the graph edge
         # store holds 4 shapes) eagerly respread every frame on first
         # touch, so the first consumer paid ~4 sequential checkpoint
@@ -179,11 +240,13 @@ def persisted_frames(
 
         def _respread(n, df):
             cols = (layout or {}).get(n)
+            if cols == "raw":
+                return df
             if cols:
                 return df.repartition(par, *cols).localCheckpoint()
             return df.repartition(par).localCheckpoint()
 
-        memo[key] = _LazyFrames(
+        frames = _LazyFrames(
             {
                 n: (
                     lambda n=n: _respread(
@@ -193,4 +256,6 @@ def persisted_frames(
                 for n in names
             }
         )
+        frames.meta = meta
+        memo[key] = frames
         return memo[key]

@@ -415,13 +415,20 @@ def semdedup_cell_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan (100 TB): per size, training is iters × (broadcast-assign +
     one C×64-row aggregate); the audit itself is ONE (cell) count
     aggregate — the pair frame is NEVER materialized (its cardinality
-    is computed exactly from the occupancy counts). The half chain's
-    trained codebook is a disk-persisted artifact like the full
-    corpus's, so the audit is build-once/reload-always too."""
+    is computed exactly from the occupancy counts). BOTH subsets'
+    per-cell occupancy frames are one disk-persisted artifact (r12
+    verdict #1 — previously only the full-corpus chain was served
+    from disk, so every cold session re-paid the HALF-corpus train +
+    assign, 6.1s cold vs 1.7s warm): cold sessions read two C-row
+    parquet frames and run two C-row aggregates. Reload ≡ rebuild is
+    parity-tested in tests/test_selection.py; the constants baked
+    into the frames (C, Lloyd iters, the subset rule) ride in the
+    artifact fingerprint so bumping any of them rebuilds."""
     from duckdb_wasm_spark.artifacts import persisted_frames
 
-    rows = []
-    for label, mod, c in SEMDEDUP_GROWTH_SUBSETS:
+    def _occupancy(mod: int, c: int) -> DataFrame:
+        """(cell, m) occupancy of one subset's trained assignment —
+        the frame the growth law is computed from."""
         if mod == 1:
             # the full-corpus assignment IS the persisted artifact the
             # operator serves — audit it, don't regenerate it
@@ -430,26 +437,45 @@ def semdedup_cell_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             normed_sub = _normed(spark, sf_dir).where(
                 F.col("vec_id") % mod == 0
             )
-            cent = persisted_frames(
-                spark,
-                f"semdedup_cent_mod{mod}",
-                sf_dir,
-                ("embeddings",),
-                lambda: {
-                    "cent": _trained_centroids(
-                        normed_sub,
-                        seed_where=F.col("vec_id") < c * mod,
-                    )
-                },
-            )["cent"]
+            cent = _trained_centroids(
+                normed_sub, seed_where=F.col("vec_id") < c * mod
+            )
             assigned = (
                 _assign_cells(normed_sub, cent)
                 .where(F.col("arn") == 1)
                 .select(F.col("c_id").alias("cell"))
             )
-        mem = assigned.groupBy("cell").agg(
+        return assigned.groupBy("cell").agg(
             F.count(F.lit(1)).alias("m")
         )
+
+    occ = persisted_frames(
+        spark,
+        "semdedup_growth",
+        sf_dir,
+        ("embeddings",),
+        # dict comprehension, not a loop of closures: each
+        # _occupancy(mod, c) is invoked eagerly with ITS iteration's
+        # bindings, so nothing late-binds no matter when the build
+        # runs (r12 ADVICE on the old per-subset lambda)
+        lambda: {
+            f"mem_{label}": _occupancy(mod, c)
+            for label, mod, c in SEMDEDUP_GROWTH_SUBSETS
+        },
+        layout={
+            f"mem_{label}": "raw" for label, _, _ in SEMDEDUP_GROWTH_SUBSETS
+        },
+        version=(
+            f"iters={TRAIN_ITERS};"
+            + ";".join(
+                f"{label}:mod{mod}:C{c}"
+                for label, mod, c in SEMDEDUP_GROWTH_SUBSETS
+            )
+        ),
+    )
+    rows = []
+    for label, mod, c in SEMDEDUP_GROWTH_SUBSETS:
+        mem = occ[f"mem_{label}"]
         rows.append(
             mem.agg(
                 F.sum("m").cast("long").alias("n_vectors"),
