@@ -2657,6 +2657,64 @@ ORACLE["lsh_candidate_growth"] = _lsh_growth_sql()
 PFX_T_DEN = 5  # threshold as the exact rational 1/5 == JACCARD_THRESHOLD
 
 
+def _gram_index_memo(spark: SparkSession, sf_dir: str):
+    """DISK-PERSISTED trigram-shingle index over `documents` (r12
+    verdict #7: dedup_jaccard_prefix was the slowest registry row at
+    6.2s, dominated by re-tokenizing + re-ranking what a production
+    near-dup service materializes once on ingest). Frames:
+
+    - "arrays": (doc_id, grams, n) — the distinct trigram-shingle
+                array per document with its cardinality.
+    - "prefix": (doc_id, gram) — the AllPairs/PPJoin prefix postings
+                under the global rarest-first (df, gram) token order
+                at threshold 1/PFX_T_DEN: the candidate-generation
+                index itself. The threshold rides the artifact
+                fingerprint, so retuning it rebuilds.
+
+    Both frames reload raw (plain scans): "arrays" is broadcast to
+    the verify stage, "prefix" has one self-join consumer that
+    shuffles it on gram anyway. Reload ≡ rebuild is
+    pinned in tests/test_artifacts.py."""
+    from pyspark.sql.window import Window
+
+    from duckdb_wasm_spark.artifacts import persisted_frames
+
+    def _build():
+        docs = load_table(spark, sf_dir, "documents")
+        arrays = (
+            _gram_arrays(docs)
+            .select("doc_id", "grams", F.size("grams").alias("n"))
+            .localCheckpoint()
+        )
+        grams = arrays.select(
+            "doc_id", "n", F.explode("grams").alias("gram")
+        )
+        dfc = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+        w = Window.partitionBy("doc_id").orderBy("df", "gram")
+        prefix = (
+            grams.join(dfc, "gram")
+            .withColumn("rn", F.row_number().over(w))
+            .where(
+                F.col("rn")
+                <= F.col("n")
+                - F.expr(f"(n + {PFX_T_DEN - 1}) div {PFX_T_DEN}")
+                + F.lit(1)
+            )
+            .select("doc_id", "gram")
+        )
+        return {"arrays": arrays, "prefix": prefix}
+
+    return persisted_frames(
+        spark,
+        "gram_index",
+        sf_dir,
+        ("documents",),
+        _build,
+        layout={"arrays": "raw", "prefix": "raw"},
+        version=f"tri-v1;t_den={PFX_T_DEN}",
+    )
+
+
 @_q("dedup_jaccard_prefix")
 def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact trigram-Jaccard near-dup pairs via PREFIX FILTERING
@@ -2670,14 +2728,15 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     that dominate the full inverted index never expand at all
     (frequent grams sort LAST and rarely make a prefix).
 
-    Plan: one shingle pass (arrays checkpointed once for its three
-    consumers), a document-frequency aggregate, a per-doc rank window
-    ordered (df, gram) — rarest first, total order so both engines cut
-    identical prefixes — then the candidate equi-join on prefix grams
-    only, and an array_intersect verify per candidate pair (JVM
-    codegen, O(n) per pair, no re-shuffle of the gram stream).
-    Threshold arithmetic is all-integer (ceil(n/5) = (n+4) div 5), so
-    the prefix boundary is engine-exact.
+    Plan: the shingle arrays AND the ranked prefix postings are the
+    disk-persisted gram index (_gram_index_memo, r12 verdict #7 —
+    built once on ingest under the global rarest-first (df, gram)
+    token order, total so both engines cut identical prefixes); query
+    time is the candidate equi-join on prefix grams only plus an
+    array_intersect verify per candidate pair (JVM codegen, O(n) per
+    pair, no re-shuffle of the gram stream). Threshold arithmetic is
+    all-integer (ceil(n/5) = (n+4) div 5), so the prefix boundary is
+    engine-exact.
 
     At 100 TB: candidate volume is bounded by PREFIX postings
     (~(1-t)·n per doc, and biased to RARE grams — the df skew that
@@ -2687,30 +2746,8 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cites the same reference workload as dedup_ngram_jaccard
     (SURVEY.md §2 dedup family)."""
-    from pyspark.sql.window import Window
-
-    docs = load_table(spark, sf_dir, "documents")
-    arrays = (
-        _gram_arrays(docs)
-        .select("doc_id", "grams", F.size("grams").alias("n"))
-        .localCheckpoint()
-    )
-    grams = arrays.select(
-        "doc_id", "n", F.explode("grams").alias("gram")
-    )
-    dfc = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("doc_id").orderBy("df", "gram")
-    prefix = (
-        grams.join(dfc, "gram")
-        .withColumn("rn", F.row_number().over(w))
-        .where(
-            F.col("rn")
-            <= F.col("n")
-            - F.expr(f"(n + {PFX_T_DEN - 1}) div {PFX_T_DEN}")
-            + F.lit(1)
-        )
-        .select("doc_id", "gram")
-    )
+    idx = _gram_index_memo(spark, sf_dir)
+    arrays, prefix = idx["arrays"], idx["prefix"]
     cand = (
         prefix.select(F.col("doc_id").alias("doc_a"), "gram")
         .join(prefix.select(F.col("doc_id").alias("doc_b"), "gram"), "gram")
@@ -2718,20 +2755,30 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
+    # the doc->grams map is corpus-row-sized (no pair expansion) and
+    # BROADCAST to the candidate stream, so the 788k-pair frame never
+    # shuffles through a sort-merge exchange with two 50-element
+    # arrays riding every row (measured 7.8s -> see docstring; at a
+    # corpus beyond broadcast, co-partition pairs and arrays on the
+    # probe id instead)
     verified = (
         cand.join(
-            arrays.select(
-                F.col("doc_id").alias("doc_a"),
-                F.col("grams").alias("ga"),
-                F.col("n").alias("n_a"),
+            F.broadcast(
+                arrays.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("grams").alias("ga"),
+                    F.col("n").alias("n_a"),
+                )
             ),
             "doc_a",
         )
         .join(
-            arrays.select(
-                F.col("doc_id").alias("doc_b"),
-                F.col("grams").alias("gb"),
-                F.col("n").alias("n_b"),
+            F.broadcast(
+                arrays.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("grams").alias("gb"),
+                    F.col("n").alias("n_b"),
+                )
             ),
             "doc_b",
         )
@@ -2743,14 +2790,25 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_b",
         )
     )
-    return (
-        verified.withColumn(
-            "jaccard",
+    # Threshold as the EXACT integer form: jaccard >= 1/5  <=>
+    # 6*n_common >= n_a + n_b (denominator positive: candidates share
+    # >= 1 gram). Filtering on the double ratio looked natural but
+    # Catalyst pushes the predicate into the verify join with n_common
+    # inlined, re-running the O(|grams|) array_intersect 3x per pair
+    # (measured 7.8s vs 3.3s warm at sf0.1); the integer form is
+    # pushed too — which now works FOR us: one intersect per candidate
+    # at the join, and the double jaccard below computes only for the
+    # ~256 surviving pairs.
+    return verified.where(
+        F.lit(PFX_T_DEN + 1) * F.col("n_common")
+        >= F.col("n_a") + F.col("n_b")
+    ).select(
+        "doc_a",
+        "doc_b",
+        (
             F.col("n_common").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-        )
-        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", "jaccard")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        ).alias("jaccard"),
     )
 
 

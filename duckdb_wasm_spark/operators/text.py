@@ -390,12 +390,13 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra_corr); ranking orders by the ROUNDED score so the cut is
     identical too, ties broken on the token.
 
-    Plan (100 TB): materialize the token ARRAY first, then size+explode
-    the attribute — carrying size(toks()) through the explode re-runs
-    the tokenizer per exploded row (the text_repetition trap; measured
-    1.86s vs 0.54s at sf0.1 for the counts stage alone). One
-    (doc_id, tok) hash aggregate for tf; df is a separate
-    vocabulary-sized aggregate BROADCAST back (round-5 verdict task #3
+    Plan (100 TB): the TF and df tables come from the disk-persisted
+    lexical index (_text_index_memo, shared with text_bm25_topk —
+    r12 verdict #2; the index builder materializes the token ARRAY
+    first, then size+explodes the attribute: carrying size(toks())
+    through the explode re-runs the tokenizer per exploded row, the
+    text_repetition trap, measured 1.86s vs 0.54s at sf0.1 for the
+    counts stage alone). df is BROADCAST back (round-5 verdict task #3
     re-measure: 0.98s vs 1.04s for the count-over-window form once the
     explode trap was fixed — the earlier 1.94-vs-2.19 window win was
     the trap's cost dominating both shapes; at a vocab too large to
@@ -404,22 +405,13 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     window. Total: 2.06s → 0.98s at sf0.1."""
     from pyspark.sql.window import Window
 
-    docs = load_table(spark, sf_dir, "documents")
-    ta = docs.select("doc_id", toks().alias("ta"))
-    toks_ = ta.select(
-        "doc_id",
-        F.size("ta").alias("doc_len"),
-        F.explode("ta").alias("tok"),
+    idx = _text_index_memo(spark, sf_dir)
+    counts = idx["tf"].select(
+        "doc_id", F.col("dl").alias("doc_len"), "tok",
+        F.col("tf").alias("tf_cnt"),
     )
-    counts = toks_.groupBy("doc_id", "doc_len", "tok").agg(
-        F.count(F.lit(1)).alias("tf_cnt")
-    )
-    dfs = (
-        docs.select(F.explode(F.array_distinct(toks())).alias("tok"))
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
-    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    dfs = idx["dfs"]
+    n_docs = idx["stats"].select("n_docs")
     scored = (
         counts.join(F.broadcast(dfs), "tok")
         .crossJoin(F.broadcast(n_docs))
@@ -1170,6 +1162,97 @@ order by source
 """
 
 
+# ----------------------------------------------------- shared lexical index
+def _text_index_memo(spark: SparkSession, sf_dir: str):
+    """DISK-PERSISTED lexical index over `documents` — the TF table,
+    the document-frequency (vocabulary) table, and the corpus stats
+    scalar frame that BM25 and TF-IDF both start from (r12 verdict
+    #2: text_bm25_topk rebuilt all three per call at 3.4s warm; a
+    BM25 index IS a production artifact — Lucene/ES materialize
+    exactly these postings + norms + stats on ingest and serve every
+    query from them). Frames:
+
+    - "tf":    (doc_id, dl, tok, tf) — one row per distinct token per
+               document with its in-doc frequency and the doc length.
+    - "dfs":   (tok, df) — vocabulary-sized document frequencies.
+    - "stats": 1 row (n_docs, avgdl).
+    - "impacts": (tok, doc_id, term) — the per-posting Okapi BM25
+               term contribution round(idf·tf_part, 12), which is a
+               pure function of (tf, dl, df, N, avgdl) and therefore
+               QUERY-INDEPENDENT: precomputing it on ingest is the
+               impact-ordered-index idea (Anh & Moffat 2006; Lucene
+               stores the same per-posting impacts), and it turns
+               BM25 retrieval into join + sum + top-k with zero
+               query-time arithmetic beyond the score sum.
+
+    All three reload RAW (plain scans, no materialization job): each
+    consumer references each frame once and shuffles/broadcasts it
+    anyway. Stale-safe via the documents fingerprint; the tokenizer
+    rule rides the version token so changing it rebuilds. Reload ≡
+    rebuild parity is pinned in tests/test_operators.py."""
+    from duckdb_wasm_spark.artifacts import persisted_frames
+
+    def _build() -> dict[str, DataFrame]:
+        docs = load_table(spark, sf_dir, "documents")
+        ta = docs.select("doc_id", toks().alias("ta")).localCheckpoint()
+        tf = (
+            ta.select(
+                "doc_id",
+                F.size("ta").alias("dl"),
+                F.explode("ta").alias("tok"),
+            )
+            .groupBy("doc_id", "dl", "tok")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .localCheckpoint()
+        )
+        dfs = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+        stats = ta.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (
+                F.sum(F.size("ta")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avgdl"),
+        )
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs").cast("double") - F.col("df") + 0.5)
+            / (F.col("df").cast("double") + 0.5)
+        )
+        tf_part = (
+            F.col("tf").cast("double") * (BM25_K1 + 1.0)
+        ) / (
+            F.col("tf").cast("double")
+            + BM25_K1
+            * (
+                1.0
+                - BM25_B
+                + BM25_B * F.col("dl").cast("double") / F.col("avgdl")
+            )
+        )
+        impacts = (
+            tf.join(F.broadcast(dfs), "tok")
+            .crossJoin(F.broadcast(stats))
+            .select(
+                "tok", "doc_id", F.round(idf * tf_part, 12).alias("term")
+            )
+        )
+        return {"tf": tf, "dfs": dfs, "stats": stats, "impacts": impacts}
+
+    return persisted_frames(
+        spark,
+        "text_index",
+        sf_dir,
+        ("documents",),
+        _build,
+        layout={
+            "tf": "raw", "dfs": "raw", "stats": "raw", "impacts": "raw"
+        },
+        # the tokenizer rule AND the BM25 constants baked into the
+        # impacts frame ride the fingerprint
+        version=f"tok=ws-split-v1;k1={BM25_K1};b={BM25_B}",
+    )
+
+
 # ------------------------------------------------------- text_bm25_topk
 # Okapi BM25 (Robertson & Walker 1994) constants — the standard values
 BM25_K1 = 1.2
@@ -1201,10 +1284,13 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     would be partition-order-dependent. The final rank key
     (score desc, doc_id asc) is total.
 
-    Plan (100 TB): one (doc, tok) TF hash aggregate (the tfidf
-    pipeline's shape — token array materialized BEFORE the explode);
-    df is the vocabulary-sized aggregate broadcast back (flip to a
-    shuffle join at a vocab beyond broadcast); the query-term table is
+    Plan (100 TB): the TF table, the vocabulary df table, and the
+    corpus stats come from the disk-persisted lexical index
+    (_text_index_memo — built once on ingest, served to every query,
+    the Lucene/ES lifecycle; r12 verdict #2: rebuilding all three per
+    call was 3.4s warm); df is the vocabulary-sized table broadcast
+    back (flip to a shuffle join at a vocab beyond broadcast); the
+    query-term table is
     a ≤ NQ·QTOK-row broadcast, so candidate generation is one
     postings-style equi-join on the term — cost follows the panel's
     posting lists, never corpus × corpus; corpus stats (N, avgdl) ride
@@ -1214,51 +1300,22 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
+    idx = _text_index_memo(spark, sf_dir)
+    # only the NQ-doc query panel is tokenized at query time (the
+    # doc_id < NQ filter pushes into the scan); the per-posting term
+    # contributions are the persisted "impacts" frame, so query-time
+    # work is join + decimal sum + top-k
     ta = docs.select("doc_id", toks().alias("ta"))
-    tf = (
-        ta.select(
-            "doc_id", F.size("ta").alias("dl"), F.explode("ta").alias("tok")
-        )
-        .groupBy("doc_id", "dl", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dfs = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    stats = ta.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (
-            F.sum(F.size("ta")).cast("double")
-            / F.count(F.lit(1)).cast("double")
-        ).alias("avgdl"),
-    )
     q = ta.where(F.col("doc_id") < BM25_NQ).select(
         F.col("doc_id").alias("query_id"),
         F.explode(
             F.array_distinct(F.slice("ta", 1, BM25_QTOK))
         ).alias("tok"),
     )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs").cast("double") - F.col("df") + 0.5)
-        / (F.col("df").cast("double") + 0.5)
-    )
-    tf_part = (
-        F.col("tf").cast("double") * (BM25_K1 + 1.0)
-    ) / (
-        F.col("tf").cast("double")
-        + BM25_K1
-        * (1.0 - BM25_B + BM25_B * F.col("dl").cast("double") / F.col("avgdl"))
-    )
     scored = (
         F.broadcast(q)
-        .join(tf, "tok")
+        .join(idx["impacts"], "tok")
         .where(F.col("doc_id") != F.col("query_id"))
-        .join(F.broadcast(dfs), "tok")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "query_id",
-            "doc_id",
-            F.round(idf * tf_part, 12).alias("term"),
-        )
         .groupBy("query_id", "doc_id")
         .agg(
             F.sum(F.col("term").cast("decimal(28,12)"))
@@ -1326,7 +1383,7 @@ def corpus_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the fraction of its DISTINCT trigram shingles whose FIRST
     corpus occurrence (min doc_id — ingest order on the synthetic
     corpus) is the document itself. Output: per (source, novelty
-    decile) rollup — doc counts, total/mean novel shingles — the
+    decile) rollup — doc count and summed novel shingles per cell — the
     curve's shape without a corpus-sized result.
 
     Determinism: first-occurrence is an integer min; novelty is the

@@ -289,3 +289,124 @@ def test_cc_labels_reload_equals_rebuild(spark, sf_dir):
         fresh = connected_components(nodes, edges)
         assert served.exceptAll(fresh).count() == 0, kind
         assert fresh.exceptAll(served).count() == 0, kind
+
+
+def test_text_index_reload_equals_rebuild(spark, sf_dir):
+    """The disk-persisted lexical index (r12 verdict #2 — the TF/df/
+    stats frames BM25 and TF-IDF are served from) must serve exactly
+    what a fresh tokenize + aggregate computes."""
+    from duckdb_wasm_spark.operators import text as text_ops
+    from duckdb_wasm_spark.operators._text import toks
+    from duckdb_wasm_spark.tables import load_table
+
+    idx = text_ops._text_index_memo(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    ta = docs.select("doc_id", toks().alias("ta"))
+    fresh_tf = (
+        ta.select(
+            "doc_id", F.size("ta").alias("dl"), F.explode("ta").alias("tok")
+        )
+        .groupBy("doc_id", "dl", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    assert idx["tf"].exceptAll(fresh_tf).count() == 0
+    assert fresh_tf.exceptAll(idx["tf"]).count() == 0
+    fresh_dfs = fresh_tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    assert idx["dfs"].exceptAll(fresh_dfs).count() == 0
+    assert fresh_dfs.exceptAll(idx["dfs"]).count() == 0
+    stats = idx["stats"].collect()
+    assert len(stats) == 1
+    n_docs = docs.count()
+    assert stats[0]["n_docs"] == n_docs
+    got_avgdl = stats[0]["avgdl"]
+    exp_avgdl = (
+        ta.agg(F.sum(F.size("ta"))).collect()[0][0] / n_docs
+    )
+    assert got_avgdl == exp_avgdl
+
+
+def test_graph_edges_meta_n_nodes(spark, sf_dir):
+    """The n_nodes scalar persisted in the graph edge artifact's
+    metadata (r12 verdict #1) must equal a live count of the degree
+    frame — PageRank's teleport arithmetic depends on it."""
+    from duckdb_wasm_spark.operators import graph
+
+    art = graph._edges_artifact(spark, sf_dir)
+    assert art.meta["n_nodes"] == art["deg_sym"].count()
+
+
+def test_semdedup_growth_occupancy_reload_equals_rebuild(spark, sf_dir):
+    """The persisted per-subset occupancy frames behind
+    semdedup_cell_growth (r12 verdict #1) must match a fresh
+    train + assign + count for BOTH subsets."""
+    from duckdb_wasm_spark.artifacts import persisted_frames
+    from duckdb_wasm_spark.operators import selection
+    from duckdb_wasm_spark.operators.similarity import (
+        _assign_cells,
+        _trained_centroids,
+    )
+
+    # trigger/load the artifact through the public query
+    selection.QUERIES["semdedup_cell_growth"](spark, sf_dir).collect()
+    occ = spark.__dict__["_dws_disk_artifacts"][
+        ("semdedup_growth", sf_dir)
+    ]
+    for label, mod, c in selection.SEMDEDUP_GROWTH_SUBSETS:
+        if mod == 1:
+            assigned = selection._semdedup_ranked_memo(
+                spark, sf_dir
+            ).select("cell")
+        else:
+            normed_sub = selection._normed(spark, sf_dir).where(
+                F.col("vec_id") % mod == 0
+            )
+            cent = _trained_centroids(
+                normed_sub, seed_where=F.col("vec_id") < c * mod
+            )
+            assigned = (
+                _assign_cells(normed_sub, cent)
+                .where(F.col("arn") == 1)
+                .select(F.col("c_id").alias("cell"))
+            )
+        fresh = assigned.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("m")
+        )
+        served = occ[f"mem_{label}"]
+        assert served.exceptAll(fresh).count() == 0, label
+        assert fresh.exceptAll(served).count() == 0, label
+
+
+def test_gram_index_reload_equals_rebuild(spark, sf_dir):
+    """The disk-persisted trigram/prefix index (r12 verdict #7) must
+    serve exactly what a fresh tokenize + df-rank derivation
+    computes, for both frames."""
+    from pyspark.sql.window import Window
+
+    from duckdb_wasm_spark.operators import dedup
+    from duckdb_wasm_spark.tables import load_table
+
+    idx = dedup._gram_index_memo(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    fresh_arrays = dedup._gram_arrays(docs).select(
+        "doc_id", "grams", F.size("grams").alias("n")
+    )
+    assert idx["arrays"].exceptAll(fresh_arrays).count() == 0
+    assert fresh_arrays.exceptAll(idx["arrays"]).count() == 0
+    grams = fresh_arrays.select(
+        "doc_id", "n", F.explode("grams").alias("gram")
+    )
+    dfc = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "gram")
+    fresh_prefix = (
+        grams.join(dfc, "gram")
+        .withColumn("rn", F.row_number().over(w))
+        .where(
+            F.col("rn")
+            <= F.col("n")
+            - F.expr(f"(n + {dedup.PFX_T_DEN - 1}) div {dedup.PFX_T_DEN}")
+            + F.lit(1)
+        )
+        .select("doc_id", "gram")
+    )
+    assert idx["prefix"].exceptAll(fresh_prefix).count() == 0
+    assert fresh_prefix.exceptAll(idx["prefix"]).count() == 0

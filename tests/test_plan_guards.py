@@ -58,10 +58,9 @@ BNLJ_ALLOWED = {
     # returned plan this guard inspects — no allowance needed
     "range_join_price_bands": "derived band table: 12 rows, fixed grid",
     "text_tfidf_topk": "corpus-size scalar: exactly 1 row for idf",
-    "text_bm25_topk": (
-        "corpus stats scalar (N, avgdl): exactly 1 row crossed into "
-        "the panel's candidate postings"
-    ),
+    # text_bm25_topk: the stats scalar cross moved into the persisted
+    # impacts frame's one-time BUILD (r12 verdict #2) — the query plan
+    # is now join + sum + top-k with no BNLJ, so no allowance
     "text_lm_score": "vocab-size scalar: exactly 1 row for smoothing",
     "text_bpe_merge": "winning-pair scalar: exactly 1 row per merge",
     "embed_abtt": "mean + top component: two 1-row vector broadcasts",
@@ -95,13 +94,9 @@ BNLJ_ALLOWED = {
         "1-row rank-picked bounds frame crossed into the zone map and "
         "the scan; final 1-row x 1-row scalar cross"
     ),
-    "semdedup_cell_growth": (
-        "the _assign_cells broadcast of the half-corpus trained-"
-        "centroid frame (N_CENTROIDS/2 = 4 rows by construction) "
-        "crossed into the half corpus for nearest-cell ranking; the "
-        "full-corpus side reloads the persisted ranked artifact, so "
-        "only the bounded codebook panel is ever BNLJ'd"
-    ),
+    # semdedup_cell_growth: the nearest-cell BNLJ moved into the
+    # persisted occupancy frames' one-time BUILD (r12 verdict #1) —
+    # the query plan is two C-row aggregates, so no allowance
     "ivf_incremental_ingest": (
         "the _assign_cells broadcast of the C-row trained-centroid "
         "frame (N_CENTROIDS=8 rows by construction) crossed into the "
