@@ -178,75 +178,44 @@ def _registries():
 # rows lead them, so the last ~13 roll past the ~50-row window to
 # lead r13; REPLICA_r12 (same-session, full-registry, 188/188 ok)
 # backstops the cut.
+# ROUND-13 ROTATION (applied): CORRECTNESS_r12 came back 48/50 full
+# green + the two rows-only ML rows. Latest-green census entering r13
+# (committed CORRECTNESS files over the 188-name registry): 13 names
+# r8-green (five rounds stale — exactly the tier-(d) tail the r12
+# window cut), 35 r9, 45 r10, 45 r11, 50 r12. This window LEADS with:
+# (a) TWELVE rewritten in round 13 — the six graph queries (pagerank/LPA
+# iterations moved from BROADCAST to co-partitioned SHUFFLE_HASH
+# joins; n_nodes now served from the edge artifact's persisted
+# metadata; deg_sym reloads raw), semdedup_cell_growth (both subsets'
+# occupancy frames now one disk artifact), text_bm25_topk (persisted
+# lexical index + precomputed per-posting impacts),
+# text_tfidf_topk (consumes the same index), and dedup_jaccard_prefix
+# (persisted gram/prefix index + exact-integer threshold pushdown),
+# and dedup_ngram_jaccard + dedup_containment (their posting pipeline
+# now serves the shingle arrays from the same persisted gram index) —
+# plans changed so they re-gate first; (b) the 13 r8-stale names,
+# alphabetical (r12 verdict #6: the r13 window MUST lead with these);
+# (c) the two rows-only ML rows so their driver checks stay fresh;
+# (d) backfill from the 33 remaining r9-green names, alphabetical
+# (dedup_containment moved up to tier (a)) —
+# 12+13+2 = 27 rows lead them, so the last ~10 roll past the ~50-row
+# window to lead r14; REPLICA_r13 (same-session, full-registry)
+# backstops the cut.
 _GATE_PRIORITY = [
-    # (a0) NEW in round 12 — never gated
-    "semdedup_cell_growth",
-    "text_bm25_topk",
-    "corpus_novelty",
-    # (a) rewritten in round 12 — plans/expressions changed:
-    # dedup_semdedup serves its ranked assignment from a disk
-    # artifact; sample_dsir clamps the Gumbel u (r11 advice); the six
-    # graph queries consume the _edges frames, now disk artifacts
-    # (pagerank additionally serves the persisted degree frame)
-    "dedup_semdedup",
-    "sample_dsir",
+    # (a) rewritten in round 13 — plans/expressions changed
     "graph_pagerank",
     "graph_label_propagation",
     "graph_degree_distribution",
     "graph_triangle_count",
     "graph_kcore",
     "graph_common_neighbors",
-    # the two stream-stream join gates re-gate: the outer join's
-    # staged layout moved to one data file and the inner join drops
-    # the trailing no-data micro-batch (r11 verdict #5 trims; every
-    # gate also moved its checkpoint to tmpfs — config, not plan)
-    "events_stream_outer_join",
-    "events_stream_join",
-    # ivf_kmeanspp_init re-gates: its candidate set is now a disk
-    # artifact (r11 verdict #4 iteration-floor family); the two
-    # cluster-assignment queries re-gate for the same reason (their
-    # CC labels are persisted; the pointer-jumping loop stays live in
-    # the pipeline composition gates)
-    "ivf_kmeanspp_init",
-    "dedup_clusters",
-    "dedup_embedding_clusters",
-    # (b) r7-green, five rounds stale (alphabetical)
-    "sketch_hll_distinct",
-    "source_csv_roundtrip",
-    "source_json_roundtrip",
-    "source_orc_roundtrip",
-    "source_pydatasource",
-    "text_fingerprint",
-    "text_langid",
-    "text_pii_scan",
-    "text_repetition",
-    "text_tokens",
-    # (c) rows-only (no-oracle) ML rows — last rows-checked r10
-    "ann_brp_ml",
-    "dedup_minhash_ml",
-    # (d) r8-green, four rounds stale (alphabetical)
-    "corpus_health_report",
-    "corpus_source_overlap",
-    "corpus_stats",
+    "semdedup_cell_growth",
+    "text_bm25_topk",
+    "text_tfidf_topk",
     "dedup_jaccard_prefix",
-    "dedup_lsh_tuning",
-    "dedup_minhash",
-    "events_scd2",
-    "events_stream_sink",
-    "extra_udtf_ngrams",
-    "micro_grouped_sum",
-    "micro_join2",
-    "micro_join3",
-    "micro_regex",
-    "micro_scalar_fns",
-    "micro_sort",
-    "micro_topk",
-    "pipeline_near_dedup_corpus",
-    "profile_columns",
-    "q17",
-    "q18",
-    "q19",
-    "q20",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    # (b) r8-green, five rounds stale (alphabetical)
     "q21",
     "q22",
     "sim_topk_brute",
@@ -260,6 +229,44 @@ _GATE_PRIORITY = [
     "text_gopher_flags",
     "text_lm_score",
     "text_stats",
+    # (c) rows-only (no-oracle) ML rows
+    "ann_brp_ml",
+    "dedup_minhash_ml",
+    # (d) r9-green, four rounds stale (alphabetical; text_tfidf_topk
+    # moved up to tier (a))
+    "corpus_mix_weights",
+    "corpus_source_divergence",
+    "dedup_incremental_ingest",
+    "dedup_ngram_jaccard_capped",
+    "dedup_substring",
+    "dedup_winnowing",
+    "doc_chunking",
+    "embed_abtt",
+    "embed_quantization_audit",
+    "events_dpp_join",
+    "events_sessionize",
+    "events_stream_static_join",
+    "extra_date_fns",
+    "extra_full_outer",
+    "extra_grouping",
+    "extra_pivot_json",
+    "extra_recursive_walk",
+    "extra_set_ops",
+    "extra_string_aggs",
+    "extra_string_fns",
+    "extra_windows",
+    "ivf_centroid_refine",
+    "q2",
+    "q3",
+    "q4",
+    "sample_split",
+    "sim_topk_ivf_probe",
+    "text_bpe_merge",
+    "text_bpe_pair_counts",
+    "text_ngram_entropy",
+    "text_pmi_topk",
+    "text_robust_stats",
+    "text_vocab_topk",
 ]
 
 

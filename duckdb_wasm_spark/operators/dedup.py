@@ -119,16 +119,27 @@ def _gram_sets(docs: DataFrame) -> DataFrame:
     )
 
 
-def _posting_pair_overlaps(docs: DataFrame) -> DataFrame:
+def _posting_pair_overlaps(
+    docs: DataFrame, arrays: DataFrame | None = None
+) -> DataFrame:
     """(doc_a, doc_b, n_a, n_b, n_common) over distinct trigram
     shingles via inverted-index posting lists: |set| rides along
     inside the posting struct (the trigram array is already distinct)
     so no separate size aggregate; per-gram candidate pairs expand
     JVM-side from the posting array. SHARED by dedup_ngram_jaccard
-    (uncapped) and dedup_containment — one pipeline, two measures."""
-    grams = _gram_arrays(docs).select(
+    (uncapped) and dedup_containment — one pipeline, two measures.
+    `arrays` (optional, (doc_id, grams, n)) lets full-corpus callers
+    serve the shingle pass from the persisted gram index
+    (_gram_index_memo) instead of re-tokenizing; subset callers
+    (incremental ingest, pipeline compositions) keep deriving from
+    their own docs frame."""
+    if arrays is None:
+        arrays = _gram_arrays(docs).select(
+            "doc_id", "grams", F.size("grams").alias("n")
+        )
+    grams = arrays.select(
         "doc_id",
-        F.size("grams").alias("n"),
+        "n",
         F.explode("grams").alias("gram"),
     )
     posts = grams.groupBy("gram").agg(
@@ -181,7 +192,11 @@ def dedup_ngram_jaccard(
     (2.73s)."""
     docs = load_table(spark, sf_dir, "documents")
     if max_df is None:
-        inter = _posting_pair_overlaps(docs)
+        # full corpus: the shingle arrays come from the persisted gram
+        # index (one tokenize ever, shared with dedup_jaccard_prefix)
+        inter = _posting_pair_overlaps(
+            docs, arrays=_gram_index_memo(spark, sf_dir)["arrays"]
+        )
     else:
         # Set sizes CANNOT ride along here: the measure is Jaccard over
         # the CAPPED shingle sets (the registered capped oracle sizes
@@ -1847,7 +1862,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     float max needed in the filter; the output max is one
     greatest())."""
     docs = load_table(spark, sf_dir, "documents")
-    inter = _posting_pair_overlaps(docs)
+    inter = _posting_pair_overlaps(
+        docs, arrays=_gram_index_memo(spark, sf_dir)["arrays"]
+    )
     c_ab = F.col("n_common").cast("double") / F.col("n_a").cast("double")
     c_ba = F.col("n_common").cast("double") / F.col("n_b").cast("double")
     return (
@@ -2758,9 +2775,8 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the doc->grams map is corpus-row-sized (no pair expansion) and
     # BROADCAST to the candidate stream, so the 788k-pair frame never
     # shuffles through a sort-merge exchange with two 50-element
-    # arrays riding every row (measured 7.8s -> see docstring; at a
-    # corpus beyond broadcast, co-partition pairs and arrays on the
-    # probe id instead)
+    # arrays riding every row; at a corpus beyond broadcast,
+    # co-partition pairs and arrays on the probe id instead
     verified = (
         cand.join(
             F.broadcast(

@@ -28,6 +28,31 @@ hash-green; what remains is ten × the per-query floor above, with the
 two stream-stream joins (2.4s, 3.4s — two sources per side, 4 state
 stores per batch) and the Python-datasource gate (2.5s — ~1s/batch
 driver-side Python read through the runner) the priced outliers.
+
+r13 irreducibility sweep (the extra_stats discipline — measure the
+candidate cuts, keep the floor if they lose):
+  - UNIFYING the two join gates on the ordered_1 layout (r12 verdict
+    #4) was implemented and MEASURED WORSE: the inner join went from
+    2 heavy batches (3.0s) to 1 heavy + 2 sentinel batches (4.7s),
+    because a sentinel batch against a stream-stream join is NOT
+    cheap — its eviction pass SCANS the buffered state (measured
+    1.0-1.1s for a 4-row input batch; addBatch dominates) — and the
+    round-robin interleave is what makes the inner gate genuinely
+    CROSS-batch (matches flow through state between batch 0 and 1);
+    the ordered layout would put every match in batch 0. Reverted.
+  - State-partition sweep (2/4/8/16 for the join gates): n=2 and n=4
+    are within noise of each other (3.0-3.4s inner), n >= 8 regresses
+    (per-partition state-store commit overhead × 4 stores). Kept 2.
+  - Batch counts are at their semantic minimum: inner 2 (the minimum
+    that proves cross-batch matching), outer 3 (data + watermark
+    advance + eviction pass — eviction needs the watermark computed
+    by the PREVIOUS batch, so 2 sentinels is the floor; one sentinel
+    + a trailing no-data batch just renames the third batch), every
+    windowed/stateful gate 2.
+The family wall is therefore ~batch-count × the per-batch floor
+(plan ~0.2s + addBatch incl. state scan/commit ~0.5-1.3s + offsets/
+wal ~0.2s), a fixed cost that production amortizes over unbounded
+input and a finite replay cannot.
 """
 
 from __future__ import annotations

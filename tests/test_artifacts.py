@@ -410,3 +410,90 @@ def test_gram_index_reload_equals_rebuild(spark, sf_dir):
     )
     assert idx["prefix"].exceptAll(fresh_prefix).count() == 0
     assert fresh_prefix.exceptAll(idx["prefix"]).count() == 0
+
+
+def test_version_token_invalidates(spark, scratch_sf):
+    """Bumping the builder-constants version token must rebuild the
+    artifact exactly like regenerated source data does (r12 ADVICE:
+    frames bake constants into the data, so a constant change served
+    a stale artifact until a parity test happened to run)."""
+    _clean("t_ver")
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return {"a": spark.range(4).select(F.col("id").alias("x"))}
+
+    artifacts.persisted_frames(
+        spark, "t_ver", scratch_sf, ("embeddings",), build, version="tau=0.5"
+    )
+    assert calls["n"] == 1
+    # same version, fresh session memo -> reload, no rebuild
+    spark.__dict__["_dws_disk_artifacts"].pop(("t_ver", scratch_sf))
+    artifacts.persisted_frames(
+        spark, "t_ver", scratch_sf, ("embeddings",), build, version="tau=0.5"
+    )
+    assert calls["n"] == 1
+    # bumped version -> rebuild
+    spark.__dict__["_dws_disk_artifacts"].pop(("t_ver", scratch_sf))
+    artifacts.persisted_frames(
+        spark, "t_ver", scratch_sf, ("embeddings",), build, version="tau=0.6"
+    )
+    assert calls["n"] == 2
+    _clean("t_ver")
+
+
+def test_lazy_frames_full_dict_contract(spark, scratch_sf):
+    """get/values/items/len/iteration must all route through the
+    suppliers — dict.get does NOT call __getitem__, so the r12 lazy
+    reload silently returned None/empty through those paths (r12
+    ADVICE)."""
+    _clean("t_dict")
+
+    def build():
+        return {
+            "a": spark.range(2).select(F.col("id").alias("x")),
+            "b": spark.range(3).select(F.col("id").alias("y")),
+        }
+
+    got = artifacts.persisted_frames(
+        spark, "t_dict", scratch_sf, ("embeddings",), build
+    )
+    assert len(got) == 2
+    assert sorted(got.keys()) == ["a", "b"]
+    assert got.get("a") is not None and got.get("a").count() == 2
+    assert got.get("missing") is None
+    assert got.get("missing", "dflt") == "dflt"
+    assert {k for k, _ in got.items()} == {"a", "b"}
+    assert len(got.values()) == 2
+    assert all(v is not None for v in got.values())
+    # repeated access returns the identical DataFrame object
+    assert got["b"] is got["b"]
+    # meta defaults to an empty dict when no meta_build was given
+    assert got.meta == {}
+    _clean("t_dict")
+
+
+def test_meta_build_persists_scalars(spark, scratch_sf):
+    """meta_build scalars must persist to the _META.json sidecar and
+    come back on a reload (fresh session memo) without re-running the
+    builder."""
+    _clean("t_meta")
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return {"a": spark.range(7).select(F.col("id").alias("x"))}
+
+    got = artifacts.persisted_frames(
+        spark, "t_meta", scratch_sf, ("embeddings",), build,
+        meta_build=lambda built: {"n": built["a"].count()},
+    )
+    assert got.meta == {"n": 7} and calls["n"] == 1
+    spark.__dict__["_dws_disk_artifacts"].pop(("t_meta", scratch_sf))
+    got2 = artifacts.persisted_frames(
+        spark, "t_meta", scratch_sf, ("embeddings",), build,
+        meta_build=lambda built: {"n": built["a"].count()},
+    )
+    assert got2.meta == {"n": 7} and calls["n"] == 1
+    _clean("t_meta")
