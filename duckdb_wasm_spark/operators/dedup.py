@@ -704,7 +704,9 @@ def connected_components(
     return labels
 
 
-def _cc_labels_memo(spark, sf_dir, kind, sources, build_nodes_edges):
+def _cc_labels_memo(
+    spark, sf_dir, kind, sources, build_nodes_edges, version=""
+):
     """DISK-PERSISTED connected-component labels (r12, the artifact
     lifecycle): a cluster-assignment table is the canonical thing a
     production dedup pipeline MATERIALIZES — the CC loop runs once per
@@ -719,9 +721,9 @@ def _cc_labels_memo(spark, sf_dir, kind, sources, build_nodes_edges):
         nodes, edges = build_nodes_edges()
         return {"labels": connected_components(nodes, edges)}
 
-    return persisted_frames(spark, kind, sf_dir, sources, _build)[
-        "labels"
-    ]
+    return persisted_frames(
+        spark, kind, sf_dir, sources, _build, version=version
+    )["labels"]
 
 
 def _minhash_cc_nodes_edges(spark, sf_dir):
@@ -765,6 +767,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cc_labels_minhash",
         ("documents",),
         lambda: _minhash_cc_nodes_edges(spark, sf_dir),
+        version=(
+            f"h={N_HASHES};b={N_BANDS};t={JACCARD_THRESHOLD};tri-v1"
+        ),
     )
     return labels.select(
         "doc_id",
@@ -1170,7 +1175,10 @@ def _emb_sigs_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
         return {"sigs": _emb_signatures(emb, bits)}
 
     return persisted_frames(
-        spark, "lsh_sigs", sf_dir, ("embeddings",), _build
+        spark, "lsh_sigs", sf_dir, ("embeddings",), _build,
+        # the signatures bake the band count and the md5 plane
+        # derivation (r12 ADVICE: constants ride the fingerprint)
+        version=f"bands={HP_BANDS};flips={HP_MAX_FLIPS};planes=md5v1",
     )["sigs"]
 
 
@@ -1234,6 +1242,9 @@ def _lsh_pairs_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
             sf_dir,
             ("embeddings",),
             lambda: {"pairs": _lsh_candidate_pairs(spark, sf_dir)},
+            version=(
+                f"bands={HP_BANDS};flips={HP_MAX_FLIPS};planes=md5v1"
+            ),
         )["pairs"]
         # merge-join hint: the reloaded artifact reports its TRUE
         # (tiny) on-disk size, which flips Catalyst into broadcasting
@@ -1404,6 +1415,7 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cc_labels_emb",
         ("embeddings",),
         lambda: _emb_cc_nodes_edges(spark, sf_dir),
+        version=f"bands={HP_BANDS};flips={HP_MAX_FLIPS};planes=md5v1",
     )
     return labels.select(
         F.col("doc_id").alias("vec_id"),
@@ -2596,7 +2608,14 @@ def lsh_candidate_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"lsh_sigs_mod{mod}",
                 sf_dir,
                 ("embeddings",),
-                lambda: {"sigs": _emb_signatures(emb_sub, bits)},
+                # default-arg binding: iteration-safe no matter when
+                # the build runs (the r12-ADVICE late-binding class)
+                lambda e=emb_sub, b=bits: {
+                    "sigs": _emb_signatures(e, b)
+                },
+                version=(
+                    f"bands={HP_BANDS};flips={HP_MAX_FLIPS};planes=md5v1"
+                ),
             )["sigs"]
             probe = _probe_stream(sigs, bits, "a_id")
             base = sigs.select(
@@ -2691,7 +2710,12 @@ def _gram_index_memo(spark: SparkSession, sf_dir: str):
     Both frames reload raw (plain scans): "arrays" is broadcast to
     the verify stage, "prefix" has one self-join consumer that
     shuffles it on gram anyway. Reload ≡ rebuild is
-    pinned in tests/test_artifacts.py."""
+    pinned in tests/test_artifacts.py.
+
+    At 100 TB both frames are written BUCKETED — "prefix" by gram (the
+    candidate self-join becomes bucket-local) and "arrays" by doc_id
+    (the verify join co-partitions with the candidate stream once the
+    doc→grams map outgrows broadcast)."""
     from pyspark.sql.window import Window
 
     from duckdb_wasm_spark.artifacts import persisted_frames

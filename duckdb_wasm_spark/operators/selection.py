@@ -292,7 +292,12 @@ def _semdedup_index_memo(
         }
 
     return persisted_frames(
-        spark, "semdedup_index", sf_dir, ("embeddings",), _build
+        spark, "semdedup_index", sf_dir, ("embeddings",), _build,
+        # the dup verdicts bake tau; the assignment bakes the codebook
+        # constants (r12 ADVICE: constants ride the fingerprint)
+        version=(
+            f"tau={SEMDEDUP_TAU};C={N_CENTROIDS};iters={TRAIN_ITERS}"
+        ),
     )
 
 

@@ -644,7 +644,10 @@ def _trained_centroids_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_wasm_spark.artifacts import persisted_frames
 
     return persisted_frames(
-        spark, "ivf_centroids", sf_dir, ("embeddings",), _build
+        spark, "ivf_centroids", sf_dir, ("embeddings",), _build,
+        # the codebook bakes these (r12 ADVICE: constants ride the
+        # fingerprint so a bump rebuilds instead of serving stale)
+        version=f"C={N_CENTROIDS};iters={TRAIN_ITERS};fp={_FP_SCALE}",
     )["cent"]
 
 
@@ -970,7 +973,8 @@ def _pq_encoded_memo(spark: SparkSession, sf_dir: str):
     from duckdb_wasm_spark.artifacts import persisted_frames
 
     got = persisted_frames(
-        spark, "pq_index", sf_dir, ("embeddings",), _build
+        spark, "pq_index", sf_dir, ("embeddings",), _build,
+        version=f"M={PQ_M};K={PQ_K};fp={_FP_SCALE}",
     )
     return got["codes"], got["qd"]
 
@@ -1567,6 +1571,10 @@ def _residual_index_memo(spark: SparkSession, sf_dir: str):
         sf_dir,
         ("embeddings",),
         lambda: _residual_index_build(spark, sf_dir),
+        version=(
+            f"C={N_CENTROIDS};iters={TRAIN_ITERS};M={PQ_M};K={PQ_K};"
+            f"fp={_FP_SCALE}"
+        ),
     )
     return got["ranked"], got["cu"], got["cb"], got["codes"]
 
@@ -1945,6 +1953,10 @@ def ivf_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 seed_where=F.col("vec_id") < INGEST_SEED_BOUND,
             )
         },
+        version=(
+            f"mod={INGEST_MOD};seed<{INGEST_SEED_BOUND};"
+            f"iters={TRAIN_ITERS};fp={_FP_SCALE}"
+        ),
     )["cent"]
     assigned = (
         _assign_cells(normed, cent)
@@ -2834,6 +2846,7 @@ def _kmeanspp_cand_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         ("embeddings",),
         lambda: {"cand": _kmeanspp_cand_build(spark, sf_dir)},
+        version=f"T={KPP_T};L={KPP_L};fp={_KPP_SCALE}",
     )["cand"]
 
 

@@ -1185,11 +1185,18 @@ def _text_index_memo(spark: SparkSession, sf_dir: str):
                BM25 retrieval into join + sum + top-k with zero
                query-time arithmetic beyond the score sum.
 
-    All three reload RAW (plain scans, no materialization job): each
+    All frames reload RAW (plain scans, no materialization job): each
     consumer references each frame once and shuffles/broadcasts it
     anyway. Stale-safe via the documents fingerprint; the tokenizer
-    rule rides the version token so changing it rebuilds. Reload ≡
-    rebuild parity is pinned in tests/test_operators.py."""
+    rule and the BM25 constants ride the version token so changing
+    either rebuilds. Reload ≡ rebuild parity is pinned in
+    tests/test_artifacts.py.
+
+    At 100 TB the index is written BUCKETED by tok (posting-list
+    locality: a query panel's term joins co-locate with their
+    postings and the df/impact joins are bucket-local), exactly as a
+    production search index shards by term; the frames here are small
+    enough that plain parquet + broadcast covers every consumer."""
     from duckdb_wasm_spark.artifacts import persisted_frames
 
     def _build() -> dict[str, DataFrame]:
