@@ -745,11 +745,14 @@ def corpus_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries are exact integer comparisons; the rollup is counts,
     integer sums, and min/max over identical doubles.
 
-    Plan (100 TB): the LM is the corpus-scale part (its own gate
-    documents the two-shuffle shape); the terciles ride
-    ranks.global_ranks(keys=[lang]) — the two-phase distributed rank,
-    not a lang-partitioned corpus window — plus one languages-sized
-    count frame broadcast back; the output is |langs|·3 rows."""
+    Plan (100 TB): the LM scores are the DISK-PERSISTED bigram-LM
+    artifact (text._lm_artifact, r13 verdict #2 — previously this
+    query re-executed text_lm_score's whole lineage per call, 1.76s
+    of its 3.29s wall; now both queries serve the same build-once
+    frame); the terciles ride ranks.global_ranks(keys=[lang]) — the
+    two-phase distributed rank, not a lang-partitioned corpus window
+    — plus one languages-sized count frame broadcast back; the output
+    is |langs|·3 rows."""
     from duckdb_wasm_spark.operators.text import QUERIES as TEXT_Q
 
     lm = TEXT_Q["text_lm_score"](spark, sf_dir)

@@ -2080,33 +2080,114 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select(F.posexplode("v").alias("pos", "loading"))
 
 
+def _pca_artifact(spark: SparkSession, sf_dir: str):
+    """DISK-PERSISTED PCA trained state (r13 verdict #1): μ (the 2^20
+    fixed-point exact per-position mean, 1×64 doubles) and v (the
+    PCA_ITERS-iteration power-iteration top component, 1×64 doubles)
+    — the one trained structure the r12/r13 index-lifecycle discipline
+    had left session-scoped. Its THREE consumers (embed_pca_power,
+    embed_abtt, embed_covariance via _centered_frame) each re-ran the
+    centering aggregate AND all T power iterations per call (5.5s
+    across the three rows at sf0.1); a production pipeline trains the
+    whitening/ABTT statistics once on ingest and serves 128 doubles
+    forever — exactly the _trained_centroids_memo lifecycle. Both
+    frames reload "raw" (1-row parquet scans, no respread job);
+    PCA_ITERS / _FP_SCALE / the v₀ seed ride the fingerprint so a
+    constant bump rebuilds instead of serving stale (r12 ADVICE).
+    Reload ≡ rebuild parity is pinned in tests/test_artifacts.py."""
+    from duckdb_wasm_spark.artifacts import persisted_frames
+
+    def _build() -> dict[str, DataFrame]:
+        emb = load_table(spark, sf_dir, "embeddings")
+        comp = emb.select(
+            F.posexplode("embedding").alias("pos", "v")
+        ).select(
+            "pos",
+            F.floor(F.col("v").cast("double") * _FP_SCALE).alias("sv"),
+        )
+        mu = (
+            comp.groupBy("pos")
+            .agg(
+                (
+                    F.sum("sv").cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                    / F.lit(float(_FP_SCALE))
+                ).alias("mu")
+            )
+            .groupBy()
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mu"))),
+                    lambda x: x["mu"],
+                ).alias("mu")
+            )
+            # consumed by every iteration below AND written — without
+            # the checkpoint each reference re-runs the centering agg
+            .localCheckpoint()
+        )
+        centered = emb.crossJoin(F.broadcast(mu)).select(
+            "vec_id",
+            F.zip_with(
+                "embedding", "mu", lambda x, m: x.cast("double") - m
+            ).alias("x"),
+        )
+        v = spark.range(1).select(
+            F.array(*[F.lit(0.125)] * 64).alias("v")
+        ).localCheckpoint()
+        for _ in range(PCA_ITERS):
+            s = centered.crossJoin(F.broadcast(v)).select(
+                "x", dot_fold("x", "v").alias("s")
+            )
+            y = (
+                s.select(F.posexplode("x").alias("pos", "xp"), "s")
+                .select(
+                    "pos",
+                    F.floor(
+                        F.col("xp") * F.col("s") * _FP_SCALE
+                    ).alias("t"),
+                )
+                .groupBy("pos")
+                .agg(
+                    (
+                        F.sum("t").cast("double")
+                        / F.lit(float(_FP_SCALE))
+                    ).alias("y")
+                )
+            )
+            arr = y.groupBy().agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "y"))),
+                    lambda e: e["y"],
+                ).alias("y")
+            )
+            v = arr.select(
+                F.transform(
+                    "y",
+                    lambda e: e / F.sqrt(dot_fold("y", "y")),
+                ).alias("v")
+            ).localCheckpoint()
+        return {"mu": mu, "v": v}
+
+    return persisted_frames(
+        spark,
+        "pca_top",
+        sf_dir,
+        ("embeddings",),
+        _build,
+        layout={"mu": "raw", "v": "raw"},
+        version=f"iters={PCA_ITERS};fp={_FP_SCALE};v0=0.125",
+    )
+
+
 def _centered_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, x) with x = embedding − μ in doubles, μ the 2^20
-    fixed-point exact per-position mean — the shared centering step of
-    embed_pca_power / embed_abtt / embed_covariance."""
+    fixed-point exact per-position mean SERVED FROM the persisted PCA
+    artifact (128 doubles on disk) — the shared centering step of
+    embed_pca_power / embed_abtt / embed_covariance is a pure
+    broadcast map at query time; parquet round-trips doubles exactly,
+    so the centered frame is bit-identical to a fresh derivation."""
+    mu = _pca_artifact(spark, sf_dir)["mu"]
     emb = load_table(spark, sf_dir, "embeddings")
-    comp = emb.select(
-        F.posexplode("embedding").alias("pos", "v")
-    ).select(
-        "pos", F.floor(F.col("v").cast("double") * _FP_SCALE).alias("sv")
-    )
-    mu = (
-        comp.groupBy("pos")
-        .agg(
-            (
-                F.sum("sv").cast("double")
-                / F.count(F.lit(1)).cast("double")
-                / F.lit(float(_FP_SCALE))
-            ).alias("mu")
-        )
-        .groupBy()
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "mu"))),
-                lambda x: x["mu"],
-            ).alias("mu")
-        )
-    )
     return emb.crossJoin(F.broadcast(mu)).select(
         "vec_id",
         F.zip_with(
@@ -2117,42 +2198,10 @@ def _centered_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pca_centered_top(spark: SparkSession, sf_dir: str):
     """(centered, v) — the fixed-point-centered frame and the T-iter
-    power-iteration top-component vector (1-row array frame); shared
-    by embed_pca_power and embed_abtt."""
-    centered = _centered_frame(spark, sf_dir)
-    v = spark.range(1).select(
-        F.array(*[F.lit(0.125)] * 64).alias("v")
-    ).localCheckpoint()
-    for _ in range(PCA_ITERS):
-        s = centered.crossJoin(F.broadcast(v)).select(
-            "x", dot_fold("x", "v").alias("s")
-        )
-        y = (
-            s.select(F.posexplode("x").alias("pos", "xp"), "s")
-            .select(
-                "pos",
-                F.floor(F.col("xp") * F.col("s") * _FP_SCALE).alias("t"),
-            )
-            .groupBy("pos")
-            .agg(
-                (F.sum("t").cast("double") / F.lit(float(_FP_SCALE))).alias(
-                    "y"
-                )
-            )
-        )
-        arr = y.groupBy().agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "y"))),
-                lambda e: e["y"],
-            ).alias("y")
-        )
-        v = arr.select(
-            F.transform(
-                "y",
-                lambda e: e / F.sqrt(dot_fold("y", "y")),
-            ).alias("v")
-        ).localCheckpoint()
-    return centered, v
+    power-iteration top-component vector (1-row array frame), both
+    served from the persisted PCA artifact; shared by embed_pca_power
+    and embed_abtt."""
+    return _centered_frame(spark, sf_dir), _pca_artifact(spark, sf_dir)["v"]
 
 
 def _sql_pca_iter(t: int) -> str:

@@ -634,56 +634,90 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; corpus-wide bigram/prefix counts are count-over-window
     passes on the SAME pipeline (no second tokenizer run — the tfidf
     lesson); vocab size is a 1-row broadcast scalar
-    (BNLJ-allowlisted)."""
+    (BNLJ-allowlisted).
+
+    LIFECYCLE (r13 verdict #2): the corpus-self-trained LM is an
+    ingest-time artifact exactly like the BM25 lexical index — the
+    per-document scored frame is DISK-PERSISTED (_lm_artifact), so
+    this query AND corpus_ppl_buckets (which previously re-ran the
+    whole bigram-LM lineage per call, 1.76s of its 3.29s wall) serve
+    the same build-once frames; every double in it is an exact
+    parquet round-trip of the deterministic decimal-summed score."""
+    return _lm_artifact(spark, sf_dir)["scores"]
+
+
+def _lm_artifact(spark: SparkSession, sf_dir: str):
+    """DISK-PERSISTED bigram-LM document scores (r13 verdict #2):
+    one frame "scores" = (doc_id, n_bigrams, avg_prob) — the
+    text_lm_score output. Served "raw" (per-doc-sized, both consumers
+    shuffle it by doc_id/lang anyway); LM_ALPHA + the rounding/decimal
+    policy ride the fingerprint so a smoothing retune rebuilds."""
     from pyspark.sql.window import Window
 
-    docs = load_table(spark, sf_dir, "documents")
-    bg = docs.select(
-        "doc_id", F.explode(bigrams(toks())).alias("bigram")
-    ).withColumn("w1", F.split(F.col("bigram"), " ").getItem(0))
-    per_doc = bg.groupBy("doc_id", "w1", "bigram").agg(
-        F.count(F.lit(1)).alias("k")
-    )
-    c_bigram = F.sum("k").over(Window.partitionBy("bigram"))
-    c_prefix = F.sum("k").over(Window.partitionBy("w1"))
-    vocab = docs.select(
-        F.explode(toks()).alias("tok")
-    ).agg(F.count_distinct("tok").alias("v"))
-    scored = (
-        per_doc.withColumn("cb", c_bigram)
-        .withColumn("cp", c_prefix)
-        .crossJoin(F.broadcast(vocab))
-        .select(
-            "doc_id",
-            "k",
-            F.round(
-                F.col("k").cast("double")
-                * (
-                    (F.col("cb").cast("double") + F.lit(LM_ALPHA))
-                    / (
-                        F.col("cp").cast("double")
-                        + F.lit(LM_ALPHA) * F.col("v")
-                    )
-                ),
-                12,
-            ).alias("kp"),
+    from duckdb_wasm_spark.artifacts import persisted_frames
+
+    def _build() -> dict[str, DataFrame]:
+        docs = load_table(spark, sf_dir, "documents")
+        bg = docs.select(
+            "doc_id", F.explode(bigrams(toks())).alias("bigram")
+        ).withColumn("w1", F.split(F.col("bigram"), " ").getItem(0))
+        per_doc = bg.groupBy("doc_id", "w1", "bigram").agg(
+            F.count(F.lit(1)).alias("k")
         )
-    )
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.sum("k").alias("n_bigrams"),
-            # NO final round: sum is an exact decimal(28,12) whose scaled
-            # value fits in 53 bits (exact as double in both engines), and
-            # one IEEE division is correctly rounded — identical doubles.
-            # Rounding HERE would tie-break differently per engine: a
-            # 12-scale decimal divided by a small n lands exactly on
-            # .5×10^-12 boundaries with probability ~1/n.
-            (
-                F.sum(F.col("kp").cast("decimal(28,12)")).cast("double")
-                / F.sum("k")
-            ).alias("avg_prob"),
+        c_bigram = F.sum("k").over(Window.partitionBy("bigram"))
+        c_prefix = F.sum("k").over(Window.partitionBy("w1"))
+        vocab = docs.select(
+            F.explode(toks()).alias("tok")
+        ).agg(F.count_distinct("tok").alias("v"))
+        scored = (
+            per_doc.withColumn("cb", c_bigram)
+            .withColumn("cp", c_prefix)
+            .crossJoin(F.broadcast(vocab))
+            .select(
+                "doc_id",
+                "k",
+                F.round(
+                    F.col("k").cast("double")
+                    * (
+                        (F.col("cb").cast("double") + F.lit(LM_ALPHA))
+                        / (
+                            F.col("cp").cast("double")
+                            + F.lit(LM_ALPHA) * F.col("v")
+                        )
+                    ),
+                    12,
+                ).alias("kp"),
+            )
         )
+        scores = (
+            scored.groupBy("doc_id")
+            .agg(
+                F.sum("k").alias("n_bigrams"),
+                # NO final round: sum is an exact decimal(28,12) whose
+                # scaled value fits in 53 bits (exact as double in both
+                # engines), and one IEEE division is correctly rounded —
+                # identical doubles. Rounding HERE would tie-break
+                # differently per engine: a 12-scale decimal divided by
+                # a small n lands exactly on .5×10^-12 boundaries with
+                # probability ~1/n.
+                (
+                    F.sum(
+                        F.col("kp").cast("decimal(28,12)")
+                    ).cast("double")
+                    / F.sum("k")
+                ).alias("avg_prob"),
+            )
+        )
+        return {"scores": scores}
+
+    return persisted_frames(
+        spark,
+        "lm_bigram",
+        sf_dir,
+        ("documents",),
+        _build,
+        layout={"scores": "raw"},
+        version=f"alpha={LM_ALPHA};round12;dec=28,12",
     )
 
 

@@ -497,3 +497,109 @@ def test_meta_build_persists_scalars(spark, scratch_sf):
     )
     assert got2.meta == {"n": 7} and calls["n"] == 1
     _clean("t_meta")
+
+
+def test_pca_artifact_reload_equals_rebuild(spark, sf_dir):
+    """The disk-persisted PCA trained state (r13 verdict #1 — mu, the
+    2^20 fixed-point exact mean, and v, the PCA_ITERS power-iteration
+    top component) must equal a pure-Python replay of the documented
+    arithmetic on the collected embeddings: floor-to-fixed-point
+    sums, left-fold dots with 0.0 init, and the same operation order
+    — every op is an IEEE correctly-rounded double op, so the replay
+    is bit-exact, not approximate."""
+    import math
+
+    from duckdb_wasm_spark.operators import similarity as sim
+    from duckdb_wasm_spark.tables import load_table
+
+    art = sim._pca_artifact(spark, sf_dir)
+    got_mu = art["mu"].collect()[0]["mu"]
+    got_v = art["v"].collect()[0]["v"]
+
+    rows = load_table(spark, sf_dir, "embeddings").collect()
+    X = [[float(x) for x in r["embedding"]] for r in rows]
+    n = len(X)
+    fp = float(sim._FP_SCALE)
+    d = len(X[0])
+    mu = [
+        float(sum(int(math.floor(x[p] * fp)) for x in X)) / float(n) / fp
+        for p in range(d)
+    ]
+    assert got_mu == mu
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for i in range(len(a)):
+            acc = acc + a[i] * b[i]
+        return acc
+
+    C = [[x[p] - mu[p] for p in range(d)] for x in X]
+    v = [0.125] * d
+    for _ in range(sim.PCA_ITERS):
+        s = [fold_dot(c, v) for c in C]
+        y = [
+            float(
+                sum(int(math.floor(C[i][p] * s[i] * fp)) for i in range(n))
+            )
+            / fp
+            for p in range(d)
+        ]
+        nrm = math.sqrt(fold_dot(y, y))
+        v = [e / nrm for e in y]
+    assert got_v == v
+
+
+def test_lm_artifact_reload_equals_rebuild(spark, sf_dir):
+    """The disk-persisted bigram-LM score frame (r13 verdict #2) must
+    serve exactly what the committed oracle SQL computes — parquet
+    round-trips the decimal-summed doubles bit-exactly, so the served
+    frame and a fresh DuckDB derivation agree value-for-value."""
+    from duckdb_wasm_spark.operators import text as text_ops
+    from duckdb_wasm_spark.testing import assert_parity, duck_con
+
+    art = text_ops._lm_artifact(spark, sf_dir)
+    con = duck_con(sf_dir)
+    assert_parity(
+        art["scores"],
+        text_ops.ORACLE["text_lm_score"],
+        con,
+        "lm_artifact_scores",
+    )
+
+
+def test_window_index_reload_equals_rebuild(spark, sf_dir):
+    """The disk-persisted positional window index (r13 verdict #5 —
+    the sorted posting arrays dedup_substring/_capped/span_removal
+    start from) must serve exactly what a fresh tokenize → window →
+    groupBy derivation computes, including the deterministic
+    (doc_id, pos) sort order inside each array."""
+    from duckdb_wasm_spark.operators import dedup
+    from duckdb_wasm_spark.operators._text import toks
+    from duckdb_wasm_spark.tables import load_table
+
+    n = dedup.DUP_SUBSTR_N
+    idx = dedup._window_index_memo(spark, sf_dir)
+    fresh = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", toks().alias("tk"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"if(size(tk) < {n}, array(), "
+                    f"transform(sequence(1, size(tk) - {n - 1}), "
+                    f"i -> slice(tk, i, {n})))"
+                )
+            ).alias("pos0", "gram"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+        .groupBy("gram")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "pos"))
+            ).alias("ds")
+        )
+        .select("ds")
+    )
+    assert idx["posts"].exceptAll(fresh).count() == 0
+    assert fresh.exceptAll(idx["posts"]).count() == 0

@@ -61,7 +61,9 @@ BNLJ_ALLOWED = {
     # text_bm25_topk: the stats scalar cross moved into the persisted
     # impacts frame's one-time BUILD (r12 verdict #2) — the query plan
     # is now join + sum + top-k with no BNLJ, so no allowance
-    "text_lm_score": "vocab-size scalar: exactly 1 row for smoothing",
+    # text_lm_score: the vocab-scalar cross moved into the persisted
+    # bigram-LM frame's one-time BUILD (r13 verdict #2) — the served
+    # plan is the artifact scan with no BNLJ, so no allowance
     "text_bpe_merge": "winning-pair scalar: exactly 1 row per merge",
     "embed_abtt": "mean + top component: two 1-row vector broadcasts",
     "embed_covariance": "shared centering mean: exactly 1 row",
