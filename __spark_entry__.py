@@ -201,62 +201,43 @@ def _registries():
 # 12+13+2 = 27 rows lead them, so the last ~10 roll past the ~50-row
 # window to lead r14; REPLICA_r13 (same-session, full-registry)
 # backstops the cut.
+# ROUND-14 ROTATION (applied): CORRECTNESS_r13 came back 48/50 full
+# green + the two rows-only ML rows. Latest-green census entering r14
+# (committed CORRECTNESS files over the 188-name registry): 10 names
+# r9-green (the tail the r13 window cut), 45 r10, 44 r11, 39 r12,
+# 48 r13. This window LEADS with: (a) FOURTEEN rewritten in round 14
+# — the three PCA consumers (embed_pca_power/embed_abtt/
+# embed_covariance: μ and the top component are now ONE disk-persisted
+# artifact, similarity._pca_artifact), text_lm_score +
+# corpus_ppl_buckets (the bigram-LM scores are a persisted ingest
+# artifact, text._lm_artifact), dedup_substring/_capped +
+# dedup_span_removal (shared persisted positional-window index,
+# dedup._window_index_memo), and the six graph queries (artifact
+# reload path changed: conf-free per-file union respread + n_nodes
+# meta fallback); (b) the 10 r9-stale names, alphabetical (r13
+# verdict #6: nothing in the registry may stay older than r10-green
+# after this round); (c) the two rows-only ML rows so their driver
+# checks stay fresh; (d) backfill from the 44 remaining r10-green
+# names, alphabetical — 14+10+2 = 26 rows lead them, so the last ~20
+# roll past the ~50-row window to lead r15; REPLICA_r14
+# (same-session, full-registry) backstops the cut.
 _GATE_PRIORITY = [
-    # (a) rewritten in round 13 — plans/expressions changed
+    # (a) rewritten in round 14 — artifact lifecycle / plans changed
+    "embed_pca_power",
+    "embed_abtt",
+    "embed_covariance",
+    "text_lm_score",
+    "corpus_ppl_buckets",
+    "dedup_substring",
+    "dedup_substring_capped",
+    "dedup_span_removal",
     "graph_pagerank",
     "graph_label_propagation",
     "graph_degree_distribution",
     "graph_triangle_count",
     "graph_kcore",
     "graph_common_neighbors",
-    "semdedup_cell_growth",
-    "text_bm25_topk",
-    "text_tfidf_topk",
-    "dedup_jaccard_prefix",
-    "dedup_ngram_jaccard",
-    "dedup_containment",
-    # (b) r8-green, five rounds stale (alphabetical)
-    "q21",
-    "q22",
-    "sim_topk_brute",
-    "sim_topk_ivf",
-    "sketch_hll_merge",
-    "sketch_kmv_distinct",
-    "sketch_kmv_jaccard",
-    "source_bucketed_join",
-    "source_pydatasource_stream",
-    "text_dup_spans",
-    "text_gopher_flags",
-    "text_lm_score",
-    "text_stats",
-    # (c) rows-only (no-oracle) ML rows
-    "ann_brp_ml",
-    "dedup_minhash_ml",
-    # (d) r9-green, four rounds stale (alphabetical; text_tfidf_topk
-    # moved up to tier (a))
-    "corpus_mix_weights",
-    "corpus_source_divergence",
-    "dedup_incremental_ingest",
-    "dedup_ngram_jaccard_capped",
-    "dedup_substring",
-    "dedup_winnowing",
-    "doc_chunking",
-    "embed_abtt",
-    "embed_quantization_audit",
-    "events_dpp_join",
-    "events_sessionize",
-    "events_stream_static_join",
-    "extra_date_fns",
-    "extra_full_outer",
-    "extra_grouping",
-    "extra_pivot_json",
-    "extra_recursive_walk",
-    "extra_set_ops",
-    "extra_string_aggs",
-    "extra_string_fns",
-    "extra_windows",
-    "ivf_centroid_refine",
-    "q2",
+    # (b) r9-green, five rounds stale (alphabetical)
     "q3",
     "q4",
     "sample_split",
@@ -267,6 +248,55 @@ _GATE_PRIORITY = [
     "text_pmi_topk",
     "text_robust_stats",
     "text_vocab_topk",
+    # (c) rows-only (no-oracle) ML rows
+    "ann_brp_ml",
+    "dedup_minhash_ml",
+    # (d) r10-green, four rounds stale (alphabetical; embed_pca_power
+    # moved up to tier (a))
+    "asof_click_attribution",
+    "corpus_token_regression",
+    "corpus_zipf_slope",
+    "decontaminate_ngram",
+    "decontaminate_semantic",
+    "dedup_embedding_lsh",
+    "dedup_skew_stress",
+    "embed_centroid_outliers",
+    "embed_cluster_purity",
+    "embed_dim_truncation_audit",
+    "embed_knn_graph",
+    "embed_random_projection",
+    "events_aqe_skew_join",
+    "events_daily_pruned",
+    "events_funnel",
+    "events_key_skew",
+    "events_retention",
+    "events_rolling",
+    "events_session",
+    "events_sliding",
+    "events_stream_session",
+    "events_stream_tumbling",
+    "events_stream_upsert",
+    "events_tumbling",
+    "extra_lateral",
+    "extra_unpivot",
+    "ivf_incremental_ingest",
+    "knn_graph_recall",
+    "lsh_candidate_growth",
+    "micro_topk_per_group",
+    "orders_bloom_join",
+    "pipeline_clean_corpus",
+    "quality_buckets",
+    "range_join_price_bands",
+    "ref_q7_sqlite",
+    "sample_balanced",
+    "sample_weighted_priority",
+    "sim_topk_ivf_trained",
+    "sim_topk_ivfpq",
+    "sim_topk_ivfpq_residual",
+    "sim_topk_pq",
+    "sim_topk_pq_rerank",
+    "sketch_hist_quantiles",
+    "source_zonemap_skip",
 ]
 
 

@@ -4,6 +4,12 @@
 Usage: python scripts/timeq.py q1 q2 ...  [env SPARK_GRAFT_SF_DIR]
 Fresh session per invocation; prints cold (run 1) and warm (run 2)
 walls per query with the same warm-up discipline as bench.py.
+
+Concurrency: safe to run while a bench is in flight — artifact builds
+are cross-process flock-serialized (artifacts.process_lock), so two
+processes can no longer tear each other's output dirs; worst case
+this process blocks until the other's build commits. Timings taken
+during an overlap are still contended, of course — don't trust them.
 """
 
 import os
