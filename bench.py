@@ -370,6 +370,10 @@ def main() -> int:
             # ratio no longer depends on which engine's full pass ran
             # last in the process
             "interleaved": True,
+            # free-text run annotation (e.g. which pass of a staged
+            # build/steady pair this is) so the artifact itself names
+            # its conditions instead of a commit message doing it
+            "note": os.environ.get("SPARK_GRAFT_BENCH_NOTE", ""),
             "n_comparable": len(duck_ok),
             "spark_total_sec": spark_comparable,
             "duckdb_total_sec": duck_total,

@@ -2166,7 +2166,7 @@ def _pca_artifact(spark: SparkSession, sf_dir: str):
                     lambda e: e / F.sqrt(dot_fold("y", "y")),
                 ).alias("v")
             ).localCheckpoint()
-        return {"mu": mu, "v": v}
+        return {"mu": mu, "v": v, "cov": _covariance_frame(centered)}
 
     return persisted_frames(
         spark,
@@ -2174,8 +2174,8 @@ def _pca_artifact(spark: SparkSession, sf_dir: str):
         sf_dir,
         ("embeddings",),
         _build,
-        layout={"mu": "raw", "v": "raw"},
-        version=f"iters={PCA_ITERS};fp={_FP_SCALE};v0=0.125",
+        layout={"mu": "raw", "v": "raw", "cov": "raw"},
+        version=f"iters={PCA_ITERS};fp={_FP_SCALE};v0=0.125;cov1",
     )
 
 
@@ -2351,8 +2351,21 @@ def embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles and (x_i·x_j)·2^20 is the same two IEEE multiplies in the
     same order as the codegen and oracle texts; |sum| stays far inside
     2^53 (|x_i·x_j|·2^20 ≲ 10^7 per row), so the final cast-double and
-    two IEEE divisions are exact and engine-independent."""
-    centered = _centered_frame(spark, sf_dir)
+    two IEEE divisions are exact and engine-independent.
+
+    LIFECYCLE (r14): the matrix is trained state exactly like μ and
+    the top component — whitening/Mahalanobis consumers load it, they
+    don't re-derive it — so it rides the SAME pca_top disk artifact
+    (one corpus pass at build, a 2080-row scan at query time; the
+    fingerprint invalidates with the embeddings table and the
+    fixed-point constants)."""
+    return _pca_artifact(spark, sf_dir)["cov"]
+
+
+def _covariance_frame(centered: DataFrame) -> DataFrame:
+    """One-pass partial-covariance build over the centered frame (see
+    embed_covariance's docstring for shape and determinism) — called
+    from the pca_top artifact builder."""
     d = 64
 
     def _partials(batches):

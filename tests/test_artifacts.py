@@ -548,6 +548,20 @@ def test_pca_artifact_reload_equals_rebuild(spark, sf_dir):
         v = [e / nrm for e in y]
     assert got_v == v
 
+    # the persisted covariance frame (r14: the matrix is trained
+    # state like mu/v) must match the same fixed-point replay
+    cov_rows = {
+        (r["i"], r["j"]): (r["n"], r["cov"]) for r in art["cov"].collect()
+    }
+    assert len(cov_rows) == d * (d + 1) // 2
+    for i in range(d):
+        for j in range(i, d):
+            s = sum(
+                int(math.floor(C[r][i] * C[r][j] * fp)) for r in range(n)
+            )
+            exp = float(s) / float(n) / fp
+            assert cov_rows[(i, j)] == (n, exp)
+
 
 def test_lm_artifact_reload_equals_rebuild(spark, sf_dir):
     """The disk-persisted bigram-LM score frame (r13 verdict #2) must

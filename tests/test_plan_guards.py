@@ -66,7 +66,9 @@ BNLJ_ALLOWED = {
     # plan is the artifact scan with no BNLJ, so no allowance
     "text_bpe_merge": "winning-pair scalar: exactly 1 row per merge",
     "embed_abtt": "mean + top component: two 1-row vector broadcasts",
-    "embed_covariance": "shared centering mean: exactly 1 row",
+    # embed_covariance: the centering cross moved into the pca_top
+    # artifact's one-time BUILD (r14 — the matrix is trained state);
+    # the served plan is the 2080-row artifact scan with no BNLJ
     "text_pmi_topk": "total-bigram-count scalar: exactly 1 row",
     "events_key_skew": "1-row stats frame x 1-row top-k scalar",
     "sketch_hll_merge": (
