@@ -205,20 +205,23 @@ def _registries():
 # green + the two rows-only ML rows. Latest-green census entering r14
 # (committed CORRECTNESS files over the 188-name registry): 10 names
 # r9-green (the tail the r13 window cut), 45 r10, 44 r11, 39 r12,
-# 48 r13. This window LEADS with: (a) FOURTEEN rewritten in round 14
+# 48 r13. This window LEADS with: (a) SIXTEEN rewritten in round 14
 # — the three PCA consumers (embed_pca_power/embed_abtt/
 # embed_covariance: μ and the top component are now ONE disk-persisted
 # artifact, similarity._pca_artifact), text_lm_score +
 # corpus_ppl_buckets (the bigram-LM scores are a persisted ingest
 # artifact, text._lm_artifact), dedup_substring/_capped +
 # dedup_span_removal (shared persisted positional-window index,
-# dedup._window_index_memo), and the six graph queries (artifact
-# reload path changed: conf-free per-file union respread + n_nodes
-# meta fallback); (b) the 10 r9-stale names, alphabetical (r13
+# dedup._window_index_memo), dedup_minhash + dedup_lsh_tuning
+# (persisted full-corpus MinHash signatures,
+# dedup._minhash_sigs_memo; minhash also serves the gram-index
+# arrays), and the six graph queries (artifact reload path changed:
+# conf-free per-file union respread + n_nodes meta fallback);
+# (b) the 10 r9-stale names, alphabetical (r13
 # verdict #6: nothing in the registry may stay older than r10-green
 # after this round); (c) the two rows-only ML rows so their driver
 # checks stay fresh; (d) backfill from the 44 remaining r10-green
-# names, alphabetical — 14+10+2 = 26 rows lead them, so the last ~20
+# names, alphabetical — 16+10+2 = 28 rows lead them, so the last ~22
 # roll past the ~50-row window to lead r15; REPLICA_r14
 # (same-session, full-registry) backstops the cut.
 _GATE_PRIORITY = [
@@ -231,6 +234,8 @@ _GATE_PRIORITY = [
     "dedup_substring",
     "dedup_substring_capped",
     "dedup_span_removal",
+    "dedup_minhash",
+    "dedup_lsh_tuning",
     "graph_pagerank",
     "graph_label_propagation",
     "graph_degree_distribution",

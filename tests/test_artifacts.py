@@ -617,3 +617,16 @@ def test_window_index_reload_equals_rebuild(spark, sf_dir):
     )
     assert idx["posts"].exceptAll(fresh).count() == 0
     assert fresh.exceptAll(idx["posts"]).count() == 0
+
+
+def test_minhash_sigs_reload_equals_rebuild(spark, sf_dir):
+    """The disk-persisted full-corpus MinHash signature frame (r14)
+    must serve exactly what a fresh shingle-hash + 16-min derivation
+    computes — pure integer arithmetic, so exceptAll is exact."""
+    from duckdb_wasm_spark.operators import dedup
+    from duckdb_wasm_spark.tables import load_table
+
+    served = dedup._minhash_sigs_memo(spark, sf_dir)
+    fresh = dedup._minhash_sigs(load_table(spark, sf_dir, "documents"))
+    assert served.exceptAll(fresh).count() == 0
+    assert fresh.exceptAll(served).count() == 0
