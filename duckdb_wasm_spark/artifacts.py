@@ -105,7 +105,10 @@ class _LazyFrames(dict):
         back-to-back); prefetching overlaps them so the family pays
         max(frame walls), not the sum. Already-materialized names are
         skipped; returns self for chaining."""
-        todo = [n for n in names if not super().__contains__(n)]
+        # dict.__contains__, not zero-arg super(): a comprehension is
+        # its own function scope with no __class__ cell, so super()
+        # raises TypeError there
+        todo = [n for n in names if not dict.__contains__(self, n)]
         if len(todo) > 1:
             from concurrent.futures import ThreadPoolExecutor
 

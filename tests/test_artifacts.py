@@ -630,3 +630,78 @@ def test_minhash_sigs_reload_equals_rebuild(spark, sf_dir):
     fresh = dedup._minhash_sigs(load_table(spark, sf_dir, "documents"))
     assert served.exceptAll(fresh).count() == 0
     assert fresh.exceptAll(served).count() == 0
+
+
+def test_prefetch_materializes_concurrently_and_memoizes(spark, scratch_sf):
+    """prefetch() must materialize the named frames (and only those),
+    return self, and leave the usual identity-memo semantics intact —
+    concurrent suppliers run under per-frame locks, so the frames must
+    still come back value-correct."""
+    _clean("t_prefetch")
+
+    def build():
+        return {
+            "a": spark.range(6).select(F.col("id").alias("x")),
+            "b": spark.range(4).select((F.col("id") + 1).alias("y")),
+            "c": spark.range(2).select((F.col("id") + 9).alias("z")),
+        }
+
+    got = artifacts.persisted_frames(
+        spark, "t_prefetch", scratch_sf, ("embeddings",), build
+    )
+    out = got.prefetch("a", "b")
+    assert out is got
+    # a and b are materialized (plain dict hits), c is not yet
+    assert dict.__contains__(got, "a") and dict.__contains__(got, "b")
+    assert not dict.__contains__(got, "c")
+    a1 = got["a"]
+    assert got.prefetch("a")["a"] is a1  # no re-materialization
+    assert sorted(r["x"] for r in a1.collect()) == list(range(6))
+    assert sorted(r["y"] for r in got["b"].collect()) == [1, 2, 3, 4]
+    assert sorted(r["z"] for r in got["c"].collect()) == [9, 10]
+    _clean("t_prefetch")
+
+
+def test_multifile_reload_parallelism_and_values(spark, scratch_sf):
+    """A multi-part-file artifact must reload through per-file union
+    relations: at least one scan partition per part file BEFORE the
+    respread (the conf-free replacement for the old session-global
+    maxPartitionBytes flip), and values identical to the build."""
+    _clean("t_union")
+
+    def build():
+        return {
+            "k": spark.range(200)
+            .repartition(8)
+            .select(F.col("id").alias("x"))
+        }
+
+    got = artifacts.persisted_frames(
+        spark, "t_union", scratch_sf, ("embeddings",), build
+    )
+    import glob as _glob
+
+    files = _glob.glob(
+        os.path.join(
+            artifacts._ROOT, "t_union", "*", "*", "k", "part-*.parquet"
+        )
+    )
+    assert len(files) > 1, "expected a multi-file artifact"
+    # the materialized frame is respread to defaultParallelism and
+    # value-identical to the build
+    assert got["k"].rdd.getNumPartitions() == (
+        spark.sparkContext.defaultParallelism
+    )
+    assert sorted(r["x"] for r in got["k"].collect()) == list(range(200))
+    # the pre-respread union read carries >= one partition per file
+    schema = spark.read.parquet(os.path.dirname(files[0])).schema
+    from functools import reduce
+
+    from pyspark.sql import DataFrame as _DF
+
+    u = reduce(
+        _DF.unionByName,
+        [spark.read.schema(schema).parquet(f) for f in files],
+    )
+    assert u.rdd.getNumPartitions() >= len(files)
+    _clean("t_union")
