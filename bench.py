@@ -85,6 +85,7 @@ def _stage_layout(spark, sf_dir: str, cpus: int) -> str:
         _fingerprint,
         _prune_dead_sources,
         _source_key,
+        process_lock,
     )
     from duckdb_wasm_spark.tables import TABLES
 
@@ -97,29 +98,36 @@ def _stage_layout(spark, sf_dir: str, cpus: int) -> str:
         return out
     import shutil
 
-    # Supersede ONLY this sf_dir's stale-fingerprint layouts (same
-    # discipline as live._layout_dir / artifacts.persisted_frames —
-    # an early version rmtree'd the whole base, so alternating staged
-    # benches over sf0.01 and sf0.1 re-staged every run and orphaned
-    # every index artifact fingerprinted against the deleted dirs).
-    # Same-fingerprint layouts for OTHER cpu counts stay: they are not
-    # stale, just differently sliced.
-    for entry in os.listdir(src_dir) if os.path.isdir(src_dir) else []:
-        if entry != "_SOURCE_DIR" and not entry.startswith(f"{fp}_c"):
-            shutil.rmtree(os.path.join(src_dir, entry), ignore_errors=True)
-    _prune_dead_sources(base)
-    os.makedirs(out, exist_ok=True)
-    with open(os.path.join(src_dir, "_SOURCE_DIR"), "w") as fh:
-        fh.write(os.path.abspath(sf_dir))
-    for t in TABLES:
-        (
-            spark.read.parquet(f"{sf_dir}/{t}.parquet")
-            .repartition(cpus)
-            .write.mode("overwrite")
-            .parquet(f"{out}/{t}.parquet")
-        )
-    with open(marker, "w") as fh:
-        fh.write("ok")
+    # cross-process exclusion, same as persisted_frames' build (two
+    # staged benches racing would tear this rmtree-then-write too)
+    with process_lock("bench_staged"):
+        if os.path.exists(marker):  # built while we waited
+            return out
+        # Supersede ONLY this sf_dir's stale-fingerprint layouts (same
+        # discipline as live._layout_dir / artifacts.persisted_frames —
+        # an early version rmtree'd the whole base, so alternating
+        # staged benches over sf0.01 and sf0.1 re-staged every run and
+        # orphaned every index artifact fingerprinted against the
+        # deleted dirs). Same-fingerprint layouts for OTHER cpu counts
+        # stay: they are not stale, just differently sliced.
+        for entry in os.listdir(src_dir) if os.path.isdir(src_dir) else []:
+            if entry != "_SOURCE_DIR" and not entry.startswith(f"{fp}_c"):
+                shutil.rmtree(
+                    os.path.join(src_dir, entry), ignore_errors=True
+                )
+        _prune_dead_sources(base)
+        os.makedirs(out, exist_ok=True)
+        with open(os.path.join(src_dir, "_SOURCE_DIR"), "w") as fh:
+            fh.write(os.path.abspath(sf_dir))
+        for t in TABLES:
+            (
+                spark.read.parquet(f"{sf_dir}/{t}.parquet")
+                .repartition(cpus)
+                .write.mode("overwrite")
+                .parquet(f"{out}/{t}.parquet")
+            )
+        with open(marker, "w") as fh:
+            fh.write("ok")
     return out
 
 
