@@ -306,17 +306,25 @@ def main() -> int:
         if k in slowest or v < 0
     }
     # the canonical committed artifact name is reserved for the
-    # documented methodology (default sf0.1 dir, raw layout); any other
-    # config writes a suffixed sidecar so a quick sf0.01 or staged run
-    # can never silently replace the committed numbers (round-5 ADVICE)
+    # documented methodology (default sf0.1 dir, raw layout, NO
+    # DuckDB interleave — r14 code review: with ABBA, a DUCKDB=1 run
+    # executes DuckDB between the Spark runs of each query, which
+    # perturbs the Spark walls; such a run must not overwrite the
+    # numbers round-over-round comparisons assume); any other config
+    # writes a suffixed sidecar so a quick sf0.01, staged, or
+    # side-by-side run can never silently replace the committed
+    # numbers (round-5 ADVICE)
     canonical = (
         os.environ.get("SPARK_GRAFT_SF_DIR") in (None, "/root/testdata/sf0.1")
         and not stage
+        and not duck_enabled
     )
     full_name = (
         "BENCH_FULL.json"
         if canonical
-        else f"BENCH_FULL_sf{sf}_c{cpus}{'_staged' if stage else ''}.json"
+        else f"BENCH_FULL_sf{sf}_c{cpus}"
+        f"{'_staged' if stage else ''}"
+        f"{'_duckdb' if duck_enabled else ''}.json"
     )
     with open(
         os.path.join(
@@ -333,6 +341,10 @@ def main() -> int:
                 "cpus": cpus,
                 "value": total,
                 "value_cold": total_cold,
+                # Spark walls taken with DuckDB oracle runs interleaved
+                # between them (ABBA) — not comparable to duckdb=false
+                # runs round-over-round
+                "duckdb_interleaved": duck_enabled,
             },
             f,
             indent=1,

@@ -509,7 +509,16 @@ def _minhash_sigs_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("documents",),
         _build,
         layout={"sigs": "raw"},
-        version=f"h{N_HASHES};p{MH_PRIME};cw-v1",
+        # the coefficient FORMULAS ride the fingerprint via sampled
+        # terms (r14 code review: an opaque "cw-v1" literal would
+        # serve stale signatures after an _mh_a/_mh_b retune unless
+        # someone remembered to bump it — the r12 stale-artifact
+        # class the version mechanism exists to close)
+        version=(
+            f"h{N_HASHES};p{MH_PRIME};"
+            f"a={_mh_a(1)},{_mh_a(N_HASHES - 1)};"
+            f"b={_mh_b(1)},{_mh_b(N_HASHES - 1)}"
+        ),
     )["sigs"]
 
 

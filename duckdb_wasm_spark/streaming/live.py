@@ -132,12 +132,18 @@ def no_trailing_empty_batch(spark: SparkSession):
         spark.conf.set(key, prev)
 
 
-def _layout_dir(kind: str, sf_dir: str) -> tuple[str, bool]:
+def _layout_dir(kind: str, sf_dir: str, write) -> str:
     """Persistent fingerprinted directory for a staged stream layout
     (r10 verdict #5: the layouts are environment setup — the Kafka
     topic / landing dir a deployment already HAS — so they persist
     across sessions like the index artifacts instead of being
-    re-staged per cold session). Returns (path, already_built).
+    re-staged per cold session). `write(out)` performs the layout
+    build and runs UNDER a cross-process per-kind lock together with
+    the rmtree/marker protocol (r14 code review: this build was the
+    one rmtree-then-write left unserialized after persisted_frames
+    and bench._stage_layout got their flocks — two processes staging
+    the same stream layout could tear each other's files and commit a
+    torn-but-marked directory every later session replays).
     Stale-safe: the fingerprint hashes the events table's (mtime,
     size); superseded fingerprints of the same kind are deleted on
     build, so disk stays bounded (the r6 accumulate-forever ADVICE
@@ -147,6 +153,7 @@ def _layout_dir(kind: str, sf_dir: str) -> tuple[str, bool]:
         _fingerprint,
         _prune_dead_sources,
         _source_key,
+        process_lock,
     )
 
     fp = _fingerprint(sf_dir, ("events",))
@@ -157,20 +164,21 @@ def _layout_dir(kind: str, sf_dir: str) -> tuple[str, bool]:
     out = os.path.join(src_dir, fp)
     done = os.path.join(out, "_LAYOUT_COMMITTED")
     if os.path.exists(done):
-        return out, True
-    # supersede only THIS sf_dir's old fingerprints (sf0.01/sf0.1
-    # layouts coexist) and prune source keys whose directory is gone
-    shutil.rmtree(src_dir, ignore_errors=True)
-    _prune_dead_sources(kind_dir)
-    os.makedirs(out, exist_ok=True)
-    with open(os.path.join(src_dir, "_SOURCE_DIR"), "w") as fh:
-        fh.write(os.path.abspath(sf_dir))
-    return out, False
-
-
-def _mark_layout(out: str) -> None:
-    with open(os.path.join(out, "_LAYOUT_COMMITTED"), "w") as fh:
-        fh.write("ok")
+        return out
+    with process_lock(f"stream_layout_{kind}"):
+        if os.path.exists(done):  # built while we waited for the lock
+            return out
+        # supersede only THIS sf_dir's old fingerprints (sf0.01/sf0.1
+        # layouts coexist) and prune source keys whose dir is gone
+        shutil.rmtree(src_dir, ignore_errors=True)
+        _prune_dead_sources(kind_dir)
+        os.makedirs(out, exist_ok=True)
+        with open(os.path.join(src_dir, "_SOURCE_DIR"), "w") as fh:
+            fh.write(os.path.abspath(sf_dir))
+        write(out)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return out
 
 
 def _staged_stream_source(
@@ -191,10 +199,13 @@ def _staged_stream_source(
         # rejects. Cast at the staging boundary — session tz is UTC, so
         # the mapping is the identity a naive event log means.
         ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
-        out, built = _layout_dir(f"roundrobin_{n_files}", sf_dir)
-        if not built:
-            ev.repartition(n_files).write.mode("overwrite").parquet(out)
-            _mark_layout(out)
+        out = _layout_dir(
+            f"roundrobin_{n_files}",
+            sf_dir,
+            lambda out: ev.repartition(n_files)
+            .write.mode("overwrite")
+            .parquet(out),
+        )
         memo[key] = (out, ev.schema)
     return memo[key]
 
@@ -238,78 +249,77 @@ def _staged_stream_source_ordered(
 
         ev = load_table(spark, sf_dir, "events")
         ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
-        out, built = _layout_dir(f"ordered_{n_files}", sf_dir)
-        if built:
-            memo[key] = (out, ev.schema)
-            return memo[key]
-        staging = tempfile.mkdtemp(prefix="events_stream_ord_stage_")
-        (
-            ev.repartitionByRange(n_files, "ts")
-            .sortWithinPartitions("ts")
-            .write.mode("overwrite")
-            .parquet(staging)
-        )
-        # Spark writes the parts in PARALLEL (same mtime), and the file
-        # stream source replays by (mtime, then listing order) — so the
-        # range order must be imposed explicitly: sequential names AND
-        # strictly ascending mtimes, or an early-time file replaying
-        # late gets its rows watermark-dropped (observed: arbitrary
-        # subsets lost under the 1-day delay before this rewrite).
-        parts = sorted(globmod.glob(f"{staging}/part-*.parquet"))
-        base_mtime = int(__import__("time").time()) - 3600
-        for i, p in enumerate(parts):
-            dst = f"{out}/{i:04d}-chunk.parquet"
-            shutil.copyfile(p, dst)
-            os.utime(dst, (base_mtime + i, base_mtime + i))
-        shutil.rmtree(staging, ignore_errors=True)
-        max_ts = ev.agg(F.max("ts")).collect()[0][0]
-        base_us = (
-            calendar.timegm(max_ts.utctimetuple()) * 1_000_000
-            + max_ts.microsecond
-        )
+
+        def _write(out):
+            staging = tempfile.mkdtemp(prefix="events_stream_ord_stage_")
+            (
+                ev.repartitionByRange(n_files, "ts")
+                .sortWithinPartitions("ts")
+                .write.mode("overwrite")
+                .parquet(staging)
+            )
+            # Spark writes the parts in PARALLEL (same mtime), and the
+            # file stream source replays by (mtime, then listing order)
+            # — so the range order must be imposed explicitly:
+            # sequential names AND strictly ascending mtimes, or an
+            # early-time file replaying late gets its rows
+            # watermark-dropped (observed: arbitrary subsets lost under
+            # the 1-day delay before this rewrite).
+            parts = sorted(globmod.glob(f"{staging}/part-*.parquet"))
+            base_mtime = int(__import__("time").time()) - 3600
+            for i, p in enumerate(parts):
+                dst = f"{out}/{i:04d}-chunk.parquet"
+                shutil.copyfile(p, dst)
+                os.utime(dst, (base_mtime + i, base_mtime + i))
+            shutil.rmtree(staging, ignore_errors=True)
+            max_ts = ev.agg(F.max("ts")).collect()[0][0]
+            base_us = (
+                calendar.timegm(max_ts.utctimetuple()) * 1_000_000
+                + max_ts.microsecond
+            )
         # TWO sentinels (r10 verdict #5 trimmed the third: the gate
         # hash over the REAL rows is unchanged — the extra sentinel
         # only ever matched the other sentinels): the watermark
         # computed from batch k's data drives eviction in batch k+1,
         # so sentinel 1 advances the watermark past the data and
         # sentinel 2's batch runs the final eviction pass under it
-        proto = pq.read_table(f"{out}/0000-chunk.parquet").slice(0, 2)
-        for i in range(2):
-            us = base_us + (10 * 86_400 + i * 3_600) * 1_000_000
-            cols = []
-            fields = []
-            for name in proto.schema.names:
-                col = proto.column(name)
-                if name == "ts":
-                    # MUST be UTC-adjusted (isAdjustedToUTC=true): the
-                    # Spark-written chunks carry INT96 timestamps the
-                    # reader maps to TIMESTAMP, and an NTZ-annotated
-                    # sentinel fails the stream's schema with
-                    # PARQUET_COLUMN_DATA_TYPE_MISMATCH
-                    ts_type = pa.timestamp("us", tz="UTC")
-                    cols.append(
-                        pa.array([us, us], type=pa.int64()).cast(ts_type)
-                    )
-                    fields.append(pa.field(name, ts_type))
-                elif name == "event_type":
-                    cols.append(
-                        pa.array(["click", "purchase"], type=col.type)
-                    )
-                    fields.append(proto.schema.field(name))
-                elif name == "user_id":
-                    cols.append(pa.array([-1, -1], type=col.type))
-                    fields.append(proto.schema.field(name))
-                else:
-                    cols.append(col)
-                    fields.append(proto.schema.field(name))
-            # zz- prefix + later mtime: replays strictly after the data
-            dst = f"{out}/zz-sentinel-{i}.parquet"
-            pq.write_table(pa.table(cols, schema=pa.schema(fields)), dst)
-            os.utime(
-                dst,
-                (base_mtime + n_files + i, base_mtime + n_files + i),
-            )
-        _mark_layout(out)
+            proto = pq.read_table(f"{out}/0000-chunk.parquet").slice(0, 2)
+            for i in range(2):
+                us = base_us + (10 * 86_400 + i * 3_600) * 1_000_000
+                cols = []
+                fields = []
+                for name in proto.schema.names:
+                    col = proto.column(name)
+                    if name == "ts":
+                        # MUST be UTC-adjusted (isAdjustedToUTC=true): the
+                        # Spark-written chunks carry INT96 timestamps the
+                        # reader maps to TIMESTAMP, and an NTZ-annotated
+                        # sentinel fails the stream's schema with
+                        # PARQUET_COLUMN_DATA_TYPE_MISMATCH
+                        ts_type = pa.timestamp("us", tz="UTC")
+                        cols.append(
+                            pa.array([us, us], type=pa.int64()).cast(ts_type)
+                        )
+                        fields.append(pa.field(name, ts_type))
+                    elif name == "event_type":
+                        cols.append(
+                            pa.array(["click", "purchase"], type=col.type)
+                        )
+                        fields.append(proto.schema.field(name))
+                    elif name == "user_id":
+                        cols.append(pa.array([-1, -1], type=col.type))
+                        fields.append(proto.schema.field(name))
+                    else:
+                        cols.append(col)
+                        fields.append(proto.schema.field(name))
+                # zz- prefix + later mtime: replays strictly after the data
+                dst = f"{out}/zz-sentinel-{i}.parquet"
+                pq.write_table(pa.table(cols, schema=pa.schema(fields)), dst)
+                os.utime(
+                    dst,
+                    (base_mtime + n_files + i, base_mtime + n_files + i),
+                )
+        out = _layout_dir(f"ordered_{n_files}", sf_dir, _write)
         memo[key] = (out, ev.schema)
     return memo[key]
 

@@ -33,13 +33,18 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-_FRAME = {
-    "graph_pagerank": "sym",
-    "graph_kcore": "sym",
-    "graph_triangle_count": "sym",
-    "graph_label_propagation": "symw",
-    "graph_degree_distribution": "cs",
-    "graph_common_neighbors": "cs",
+# every frame the query consumes (r14 code review: triangle_count was
+# mapped to "sym" but reads "cs", so its reload wall landed inside
+# `first` and inflated the JIT attribution; pagerank also reads the
+# raw deg_sym scan, whose materialization is job-free but listed for
+# completeness)
+_FRAMES = {
+    "graph_pagerank": ("sym", "deg_sym"),
+    "graph_kcore": ("sym",),
+    "graph_triangle_count": ("cs",),
+    "graph_label_propagation": ("symw",),
+    "graph_degree_distribution": ("cs",),
+    "graph_common_neighbors": ("cs",),
 }
 
 
@@ -63,7 +68,7 @@ def main():
 
     t0 = time.perf_counter()
     art = _edges_artifact(spark, sf_dir)
-    art[_FRAME[name]]  # materialize (build if absent — noted below)
+    art.prefetch(*_FRAMES[name])  # materialize (build if absent)
     reload_s = round(time.perf_counter() - t0, 3)
 
     walls = []
