@@ -319,6 +319,16 @@ def main() -> int:
         and not stage
         and not duck_enabled
     )
+    # the ORACLE_BENCH.json name needs its own flag WITHOUT the
+    # duck_enabled term: that term only exists to keep interleaved runs
+    # off BENCH_FULL.json, but the oracle artifact is BY DEFINITION an
+    # interleaved run — sharing `canonical` made the `elif canonical`
+    # branch below unreachable and the committed ORACLE_BENCH.json
+    # could never be regenerated by bench.py (r14 ADVICE)
+    oracle_canonical = (
+        os.environ.get("SPARK_GRAFT_SF_DIR") in (None, "/root/testdata/sf0.1")
+        and not stage
+    )
     full_name = (
         "BENCH_FULL.json"
         if canonical
@@ -423,7 +433,7 @@ def main() -> int:
         side["stage_sec"] = stage_sec
         if stage:
             artifact = "ORACLE_BENCH_STAGED.json"
-        elif canonical:
+        elif oracle_canonical:
             artifact = "ORACLE_BENCH.json"
         else:  # same guard as BENCH_FULL: never clobber the committed name
             artifact = f"ORACLE_BENCH_sf{sf}_c{cpus}.json"

@@ -509,15 +509,15 @@ def _minhash_sigs_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("documents",),
         _build,
         layout={"sigs": "raw"},
-        # the coefficient FORMULAS ride the fingerprint via sampled
-        # terms (r14 code review: an opaque "cw-v1" literal would
-        # serve stale signatures after an _mh_a/_mh_b retune unless
-        # someone remembered to bump it — the r12 stale-artifact
-        # class the version mechanism exists to close)
+        # ALL N_HASHES coefficients of each Carter-Wegman family ride
+        # the fingerprint (r14 ADVICE: two sampled terms would miss a
+        # retune that happens to agree at j=1 and j=N_HASHES-1 and
+        # serve stale signatures — the r12 stale-artifact class the
+        # version mechanism exists to close; 2×16 small ints, cheap)
         version=(
             f"h{N_HASHES};p{MH_PRIME};"
-            f"a={_mh_a(1)},{_mh_a(N_HASHES - 1)};"
-            f"b={_mh_b(1)},{_mh_b(N_HASHES - 1)}"
+            f"a={','.join(str(_mh_a(j)) for j in range(N_HASHES))};"
+            f"b={','.join(str(_mh_b(j)) for j in range(N_HASHES))}"
         ),
     )["sigs"]
 

@@ -60,9 +60,15 @@ def main():
     from duckdb_wasm_spark.tables import load_table
 
     qs = entrymod.queries()
-    spark = _build_session(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = _build_session(cpus)
     load_table(spark, sf_dir, "lineitem").count()
-    spark.range(128, numPartitions=32).mapInPandas(
+    # size the Python-worker pool warm-up to the configured parallelism
+    # (r14 ADVICE: a hard-coded 32-partition warm-up under cpus > 32
+    # left part of the fork cost inside the first measured run,
+    # skewing the first/jit_premium decomposition the graph ledger
+    # cites); mirrors bench.py
+    spark.range(cpus * 4, numPartitions=cpus).mapInPandas(
         lambda it: it, "id long"
     ).count()
 
