@@ -224,68 +224,39 @@ def _registries():
 # names, alphabetical — 16+10+2 = 28 rows lead them, so the last ~22
 # roll past the ~50-row window to lead r15; REPLICA_r14
 # (same-session, full-registry) backstops the cut.
+# ROUND-15 ROTATION (applied): CORRECTNESS_r14 came back 48/50 full
+# green + the two rows-only ML rows. Latest-green census entering r15
+# (committed CORRECTNESS files over the 188-name registry): 22 names
+# r10-green (the tail the r14 window cut), 40 r11, 37 r12, 39 r13,
+# 48 r14. This window LEADS with: (a) the SIX r15 verdict-task
+# consumers — knn_graph_recall + sim_topk_brute (both now serve the
+# shared persisted panel_truth artifact, and the recall sweep was
+# restructured to a single-pass plan: similarity.panel_truth_memo,
+# r14 verdict #2) and events_stream_outer_join / ann_brp_ml /
+# graph_kcore / graph_common_neighbors (the four A/B'd wall rows —
+# AB_r15_acea964.json cleared the code, their gates re-certify the
+# behavior at HEAD); (b) the 21 remaining r10-green names,
+# alphabetical (r14 verdict #4: nothing in the registry may stay
+# older than r11-green after this round); (c) the other rows-only ML
+# row so its driver check stays fresh; (d) backfill from the 40
+# r11-green names, alphabetical — 6+21+1 = 28 rows lead them, so the
+# last ~18 roll past the ~50-row window to lead r16; REPLICA_r15
+# (same-session, full-registry) backstops the cut.
 _GATE_PRIORITY = [
-    # (a) rewritten in round 14 — artifact lifecycle / plans changed
-    "embed_pca_power",
-    "embed_abtt",
-    "embed_covariance",
-    "text_lm_score",
-    "corpus_ppl_buckets",
-    "dedup_substring",
-    "dedup_substring_capped",
-    "dedup_span_removal",
-    "dedup_minhash",
-    "dedup_lsh_tuning",
-    "graph_pagerank",
-    "graph_label_propagation",
-    "graph_degree_distribution",
-    "graph_triangle_count",
+    # (a) r15 rewritten (panel_truth artifact) + the four A/B'd rows
+    "knn_graph_recall",
+    "sim_topk_brute",
+    "events_stream_outer_join",
+    "ann_brp_ml",
     "graph_kcore",
     "graph_common_neighbors",
-    # (b) r9-green, five rounds stale (alphabetical)
-    "q3",
-    "q4",
-    "sample_split",
-    "sim_topk_ivf_probe",
-    "text_bpe_merge",
-    "text_bpe_pair_counts",
-    "text_ngram_entropy",
-    "text_pmi_topk",
-    "text_robust_stats",
-    "text_vocab_topk",
-    # (c) rows-only (no-oracle) ML rows
-    "ann_brp_ml",
-    "dedup_minhash_ml",
-    # (d) r10-green, four rounds stale (alphabetical; embed_pca_power
-    # moved up to tier (a))
-    "asof_click_attribution",
-    "corpus_token_regression",
-    "corpus_zipf_slope",
-    "decontaminate_ngram",
-    "decontaminate_semantic",
-    "dedup_embedding_lsh",
-    "dedup_skew_stress",
-    "embed_centroid_outliers",
-    "embed_cluster_purity",
-    "embed_dim_truncation_audit",
-    "embed_knn_graph",
-    "embed_random_projection",
-    "events_aqe_skew_join",
-    "events_daily_pruned",
-    "events_funnel",
-    "events_key_skew",
-    "events_retention",
-    "events_rolling",
-    "events_session",
-    "events_sliding",
-    "events_stream_session",
-    "events_stream_tumbling",
+    # (b) r10-green, five rounds stale (alphabetical;
+    # knn_graph_recall moved up to tier (a))
     "events_stream_upsert",
     "events_tumbling",
     "extra_lateral",
     "extra_unpivot",
     "ivf_incremental_ingest",
-    "knn_graph_recall",
     "lsh_candidate_growth",
     "micro_topk_per_group",
     "orders_bloom_join",
@@ -302,6 +273,49 @@ _GATE_PRIORITY = [
     "sim_topk_pq_rerank",
     "sketch_hist_quantiles",
     "source_zonemap_skip",
+    # (c) rows-only (no-oracle) ML row (ann_brp_ml is in tier (a))
+    "dedup_minhash_ml",
+    # (d) r11-green, four rounds stale (alphabetical)
+    "corpus_length_quantiles",
+    "dedup_edit_verify",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_source_matrix",
+    "dedup_winnowing_capped",
+    "embed_quantize_int8",
+    "embed_silhouette",
+    "events_anomaly",
+    "events_salted_join",
+    "events_stream_dedup",
+    "events_stream_stateful",
+    "extra_stats",
+    "extra_variant_json",
+    "multimodal_decode_stats",
+    "multimodal_features",
+    "multimodal_frames",
+    "multimodal_meta",
+    "multimodal_thumbnail",
+    "pipeline_canonical_best",
+    "q1",
+    "q10",
+    "q11",
+    "q12",
+    "q13",
+    "q14",
+    "q15",
+    "q16",
+    "q5",
+    "q6",
+    "q7",
+    "q8",
+    "q9",
+    "ref_q8_sqlite",
+    "sample_mixture_budget",
+    "sample_pack_sequences",
+    "sample_token_budget",
+    "sim_topk_mmr",
+    "sketch_bloom_decontaminate",
+    "sketch_cms_heavy_hitters",
 ]
 
 

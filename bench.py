@@ -419,6 +419,21 @@ def main() -> int:
             "ratio_cold_spark_over_duckdb": round(
                 spark_comparable_cold / duck_total_cold, 3
             ) if duck_total_cold else None,
+            # cold-residual decomposition (r14 verdict #5): cold -
+            # warm per engine IS each engine's per-session floor
+            # (Spark: artifact reload + whole-stage-codegen JIT on
+            # first run of each plan, flat in data per the graph
+            # ledger; DuckDB: buffer re-reads). The staged cold ratio
+            # exceeding the warm ratio is exactly this pair of
+            # premiums — named here with the run's own numbers so the
+            # artifact pins its residual instead of a commit message
+            # asserting it.
+            "cold_premium": {
+                "spark_sec": round(
+                    spark_comparable_cold - spark_comparable, 3
+                ),
+                "duckdb_sec": round(duck_total_cold - duck_total, 3),
+            },
             "per_query": {
                 k: {
                     "spark": timings.get(k),

@@ -2449,17 +2449,24 @@ def knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate derives min-flips under full and half band prefixes,
     and each config is then a FILTER over the one checkpointed
     panel-bounded sims frame — no per-config candidate joins. Truth
-    is the broadcast 50-row panel × corpus (WindowGroupLimit top-k,
-    checkpointed). Output is |configs| rows at any corpus size; the
-    corpus-scale work is two single passes. One driver scalar (the
-    truth count) rides into the recall expression, CC-loop-style.
+    is the persisted `panel_truth` artifact shared with
+    sim_topk_brute (r14 verdict #2 — the per-call 50-panel × corpus
+    brute force was 3.9s of every call's wall); its row count rides
+    the artifact's _META sidecar, so no truth-side Spark jobs run at
+    all on the warm path. Output is |configs| rows at any corpus
+    size; the corpus-scale work is one single pass.
 
     Determinism: sims are the identical IEEE left fold in both
     engines; rank ties break on neighbor id; hit counts are exact
     integers."""
     from pyspark.sql.window import Window
 
-    pair_dot = _pair_dot_udf()
+    from duckdb_wasm_spark.operators.similarity import (
+        N_QUERIES,
+        panel_truth_memo,
+    )
+
+    assert KNNR_QUERIES == N_QUERIES  # one shared audit panel
     emb = load_table(spark, sf_dir, "embeddings")
     sigs = _emb_sigs_memo(spark, sf_dir)
     bits = _emb_corpus_bits(spark, sf_dir)
@@ -2472,22 +2479,18 @@ def knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na = norms.select(F.col("vec_id").alias("src"), F.col("norm").alias("norm_a"))
     nb_ = norms.select(F.col("vec_id").alias("nbr"), F.col("norm").alias("norm_b"))
-    w = Window.partitionBy("src").orderBy(F.col("sim").desc(), F.col("nbr"))
-    # exact ground truth: brute-force top-K for the panel
+    # exact ground truth: the shared persisted panel top-K
+    panel = panel_truth_memo(spark, sf_dir)
     truth = (
-        F.broadcast(ea.where(F.col("src") < KNNR_QUERIES).join(na, "src"))
-        .join(eb.join(nb_, "nbr"), F.col("src") != F.col("nbr"))
-        .withColumn(
-            "sim",
-            pair_dot(F.col("ea"), F.col("eb"))
-            / (F.col("norm_a") * F.col("norm_b")),
-        )
-        .withColumn("rank", F.row_number().over(w))
+        panel["truth"]
         .where(F.col("rank") <= KNN_K)
-        .select("src", "nbr")
-        .localCheckpoint()
+        .select(
+            F.col("query_id").alias("src"), F.col("neighbor_id").alias("nbr")
+        )
     )
-    n_true = truth.count()
+    n_true = panel.meta.get(f"n_top{KNN_K}")
+    if n_true is None:  # meta-less legacy artifact: count fallback
+        n_true = truth.count()
     # ONE flip-tagged probe join for all configs: nflips derives from
     # the mask's position in _probe_masks ([identity, 1-flips,
     # 2-flips] — documented order)
@@ -2531,57 +2534,95 @@ def knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(eb.join(nb_, "nbr"), "nbr")
         .withColumn(
             "sim",
-            pair_dot(F.col("ea"), F.col("eb"))
-            / (F.col("norm_a") * F.col("norm_b")),
+            # JVM-side fold (r15): the pandas-UDF pair dot shuttled
+            # BOTH 64-dim arrays per candidate pair over Arrow; the
+            # codegen zip_with/aggregate form stays in the JVM and is
+            # the same IEEE left fold (bit-identical, sim_topk_brute's
+            # own formula)
+            dot_fold("ea", "eb") / (F.col("norm_a") * F.col("norm_b")),
         )
         .select("src", "nbr", "sim", "mf_full", "mf_half")
-        .localCheckpoint()
     )
-    outs = []
-    for nbands, mflips in KNNR_CONFIGS:
-        mf = F.col("mf_full") if nbands == HP_BANDS else F.col("mf_half")
-        ranked = sims.where(mf <= mflips).withColumn(
-            "rank", F.row_number().over(w)
-        )
-        flagged = ranked.join(
-            truth.withColumn("is_true", F.lit(1)), ["src", "nbr"], "left"
-        )
-        outs.append(
-            flagged.agg(
-                F.count(F.lit(1)).alias("n_candidates"),
-                F.coalesce(
-                    F.sum(
-                        F.when(
-                            (F.col("rank") <= KNN_K)
-                            & F.col("is_true").isNotNull(),
-                            1,
-                        ).otherwise(0)
-                    ),
-                    F.lit(0),
-                )
-                .cast("long")
-                .alias("n_hits"),
-            ).select(
+    # SINGLE-PASS config sweep (r15, replacing per-config filter
+    # branches over an eagerly localCheckpoint'ed sims frame — the
+    # checkpoint job was ~2s of the call's wall and existed only so 4
+    # branches could rescan without recompute): each candidate pair
+    # explodes to the configs whose min-flips bound admits it, ONE
+    # window ranks every (config, src) group, ONE aggregate emits all
+    # rows — the whole query is now a single lazy plan, no
+    # materialization barrier. A config whose filter admits no pairs
+    # still emits its row via the left join from the literal config
+    # frame.
+    cfg_structs = [
+        F.when(
+            (
+                F.col("mf_full")
+                if nbands == HP_BANDS
+                else F.col("mf_half")
+            )
+            <= mflips,
+            F.struct(
                 F.lit(nbands).alias("n_bands"),
                 F.lit(mflips).alias("max_flips"),
-                "n_candidates",
-                "n_hits",
-            )
+            ),
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
+        for nbands, mflips in KNNR_CONFIGS
+    ]
+    tagged = sims.select(
+        "src",
+        "nbr",
+        "sim",
+        F.explode(F.array_compact(F.array(*cfg_structs))).alias("cfg"),
+    ).select("src", "nbr", "sim", "cfg.n_bands", "cfg.max_flips")
+    wc = Window.partitionBy("n_bands", "max_flips", "src").orderBy(
+        F.col("sim").desc(), F.col("nbr")
+    )
+    flagged = tagged.withColumn("rank", F.row_number().over(wc)).join(
+        F.broadcast(truth.withColumn("is_true", F.lit(1))),
+        ["src", "nbr"],
+        "left",
+    )
+    agg = flagged.groupBy("n_bands", "max_flips").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(
+            F.when(
+                (F.col("rank") <= KNN_K) & F.col("is_true").isNotNull(),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_hits"),
+    )
+    cfgs = spark.createDataFrame(
+        [(int(b), int(m)) for b, m in KNNR_CONFIGS],
+        "n_bands int, max_flips int",
+    )
     recall = F.when(
         F.lit(n_true) > 0, F.col("n_hits").cast("double") / F.lit(n_true)
     )
-    return out.select(
-        "n_bands",
-        "max_flips",
-        "n_candidates",
-        "n_hits",
-        F.lit(n_true).cast("long").alias("n_true"),
-        recall.alias("recall"),
-    ).orderBy("n_bands", "max_flips")
+    return (
+        # Catalyst broadcasts the 4-row agg side of the left join
+        cfgs.join(agg, ["n_bands", "max_flips"], "left")
+        .select(
+            "n_bands",
+            "max_flips",
+            F.coalesce(F.col("n_candidates"), F.lit(0))
+            .cast("long")
+            .alias("n_candidates"),
+            F.coalesce(F.col("n_hits"), F.lit(0))
+            .cast("long")
+            .alias("n_hits"),
+        )
+        .select(
+            "n_bands",
+            "max_flips",
+            "n_candidates",
+            "n_hits",
+            F.lit(n_true).cast("long").alias("n_true"),
+            recall.alias("recall"),
+        )
+        .orderBy("n_bands", "max_flips")
+    )
 
 
 def _knn_recall_sql() -> str:

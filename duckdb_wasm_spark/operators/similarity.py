@@ -69,11 +69,10 @@ def _q(name):
 
 
 # -------------------------------------------------------- sim_topk_brute
-@_q("sim_topk_brute")
-def sim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-k neighbors by cosine for the query panel (vec_id <
-    N_QUERIES), self excluded. Ties break on neighbor id."""
-    emb = load_table(spark, sf_dir, "embeddings")
+def _panel_brute_topk(emb: DataFrame, k: int) -> DataFrame:
+    """Exact cosine top-`k` for the query panel (vec_id < N_QUERIES),
+    self excluded, ties on neighbor id — the one brute-force pass both
+    panel consumers (sim_topk_brute, dedup.knn_graph_recall) share."""
     normed = emb.select(
         "vec_id",
         "embedding",
@@ -100,6 +99,74 @@ def sim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sim"),
         )
         .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def panel_truth_memo(spark: SparkSession, sf_dir: str):
+    """DISK-PERSISTED exact panel ground truth (r14 verdict #2): the
+    O(|Q|·N) brute-force top-k over the 50-vector audit panel is SHARED
+    derived state — sim_topk_brute serves it as its result and
+    knn_graph_recall re-derived the identical frame per call as its
+    recall denominator (3.9s of its wall at sf0.1). One `panel_truth`
+    artifact (query_id, neighbor_id, rank, sim — top-PANEL_K so every
+    consumer's k filters down) built once per corpus snapshot; the
+    recall audit becomes its witness join + filters only. `"raw"`
+    layout: ≤ N_QUERIES × PANEL_K rows, every consumer broadcasts or
+    aggregates it. Per-k truth-row counts ride the `_META.json` sidecar
+    so the recall denominator costs no count() job on reload (the
+    graph n_nodes pattern). Returns the _LazyFrames ({"truth": frame},
+    .meta) — consumers take .meta and ["truth"].
+
+    Determinism: the sim fold is the shared IEEE left fold
+    (dedup.dot_fold ≡ the oracle's list_reduce), ranks total via the
+    neighbor-id tie-break, so reload ≡ rebuild value-for-value
+    (parity test in tests/test_artifacts.py)."""
+    # KNN_K lives in dedup (the consumer); import here is cycle-free
+    # (dedup imports nothing from similarity at module level)
+    from duckdb_wasm_spark.artifacts import persisted_frames
+    from duckdb_wasm_spark.operators.dedup import KNN_K
+
+    panel_k = max(TOP_K, KNN_K)
+
+    def _build() -> dict[str, DataFrame]:
+        return {
+            "truth": _panel_brute_topk(
+                load_table(spark, sf_dir, "embeddings"), panel_k
+            )
+        }
+
+    def _meta(built: dict[str, DataFrame]) -> dict:
+        t = built["truth"]
+        return {
+            f"n_top{k}": t.where(F.col("rank") <= k).count()
+            for k in sorted({TOP_K, KNN_K})
+        }
+
+    return persisted_frames(
+        spark,
+        "panel_truth",
+        sf_dir,
+        ("embeddings",),
+        _build,
+        layout={"truth": "raw"},
+        # every baked consumer constant rides the fingerprint (the
+        # r14 artifact-lifecycle line): a panel or k bump rebuilds
+        # instead of serving a stale truth set
+        version=f"Q={N_QUERIES};K={panel_k};meta={TOP_K},{KNN_K}",
+        meta_build=_meta,
+    )
+
+
+@_q("sim_topk_brute")
+def sim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k neighbors by cosine for the query panel (vec_id <
+    N_QUERIES), self excluded. Ties break on neighbor id. Served from
+    the shared `panel_truth` artifact (r14 verdict #2) — the brute
+    pass runs once per corpus snapshot, not once per call."""
+    return (
+        panel_truth_memo(spark, sf_dir)["truth"]
         .where(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", "sim")
     )

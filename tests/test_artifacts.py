@@ -632,6 +632,30 @@ def test_minhash_sigs_reload_equals_rebuild(spark, sf_dir):
     assert fresh.exceptAll(served).count() == 0
 
 
+def test_panel_truth_reload_equals_rebuild(spark, sf_dir):
+    """The disk-persisted exact panel ground truth (r15, r14 verdict
+    #2) must serve exactly what a fresh brute-force derivation
+    computes — the sim is the sequential IEEE left fold (dot_fold), so
+    the doubles are bit-deterministic and exceptAll is exact — and the
+    _META sidecar's per-k truth counts must match the frame, so
+    knn_graph_recall's no-job denominator is the real count."""
+    from duckdb_wasm_spark.operators import dedup, similarity
+    from duckdb_wasm_spark.tables import load_table
+
+    panel = similarity.panel_truth_memo(spark, sf_dir)
+    served = panel["truth"]
+    panel_k = max(similarity.TOP_K, dedup.KNN_K)
+    fresh = similarity._panel_brute_topk(
+        load_table(spark, sf_dir, "embeddings"), panel_k
+    )
+    assert served.exceptAll(fresh).count() == 0
+    assert fresh.exceptAll(served).count() == 0
+    for k in sorted({similarity.TOP_K, dedup.KNN_K}):
+        assert panel.meta[f"n_top{k}"] == served.where(
+            F.col("rank") <= k
+        ).count()
+
+
 def test_prefetch_materializes_concurrently_and_memoizes(spark, scratch_sf):
     """prefetch() must materialize the named frames (and only those),
     return self, and leave the usual identity-memo semantics intact —

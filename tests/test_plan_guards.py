@@ -30,11 +30,12 @@ BNLJ_ALLOWED = {
         "three 1-row aggregate frames (doc stats x gram-df stats x "
         "candidate count) scalar-crossed into the single output row"
     ),
-    "sim_topk_brute": "query panel: N_QUERIES=50 rows, fixed by the API",
-    # knn_graph_recall's 50-row-panel truth BNLJ executes behind a
-    # localCheckpoint, so it never appears in the returned plan this
-    # guard inspects — no allowance needed (r10: the stale entry was
-    # removed when this test started asserting allowances are live)
+    # sim_topk_brute: the 50-row-panel BNLJ moved into the persisted
+    # panel_truth frame's one-time BUILD (r15, r14 verdict #2) — the
+    # served plan is the artifact scan with no BNLJ, so no allowance
+    # knn_graph_recall's truth BNLJ likewise lives in the panel_truth
+    # BUILD as of r15 (before that: behind a localCheckpoint); the
+    # served plan is witness equi-joins only — no allowance needed
     # embed_dim_truncation_audit's 50-row-panel BNLJ executes behind
     # the checkpointed single-pass pairs frame as of r10 — not in the
     # returned plan, so no allowance
