@@ -26,11 +26,16 @@ def main():
     from bench import _build_session
 
     qs = entrymod.queries()
-    spark = _build_session(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = _build_session(cpus)
     from duckdb_wasm_spark.tables import load_table
 
     load_table(spark, sf_dir, "lineitem").count()
-    spark.range(128, numPartitions=32).mapInPandas(lambda it: it, "id long").count()
+    # worker-pool warm-up sized to the configured parallelism (r14
+    # ADVICE on graph_cold_sweep.py, applied here too); mirrors bench.py
+    spark.range(cpus * 4, numPartitions=cpus).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
     out = {}
     for n in names:
         walls = []
