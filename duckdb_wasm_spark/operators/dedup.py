@@ -351,8 +351,14 @@ def dedup_skew_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the surviving candidate-pair count whose per-key fan-out is
     bounded at cap² by construction.
 
-    Plan: one shingle pass over the skewed corpus, a gram-df
-    aggregate, the capped equi-join, then four bounded aggregates
+    Plan: ONE shingle pass over the skewed corpus — the exploded gram
+    frame is localCheckpoint'd (r15) because FOUR plan branches read
+    it (the df aggregate feeding gram_stats, the cap filter, and both
+    sides of the candidate self-join): un-materialized, each branch
+    re-ran the synthetic-concat + tokenize + explode subtree (no
+    reusable exchange sits below the df aggregate), ~4× the corpus
+    pass for one measured pass's information. Then a gram-df
+    aggregate, the capped equi-join, and four bounded aggregates
     (1-row frames) scalar-crossed into the single output row —
     BNLJ-allowlisted, never the corpus. Pytest additionally pins
     max_df_kept ≤ NGRAM_MAX_DF < max_df_raw."""
@@ -371,7 +377,7 @@ def dedup_skew_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_boiler_docs"
         ),
     )
-    grams = _gram_sets(docs)
+    grams = _gram_sets(docs).localCheckpoint()
     dfc = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
     gram_stats = dfc.agg(
         F.count(F.lit(1)).alias("n_grams_total"),
@@ -927,9 +933,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: banded bucket join on 15-bit sub-signatures, then
     Hamming-distance verify on the full 60-bit signature. A pair within
     Hamming distance 3 of 60 is guaranteed caught (pigeonhole over 4
-    bands); this run uses a looser HAMMING_MAX so the verify matters."""
+    bands); this run uses a looser HAMMING_MAX so the verify matters.
+
+    r15: the banded signature frame is localCheckpoint'd — both sides
+    of the bucket self-join read it, and un-materialized each side
+    re-ran the tokenize + 60-bit-hash + bit-vote signature build
+    (the expensive half of the query) from the scan."""
     docs = load_table(spark, sf_dir, "documents")
-    bands = _simhash_bands(docs)
+    bands = _simhash_bands(docs).localCheckpoint()
     a = bands.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"),
         "band", "band_val",
@@ -2136,19 +2147,23 @@ def dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: signatures are the persisted ingest artifact
     (_minhash_sigs_memo, r14 — each config re-bands the same 16
-    columns: md5 of the row-concat per band);
-    per config the candidate join is the same (band, key) equi-join as
-    dedup_minhash, and the truth set (the posting-list exact query,
-    checkpointed once) flags true positives via a left join. Every
-    per-config frame ends in a 1-row aggregate, so the sweep's output
-    is |configs| rows regardless of corpus size; the only corpus-scale
-    work is the signature build and the exact ground truth — both
-    single-pass plans documented on their own operators. One driver
-    scalar (the truth count) rides into the recall expression as a
-    literal, CC-loop-style."""
+    columns: md5 of the row-concat per band). SINGLE-PASS sweep
+    (r15): all four configs' band keys ride ONE explode (a
+    config-tagged struct per (cfg, band)), so the sweep is one
+    (cfg, band, key) equi-join + one distinct + one truth left-join
+    + one |configs|-row groupBy — where the r14 form ran the
+    explode/join/distinct/aggregate chain FOUR times (4× the
+    scheduling floor for byte-identical shuffle volume: the four
+    config joins partition the same 30 band rows per doc). A 4-row
+    literal config frame left-joins the aggregate so a config whose
+    candidate set is EMPTY still emits its zero row exactly as the
+    per-config global aggregates did. Truth (the posting-list exact
+    query, checkpointed once) is unchanged; one driver scalar (the
+    truth count) rides into the recall expression as a literal,
+    CC-loop-style."""
     # signatures served from the persisted ingest artifact (r14) —
     # the sweep's corpus-scale work is then only the ground truth and
-    # the per-config band joins it exists to measure
+    # the (now single) band join it exists to measure
     sigs = _minhash_sigs_memo(spark, sf_dir)
     truth = (
         dedup_ngram_jaccard(spark, sf_dir)
@@ -2156,57 +2171,62 @@ def dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     n_true = truth.count()
-    outs = []
-    for nb, rpb in LSH_TUNE_CONFIGS:
-        band_structs = F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.md5(
-                        F.concat_ws(
-                            "|",
-                            *[
-                                F.col(f"s{b * rpb + r}").cast("string")
-                                for r in range(rpb)
-                            ],
-                        )
-                    ).alias("key"),
-                )
-                for b in range(nb)
-            ]
-        )
-        bands = sigs.select(
-            "doc_id", F.explode(band_structs).alias("bk")
-        ).select("doc_id", "bk.band", "bk.key")
-        a = bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
-        b2 = bands.select(F.col("doc_id").alias("doc_b"), "band", "key")
-        cand = (
-            a.join(b2, ["band", "key"])
-            .where(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-            .distinct()
-        )
-        flagged = cand.join(
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(ci).alias("cfg"),
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"s{b * rpb + r}").cast("string")
+                            for r in range(rpb)
+                        ],
+                    )
+                ).alias("key"),
+            )
+            for ci, (nb, rpb) in enumerate(LSH_TUNE_CONFIGS)
+            for b in range(nb)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id", F.explode(band_structs).alias("bk")
+    ).select("doc_id", "bk.cfg", "bk.band", "bk.key")
+    a = bands.select(F.col("doc_id").alias("doc_a"), "cfg", "band", "key")
+    b2 = bands.select(F.col("doc_id").alias("doc_b"), "cfg", "band", "key")
+    cand = (
+        a.join(b2, ["cfg", "band", "key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("cfg", "doc_a", "doc_b")
+        .distinct()
+    )
+    per_cfg = (
+        cand.join(
             truth.withColumn("is_true", F.lit(1)),
             ["doc_a", "doc_b"],
             "left",
         )
-        outs.append(
-            flagged.agg(
-                F.count(F.lit(1)).alias("n_candidates"),
-                F.coalesce(F.sum("is_true"), F.lit(0))
-                .cast("long")
-                .alias("n_true_pos"),
-            ).select(
-                F.lit(nb).alias("n_bands"),
-                F.lit(rpb).alias("rows_per_band"),
-                "n_candidates",
-                "n_true_pos",
-            )
+        .groupBy("cfg")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.coalesce(F.sum("is_true"), F.lit(0))
+            .cast("long")
+            .alias("n_true_pos"),
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
+    )
+    cfgs = spark.createDataFrame(
+        [(ci, nb, rpb) for ci, (nb, rpb) in enumerate(LSH_TUNE_CONFIGS)],
+        "cfg int, n_bands int, rows_per_band int",
+    )
+    out = cfgs.join(per_cfg, "cfg", "left").select(
+        "n_bands",
+        "rows_per_band",
+        F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+        F.coalesce("n_true_pos", F.lit(0).cast("long")).alias(
+            "n_true_pos"
+        ),
+    )
     recall = F.when(
         F.lit(n_true) > 0,
         F.col("n_true_pos").cast("double") / F.lit(n_true),

@@ -630,19 +630,30 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     real corpus yields, the cascade is exactly what the rounds absorb.
 
     Plan: edges hash-partitioned by src once and localCheckpoint'd per
-    round (lineage stays one round deep, the partitioning is reused by
-    every degree aggregate); each peel is one partial+final count and
-    two LeftSemi joins on the (shrinking) survivor frame — at the
-    gated scale AQE broadcasts the survivor side, at cluster scale the
-    join co-partitions. Nothing collects; the only driver scalar is
-    the final convergence count, one aggregate, CC-loop legitimacy
-    class (dedup.py).
+    EXECUTED round (lineage stays one round deep, the partitioning is
+    reused by every degree aggregate); each peel is one partial+final
+    count and two LeftSemi joins on the (shrinking) survivor frame —
+    at the gated scale AQE broadcasts the survivor side, at cluster
+    scale the join co-partitions. Nothing collects; the per-round
+    driver scalar is the under-K count — the CC loop's convergence-
+    test discipline (r15): when a round finds NO node under K the
+    remaining peels are provably identity filters (keep = every src,
+    both semi-joins no-ops), so the loop exits instead of running
+    them — the r14 form executed all KCORE_ROUNDS unconditionally and
+    on this near-regular graph (converged after one peel) paid three
+    no-op rounds of semi-join + checkpoint wall per call. A graph
+    still peeling after KCORE_ROUNDS rounds raises exactly as before
+    (the final under-K count IS the old fixpoint assertion).
 
     Output: one row per side — is_supplier, n_nodes, n_edges (directed
     out-edges inside the core), min_deg / max_deg within the core."""
     edges = _edges(spark, sf_dir, "sym")
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    converged = False
     for _ in range(KCORE_ROUNDS):
-        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        if deg.where(F.col("d") < KCORE_K).count() == 0:
+            converged = True  # fixpoint: remaining peels are no-ops
+            break
         keep = deg.where(F.col("d") >= KCORE_K).select("src")
         edges = (
             edges.join(keep, "src", "left_semi")
@@ -651,16 +662,18 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
-    final_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    final_deg = deg
     # fixpoint assertion: one driver scalar (CC-loop discipline) — a
     # node still under K after KCORE_ROUNDS peels means the cascade
     # outran the unroll budget; raise rather than emit a non-core.
-    not_core = final_deg.where(F.col("d") < KCORE_K).count()
-    if not_core:
-        raise RuntimeError(
-            f"k-core peel did not converge in {KCORE_ROUNDS} rounds: "
-            f"{not_core} nodes below K={KCORE_K}"
-        )
+    if not converged:
+        not_core = final_deg.where(F.col("d") < KCORE_K).count()
+        if not_core:
+            raise RuntimeError(
+                f"k-core peel did not converge in {KCORE_ROUNDS} rounds: "
+                f"{not_core} nodes below K={KCORE_K}"
+            )
     return (
         final_deg.groupBy((F.col("src") % 2 == 1).alias("is_supplier"))
         .agg(

@@ -3099,25 +3099,33 @@ def sim_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     each result is relevant AND novel — the diversification step
     retrieval pipelines run between ANN shortlist and answer.
 
-    Greedy selection is inherently sequential in k, so the MMR_K
-    steps are UNROLLED (the Lloyd/PageRank fixed-chain discipline):
-    step 1 takes the top cosine hit; each later step anti-joins the
-    shortlist against the picks, computes each survivor's worst-case
-    redundancy against the picked set (a per-query ≤CAND×k pair
-    frame), and takes the per-query argmax of the MMR score with ties
-    on neighbor id. The oracle replays the identical chain.
+    Greedy selection is inherently sequential in k but LOCAL to one
+    query's ≤MMR_CAND-row shortlist, so it runs per query group in a
+    single grouped-map stage (r15 rewrite): the old form UNROLLED the
+    MMR_K steps as Spark jobs — 5 eager localCheckpoints and per step
+    an anti-join + pair aggregate + rank-1 window over a ≤|Q|·CAND-row
+    frame, ~3.6s of per-call wall that was pure job-scheduling floor.
+    The per-group greedy is exact replay of the same arithmetic: the
+    candidate sims still come from the JVM fold dot (computed before
+    the boundary), and the in-group pair dot is the identical IEEE
+    left fold (acc = 0.0; acc += double(x)·double(y) in element order
+    — the same op sequence as dot_fold / DuckDB's list_reduce, pinned
+    by test_mmr_matches_numpy_greedy_replay). The oracle replays the
+    identical chain as unrolled SQL CTEs.
 
-    Determinism: all sims ride the shared fold dot; the score
-    λ·sim − (1−λ)·red is the same two IEEE ops both engines; every
-    argmax key ((score desc, nid), (sim desc, nid)) is total.
+    Determinism: score λ·sim − (1−λ)·red is the same two IEEE ops in
+    all three forms; every argmax key ((score desc, nid), (sim desc,
+    nid)) is total, compared on bit-identical doubles.
 
     Plan (100 TB): ONE corpus-scale stage — the brute shortlist scan
     (broadcast 50-query panel, WindowGroupLimit top-CAND per query,
     the sim_topk_brute shape; swap in the IVF probe for a trained
-    shortlist at scale). Everything after runs on the checkpointed
-    ≤|Q|·CAND-row shortlist: per step one anti-join, one pair
-    aggregate, one rank-1 window — frames bounded by the panel, never
-    the corpus."""
+    shortlist at scale) — then ONE grouped-map stage over the
+    shortlist, reusing the window's hash partitioning by qid (no
+    extra exchange). Per-group state is ≤CAND rows × EMB_DIM floats
+    at any corpus size; groups parallelize across the panel."""
+    import pandas as pd
+
     emb = load_table(spark, sf_dir, "embeddings")
     normed = emb.select(
         "vec_id",
@@ -3151,56 +3159,56 @@ def sim_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= MMR_CAND)
-        .localCheckpoint()
+        .select("qid", "nid", "en", "nn", "sim")
     )
-    sel = (
-        cand.where(F.col("rk") == 1)
-        .select("qid", "nid", "en", "nn", "sim", F.lit(1).alias("step"))
-        .localCheckpoint()
-    )
-    lam = F.lit(MMR_LAMBDA)
-    for t in range(2, MMR_K + 1):
-        rem = cand.join(
-            sel.select("qid", "nid"), ["qid", "nid"], "left_anti"
+
+    lam = MMR_LAMBDA
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one query's shortlist: order by (sim desc, nid asc) — the
+        # step-1 window key; doubles are bit-identical to the JVM's
+        pdf = pdf.sort_values(
+            ["sim", "nid"], ascending=[False, True]
+        ).reset_index(drop=True)
+        nids = pdf["nid"].tolist()
+        sims = pdf["sim"].tolist()
+        ens = pdf["en"].tolist()
+        nns = pdf["nn"].tolist()
+
+        def pair(i: int, j: int) -> float:
+            # dot_fold replayed exactly: double-cast elementwise
+            # products, left fold from 0.0 (same IEEE op order)
+            acc = 0.0
+            for x, y in zip(ens[i], ens[j]):
+                acc += float(x) * float(y)
+            return acc / (nns[i] * nns[j])
+
+        picks = [0]  # rank-1 row IS step 1's argmax
+        remaining = list(range(1, len(nids)))
+        for _t in range(2, MMR_K + 1):
+            if not remaining:  # shortlist exhausted: same truncation
+                break  # as the unrolled form's empty anti-join
+            best, best_key = None, None
+            for i in remaining:
+                red = max(pair(i, j) for j in picks)
+                score = lam * sims[i] - (1.0 - lam) * red
+                key = (-score, nids[i])  # (score desc, nid asc)
+                if best is None or key < best_key:
+                    best, best_key = i, key
+            picks.append(best)
+            remaining.remove(best)
+        return pd.DataFrame(
+            {
+                "query_id": [int(pdf["qid"].iloc[0])] * len(picks),
+                "neighbor_id": [int(nids[i]) for i in picks],
+                "step": list(range(1, len(picks) + 1)),
+                "sim": [sims[i] for i in picks],
+            }
         )
-        red = (
-            rem.join(
-                sel.select(
-                    "qid",
-                    F.col("en").alias("es"),
-                    F.col("nn").alias("ns"),
-                ),
-                "qid",
-            )
-            .select(
-                "qid",
-                "nid",
-                (
-                    dot_fold("en", "es") / (F.col("nn") * F.col("ns"))
-                ).alias("pair"),
-            )
-            .groupBy("qid", "nid")
-            .agg(F.max("pair").alias("red"))
-        )
-        score = lam * F.col("sim") - (F.lit(1.0) - lam) * F.col("red")
-        pw = Window.partitionBy("qid").orderBy(
-            F.col("score").desc(), F.col("nid").asc()
-        )
-        pick = (
-            rem.join(red, ["qid", "nid"])
-            .withColumn("score", score)
-            .withColumn("prk", F.row_number().over(pw))
-            .where(F.col("prk") == 1)
-            .select(
-                "qid", "nid", "en", "nn", "sim", F.lit(t).alias("step")
-            )
-        )
-        sel = sel.unionByName(pick).localCheckpoint()
-    return sel.select(
-        F.col("qid").alias("query_id"),
-        F.col("nid").alias("neighbor_id"),
-        "step",
-        "sim",
+
+    return cand.groupBy("qid").applyInPandas(
+        _greedy,
+        "query_id long, neighbor_id long, step int, sim double",
     )
 
 

@@ -354,11 +354,17 @@ def sketch_bloom_decontaminate(
     the eval suite grows — where decontaminate_ngram's broadcast
     inverted index grows with the eval set, the Bloom broadcast is
     capped; the probe is an equi-join on bit position, and a gram
-    survives only if all k probes hit (count(k) == k)."""
+    survives only if all k probes hit (count(k) == k).
+
+    r15: the exploded 5-gram frame is localCheckpoint'd — FIVE plan
+    branches read it (the eval bitset, the probe stream, the exact
+    semi-join's both sides, the per-doc gram counts) and each re-ran
+    the tokenize+explode subtree un-materialized; one corpus pass
+    now feeds all five."""
     docs = load_table(spark, sf_dir, "documents")
     shingled = docs.select(
         "doc_id", F.explode(ngrams(toks(), BLOOM_N)).alias("gram")
-    )
+    ).localCheckpoint()
     ev = shingled.where(F.col("doc_id") % BLOOM_EVAL_MOD == 0)
     train = shingled.where(F.col("doc_id") % BLOOM_EVAL_MOD != 0).select(
         F.col("doc_id").alias("train_id"), "gram"
@@ -724,9 +730,13 @@ def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
+    # r15: FOUR plan branches read the distinct per-source vocabulary
+    # (the sketch build, the exact sizes, both sides of the exact
+    # intersection join) — localCheckpoint it so the tokenize +
+    # explode + distinct pass runs once instead of per branch
     vocab = docs.select(
         "source", F.explode(ngrams(toks(), KMV_N)).alias("gram")
-    ).distinct()
+    ).distinct().localCheckpoint()
     hashed = vocab.select(
         "source",
         "gram",

@@ -1437,17 +1437,25 @@ def corpus_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gram (postings shape — never corpus x corpus), one (doc) count
     aggregate, one (source, decile) rollup. All hash aggregates with
     map-side combine; nothing sorts the corpus. An incremental ingest
-    maintains the same index as a running min."""
+    maintains the same index as a running min.
+
+    r15: the distinct per-doc trigram sets are served from the shared
+    gram_index ingest artifact (the identical trigrams(toks()) set
+    dedup's posting family reads) instead of re-tokenizing — TWO plan
+    branches (the first-occurrence aggregate and the join back) each
+    re-ran the explode subtree; the source label joins onto the
+    PER-DOC aggregate (one narrow scan), not the gram stream."""
+    from duckdb_wasm_spark.operators.dedup import _gram_index_memo
+
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id",
-        "source",
-        F.explode(trigrams(toks())).alias("gram"),
+    grams = (
+        _gram_index_memo(spark, sf_dir)["arrays"]
+        .select("doc_id", F.explode("grams").alias("gram"))
     )
     first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     per_doc = (
         grams.join(first, "gram")
-        .groupBy("doc_id", "source")
+        .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("total"),
             F.sum(
@@ -1456,6 +1464,7 @@ def corpus_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("novel"),
         )
+        .join(docs.select("doc_id", "source"), "doc_id")
     )
     # integer floor-division in BOTH engines: `/` is double division
     # whose cast ROUNDS in DuckDB but truncates in Spark

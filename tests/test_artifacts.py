@@ -729,3 +729,31 @@ def test_multifile_reload_parallelism_and_values(spark, scratch_sf):
     )
     assert u.rdd.getNumPartitions() >= len(files)
     _clean("t_union")
+
+
+def test_quality_scores_reload_equals_rebuild(spark, sf_dir):
+    """The disk-persisted per-doc quality features (r15) must serve
+    exactly what a fresh scored-pass derivation computes — doc_id,
+    lang, source, n_tokens, quality, fp — for every column the eight
+    pipeline consumers read."""
+    from duckdb_wasm_spark.operators import pipeline as pl
+    from duckdb_wasm_spark.tables import load_table
+
+    served = pl._scored_memo(spark, sf_dir).select(
+        "doc_id", "lang", "source", "n_tokens", "quality", "fp"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    fresh = (
+        pl._scored(docs)
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "quality",
+            F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
+        )
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "lang", "source", "n_tokens", "quality", "fp")
+    )
+    assert served.exceptAll(fresh).count() == 0
+    assert fresh.exceptAll(served).count() == 0

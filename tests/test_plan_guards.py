@@ -33,6 +33,12 @@ BNLJ_ALLOWED = {
     # sim_topk_brute: the 50-row-panel BNLJ moved into the persisted
     # panel_truth frame's one-time BUILD (r15, r14 verdict #2) — the
     # served plan is the artifact scan with no BNLJ, so no allowance
+    "sim_topk_mmr": (
+        "query panel broadcast: N_QUERIES=50 rows by construction "
+        "(the sim_topk_brute shortlist shape; visible in the plan "
+        "since the r15 grouped-map rewrite dropped the shortlist "
+        "checkpoint that used to hide it)"
+    ),
     # knn_graph_recall's truth BNLJ likewise lives in the panel_truth
     # BUILD as of r15 (before that: behind a localCheckpoint); the
     # served plan is witness equi-joins only — no allowance needed
