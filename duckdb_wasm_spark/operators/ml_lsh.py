@@ -59,7 +59,10 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = HashingTF(
         inputCol="tokens", outputCol="features", numFeatures=1 << 14, binary=True
     )
-    feats = tf.transform(docs)
+    # localCheckpoint (r15): approxSimilarityJoin self-joins the frame,
+    # and un-materialized BOTH sides re-ran tokenize + trigram +
+    # HashingTF from the scan (no ReusedExchange under the ML explode)
+    feats = tf.transform(docs).localCheckpoint()
     mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4,
                     seed=SEED)
     model = mh.fit(feats)
@@ -85,9 +88,11 @@ def ann_brp_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
+    # localCheckpoint (r15): same self-join shape as dedup_minhash_ml —
+    # materialize the vectorized frame once instead of per join side
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", array_to_vector(F.col("embedding")).alias("features")
-    )
+    ).localCheckpoint()
     brp = BucketedRandomProjectionLSH(
         inputCol="features", outputCol="hashes", bucketLength=0.75,
         numHashTables=4, seed=SEED,
