@@ -306,16 +306,20 @@ def main() -> int:
         if k in slowest or v < 0
     }
     # the canonical committed artifact name is reserved for the
-    # documented methodology (default sf0.1 dir, raw layout, NO
-    # DuckDB interleave — r14 code review: with ABBA, a DUCKDB=1 run
-    # executes DuckDB between the Spark runs of each query, which
-    # perturbs the Spark walls; such a run must not overwrite the
-    # numbers round-over-round comparisons assume); any other config
-    # writes a suffixed sidecar so a quick sf0.01, staged, or
-    # side-by-side run can never silently replace the committed
-    # numbers (round-5 ADVICE)
+    # documented methodology (default sf0.1 dir, DEFAULT 32 cpus, raw
+    # layout, NO DuckDB interleave — r14 code review: with ABBA, a
+    # DUCKDB=1 run executes DuckDB between the Spark runs of each
+    # query, which perturbs the Spark walls; such a run must not
+    # overwrite the numbers round-over-round comparisons assume); any
+    # other config writes a suffixed sidecar so a quick sf0.01,
+    # staged, side-by-side, or low-core scaling run can never silently
+    # replace the committed numbers (round-5 ADVICE; the cpus term is
+    # r15 verdict #4 — the driver's 8-core scaling probe silently
+    # overwrote BENCH_FULL.json because the guard checked SF_DIR/
+    # stage/duckdb but not cpus)
     canonical = (
         os.environ.get("SPARK_GRAFT_SF_DIR") in (None, "/root/testdata/sf0.1")
+        and cpus == 32
         and not stage
         and not duck_enabled
     )
@@ -327,6 +331,7 @@ def main() -> int:
     # could never be regenerated by bench.py (r14 ADVICE)
     oracle_canonical = (
         os.environ.get("SPARK_GRAFT_SF_DIR") in (None, "/root/testdata/sf0.1")
+        and cpus == 32
         and not stage
     )
     full_name = (
