@@ -709,8 +709,14 @@ def connected_components(
     hand partially-merged clusters to a dedup pipeline that would then
     delete the wrong documents.
     """
+    # Per-round action fold (r15 verdict #6): the checkpoint is LAZY
+    # and the convergence-sum action right after it materializes it —
+    # the sum rides the same job that writes the checkpoint, so each
+    # round pays ONE job (was two: eager-checkpoint job + sum job).
+    # The aggregate count is unchanged; only the per-job scheduling
+    # floor (~0.2s/round at local scale) goes away.
     labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=False)
     prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
     for _ in range(max_iters):
         nbr_min = (
@@ -749,7 +755,7 @@ def connected_components(
                     F.coalesce(F.col("j_label"), F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("cluster_id")).first()[0]
         if cur_sum == prev_sum:
@@ -797,7 +803,9 @@ def _minhash_cc_nodes_edges(spark, sf_dir):
             )
         )
         .toDF("src", "dst")
-        .localCheckpoint(eager=True)
+        # lazy (r15 verdict #6): materializes inside CC round 1's
+        # convergence action instead of a standalone job
+        .localCheckpoint(eager=False)
     )
     return docs, edges
 
@@ -1459,7 +1467,9 @@ def _emb_cc_nodes_edges(spark, sf_dir):
             )
         )
         .toDF("src", "dst")
-        .localCheckpoint(eager=True)
+        # lazy (r15 verdict #6): materializes inside CC round 1's
+        # convergence action instead of a standalone job
+        .localCheckpoint(eager=False)
     )
     return vecs, edges
 

@@ -648,7 +648,20 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: one row per side — is_supplier, n_nodes, n_edges (directed
     out-edges inside the core), min_deg / max_deg within the core."""
     edges = _edges(spark, sf_dir, "sym")
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # deg is LAZILY localCheckpoint'd per round (r15 ADVICE): the
+    # convergence count AND the keep filter both consume it —
+    # uncached, each round ran the SAME degree aggregate twice over
+    # the checkpointed edges (once under the count action, once under
+    # the semi-joins). Lazy, not eager, so the materialization rides
+    # the count action that already runs every round (no extra job):
+    # the count computes the aggregate once into the checkpoint, and
+    # keep / the final per-side aggregate read the tiny materialized
+    # node frame instead of re-aggregating the edge frame.
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=False)
+    )
     converged = False
     for _ in range(KCORE_ROUNDS):
         if deg.where(F.col("d") < KCORE_K).count() == 0:
@@ -662,7 +675,11 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
-        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        deg = (
+            edges.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .localCheckpoint(eager=False)
+        )
     final_deg = deg
     # fixpoint assertion: one driver scalar (CC-loop discipline) — a
     # node still under K after KCORE_ROUNDS peels means the cascade

@@ -1187,7 +1187,9 @@ def pipeline_near_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .toDF("src", "dst")
-        .localCheckpoint(eager=True)
+        # lazy (r15 verdict #6): materializes inside CC round 1's
+        # convergence action instead of a standalone job
+        .localCheckpoint(eager=False)
     )
     labels = connected_components(surviving.select("doc_id"), edges)
     kept = surviving.join(
@@ -1796,7 +1798,9 @@ def pipeline_canonical_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .toDF("src", "dst")
-        .localCheckpoint(eager=True)
+        # lazy (r15 verdict #6): materializes inside CC round 1's
+        # convergence action instead of a standalone job
+        .localCheckpoint(eager=False)
     )
     labels = connected_components(surviving.select("doc_id"), edges)
     member = surviving.select(

@@ -3166,9 +3166,15 @@ def sim_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
         # one query's shortlist: order by (sim desc, nid asc) — the
-        # step-1 window key; doubles are bit-identical to the JVM's
+        # step-1 window key; doubles are bit-identical to the JVM's.
+        # na_position='first' replays Spark's NaN-greatest desc order
+        # (r15 ADVICE): a zero-norm embedding would yield sim = NaN,
+        # which the JVM window ranks FIRST while pandas defaults it
+        # LAST — no-op on this corpus (embeddings are non-degenerate
+        # by construction, nrm > 0 for every row), pinned so the
+        # grouped map can never silently diverge from the window key.
         pdf = pdf.sort_values(
-            ["sim", "nid"], ascending=[False, True]
+            ["sim", "nid"], ascending=[False, True], na_position="first"
         ).reset_index(drop=True)
         nids = pdf["nid"].tolist()
         sims = pdf["sim"].tolist()
@@ -3185,18 +3191,30 @@ def sim_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         picks = [0]  # rank-1 row IS step 1's argmax
         remaining = list(range(1, len(nids)))
+        # Running per-candidate max-redundancy (r15 ADVICE): the naive
+        # form recomputed pair(i, j) against EVERY pick at every step
+        # (O(K²·CAND·dim) Python work per group); picks persist across
+        # steps, so only the NEWEST pick can raise a candidate's max.
+        # `if p > red[i]` is exactly Python max()'s left fold (keeps
+        # the incumbent unless strictly greater, including its NaN
+        # behavior), so the value — and every downstream argmax — is
+        # bit-identical to the recompute-everything form.
+        red = {i: pair(i, 0) for i in remaining}
         for _t in range(2, MMR_K + 1):
             if not remaining:  # shortlist exhausted: same truncation
                 break  # as the unrolled form's empty anti-join
             best, best_key = None, None
             for i in remaining:
-                red = max(pair(i, j) for j in picks)
-                score = lam * sims[i] - (1.0 - lam) * red
+                score = lam * sims[i] - (1.0 - lam) * red[i]
                 key = (-score, nids[i])  # (score desc, nid asc)
                 if best is None or key < best_key:
                     best, best_key = i, key
             picks.append(best)
             remaining.remove(best)
+            for i in remaining:
+                p = pair(i, best)
+                if p > red[i]:
+                    red[i] = p
         return pd.DataFrame(
             {
                 "query_id": [int(pdf["qid"].iloc[0])] * len(picks),
