@@ -350,63 +350,121 @@ def sketch_bloom_decontaminate(
     n_false_pos is the price of compressing the eval shingle set to m
     bits. Same eval split as decontaminate_ngram (doc_id % 20 == 0).
 
-    Scale: the bitset is <= m = 65536 set-bit rows NO MATTER how large
-    the eval suite grows — where decontaminate_ngram's broadcast
-    inverted index grows with the eval set, the Bloom broadcast is
-    capped; the probe is an equi-join on bit position, and a gram
-    survives only if all k probes hit (count(k) == k).
+    Scale: the bitset is <= m = 65536 BITS no matter how large the
+    eval suite grows — where decontaminate_ngram's broadcast inverted
+    index grows with the eval set, the Bloom broadcast is capped.
 
-    r15: the exploded 5-gram frame is localCheckpoint'd — FIVE plan
-    branches read it (the eval bitset, the probe stream, the exact
-    semi-join's both sides, the per-doc gram counts) and each re-ran
-    the tokenize+explode subtree un-materialized; one corpus pass
-    now feeds all five."""
+    r16 restructure (guide §2.3/§2.4 — shuffle fewer bytes, remove
+    shuffles; replaces the r15 localCheckpoint, whose write cost more
+    than the recompute it saved, −15% in the driver's run): the probe
+    is now an actual m-bit BITSET membership test instead of an
+    equi-join on exploded hash positions. Before: the train gram
+    stream was exploded 7× (one row per hash position), hash-joined
+    against the ≤65536-row set-bit frame, and the hits — ~7× the gram
+    stream at this filter's ~75% bit density — were shuffled into a
+    (train_id, gram) aggregate, with two more corpus-wide branches
+    (exact semi-join, per-doc counts) re-reading the gram stream.
+    After: ONE map-side-aggregated exchange builds the per-(doc,
+    gram) occurrence counts — and, as the only exchange the train
+    stream crosses before the final per-doc rollup, redistributes the
+    single-row-group scan across the cluster so the md5 probe work
+    parallelizes; the eval side collapses to a single-row dense
+    1024×long bitmask broadcast on a constant key; each distinct gram
+    probes its 7 positions with O(1) array-element bit tests in a
+    projection (no explode, no join, no per-gram shuffle); and ONE
+    final per-doc aggregate computes n_grams / n_bloom_hits /
+    n_exact_hits together (the eval-membership flag rides a broadcast
+    left join of the distinct eval grams). A probe-in-the-scan-stage
+    variant without the per-gram aggregate was measured SLOWER (3.2s
+    vs 2.7s min-warm): the raw layout's one-row-group scan runs the
+    14-md5s-per-gram projection single-threaded.
+
+    Exactness: the old probe's per-(train_id, gram) hit count over o
+    occurrences × 7 positions equals o·h (h = positions whose bit is
+    set, duplicates among the 7 count, as the join counted them), so
+    `count == k` ≡ `o·h == k` — the bitmask form tests exactly that
+    (ngrams() emits distinct shingles per doc, so o = 1 throughout,
+    but the o-form stays independent of that internal). The eval bit
+    positions derived from distinct eval grams are the same set as
+    from all eval rows. Oracle text unchanged; hash-green at all
+    three SFs."""
     docs = load_table(spark, sf_dir, "documents")
     shingled = docs.select(
         "doc_id", F.explode(ngrams(toks(), BLOOM_N)).alias("gram")
-    ).localCheckpoint()
-    ev = shingled.where(F.col("doc_id") % BLOOM_EVAL_MOD == 0)
-    train = shingled.where(F.col("doc_id") % BLOOM_EVAL_MOD != 0).select(
-        F.col("doc_id").alias("train_id"), "gram"
+    )
+    gcounts = shingled.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    # tiny shared frame (distinct eval grams): checkpointed so the
+    # bitmask build and the membership broadcast share one 5%-corpus
+    # pass instead of tokenizing the eval split once per consumer
+    ev_grams = (
+        gcounts.where(F.col("doc_id") % BLOOM_EVAL_MOD == 0)
+        .select("gram")
+        .distinct()
+        .localCheckpoint()
     )
     poss = ", ".join(_bloom_pos_expr(j, "gram") for j in range(BLOOM_K))
-    bits = (
-        ev.select(F.expr(f"explode(array({poss}))").alias("pos"))
+    n_words = BLOOM_M // 64
+    mask = (
+        ev_grams.select(F.expr(f"explode(array({poss}))").alias("pos"))
         .distinct()
-    )
-    probe = train.select(
-        "train_id", "gram", F.expr(f"explode(array({poss}))").alias("pos")
-    )
-    bloom_hits = (
-        probe.join(F.broadcast(bits), "pos")
-        .groupBy("train_id", "gram")
-        .agg(F.count(F.lit(1)).alias("k_hit"))
-        .where(F.col("k_hit") == BLOOM_K)
-        .groupBy("train_id")
-        .agg(F.count(F.lit(1)).alias("n_bloom_hits"))
-    )
-    exact_hits = (
-        train.join(
-            ev.select("gram").distinct(), "gram", "left_semi"
+        .groupBy(F.expr("pos div 64").alias("word"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(1L, cast(pos % 64 as int)))"
+            ).alias("w")
         )
-        .groupBy("train_id")
-        .agg(F.count(F.lit(1)).alias("n_exact_hits"))
+        .agg(
+            F.expr("map_from_entries(collect_list(struct(word, w)))")
+            .alias("m")
+        )
+        .select(
+            F.expr(
+                f"transform(sequence(0L, {n_words - 1}L), "
+                "i -> coalesce(try_element_at(m, i), 0L))"
+            ).alias("mask"),
+            F.lit(1).alias("k"),
+        )
     )
-    per_doc = train.groupBy("train_id").agg(
-        F.count(F.lit(1)).alias("n_grams")
+    # h = how many of the gram's k hash positions have their bit set
+    # (array duplicates among the k positions count, as the exploded
+    # join counted them)
+    h = " + ".join(
+        f"(shiftright(element_at(mask, "
+        f"cast(({_bloom_pos_expr(j, 'gram')}) div 64 as int) + 1), "
+        f"cast(({_bloom_pos_expr(j, 'gram')}) % 64 as int)) & 1)"
+        for j in range(BLOOM_K)
     )
     return (
-        per_doc.join(bloom_hits, "train_id", "left")
-        .join(exact_hits, "train_id", "left")
+        gcounts.where(F.col("doc_id") % BLOOM_EVAL_MOD != 0)
+        .select(F.col("doc_id").alias("train_id"), "gram", "o")
+        .withColumn("k", F.lit(1))
+        .join(F.broadcast(mask), "k")
+        .join(
+            F.broadcast(ev_grams.withColumn("in_ev", F.lit(1))),
+            "gram",
+            "left",
+        )
+        .select("train_id", "o", "in_ev", F.expr(h).alias("h"))
+        .groupBy("train_id")
+        .agg(
+            F.sum("o").alias("n_grams"),
+            F.sum(
+                F.when(F.col("o") * F.col("h") == BLOOM_K, 1).otherwise(0)
+            ).alias("n_bloom_hits"),
+            F.sum(
+                F.when(F.col("in_ev") == 1, F.col("o")).otherwise(F.lit(0))
+            ).alias("n_exact_hits"),
+        )
         .select(
             "train_id",
             "n_grams",
-            F.coalesce("n_bloom_hits", F.lit(0)).alias("n_bloom_hits"),
-            F.coalesce("n_exact_hits", F.lit(0)).alias("n_exact_hits"),
-            (
-                F.coalesce("n_bloom_hits", F.lit(0))
-                - F.coalesce("n_exact_hits", F.lit(0))
-            ).alias("n_false_pos"),
+            "n_bloom_hits",
+            "n_exact_hits",
+            (F.col("n_bloom_hits") - F.col("n_exact_hits")).alias(
+                "n_false_pos"
+            ),
         )
     )
 

@@ -2,7 +2,7 @@
 """Dump .explain('formatted') for named registry queries (dev tool).
 
 Usage: python scripts/explain_dump.py <suffix> q1 q2 ...
-Writes plans/r15/<name>_<suffix>.txt per query (the optimization-round
+Writes plans/r16/<name>_<suffix>.txt per query (the optimization-round
 plan evidence the judge checks claims against). Uses the same session
 config as bench.py. Note: building a query's DataFrame executes any
 eager training/checkpoint actions its plan construction runs, so the
@@ -31,7 +31,7 @@ def main():
     outdir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r15",
+        "r16",
     )
     os.makedirs(outdir, exist_ok=True)
     for n in names:

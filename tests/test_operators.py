@@ -687,6 +687,71 @@ def test_sketch_properties(spark, sf_dir):
         assert r.n_bloom_hits <= r.n_grams
 
 
+def test_bloom_bitmask_probe_matches_python_replay(spark, sf_dir):
+    """r16 restructure guard: the dense-bitmask membership probe must
+    agree with an independent Python replay of the md5 position
+    arithmetic. Every per-doc count is recomputed from the raw text
+    with hashlib + list slicing only (no Spark expressions): the
+    whitespace tokenize, the DISTINCT 5-gram shingles (ngrams() is
+    array_distinct, first-occurrence order), the k=7 bit positions,
+    and the all-positions-set membership rule."""
+    import hashlib
+
+    from duckdb_wasm_spark.operators import sketches
+    from duckdb_wasm_spark.tables import load_table
+
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+
+    def grams(text):
+        t = [x for x in text.split(" ") if x != ""]
+        n = sketches.BLOOM_N
+        seen, out = set(), []
+        for i in range(max(len(t) - n + 1, 0)):
+            g = " ".join(t[i : i + n])
+            if g not in seen:
+                seen.add(g)
+                out.append(g)
+        return out
+
+    def positions(g):
+        return [
+            int(hashlib.md5(f"bloom{j} {g}".encode()).hexdigest()[:15], 16)
+            % sketches.BLOOM_M
+            for j in range(sketches.BLOOM_K)
+        ]
+
+    bits = set()
+    ev_set = set()
+    for d, text in docs.items():
+        if d % sketches.BLOOM_EVAL_MOD == 0:
+            for g in grams(text):
+                ev_set.add(g)
+                bits.update(positions(g))
+    expect = {}
+    for d, text in docs.items():
+        if d % sketches.BLOOM_EVAL_MOD == 0:
+            continue
+        gs = grams(text)
+        if not gs:
+            continue
+        n_bloom = sum(
+            1 for g in gs if all(p in bits for p in positions(g))
+        )
+        n_exact = sum(1 for g in gs if g in ev_set)
+        expect[d] = (len(gs), n_bloom, n_exact)
+
+    got = {
+        r.train_id: (r.n_grams, r.n_bloom_hits, r.n_exact_hits)
+        for r in sketches.QUERIES["sketch_bloom_decontaminate"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == expect
+
+
 def test_pq_rerank_recall(spark, sf_dir):
     """PQ two-stage gate: the exact rerank over the ADC shortlist must
     reach recall@5 >= 0.8 vs sim_topk_brute and strictly beat the

@@ -30,6 +30,13 @@ BNLJ_ALLOWED = {
         "three 1-row aggregate frames (doc stats x gram-df stats x "
         "candidate count) scalar-crossed into the single output row"
     ),
+    "sketch_bloom_decontaminate": (
+        "dense Bloom bitmask: EXACTLY 1 row by construction (a global "
+        "aggregate folding the <=65536 set bits into one 1024-long "
+        "array) broadcast to the probe stream; the constant-key "
+        "equi-join folds to a BNLJ after literal propagation (r16 "
+        "bitset-probe restructure)"
+    ),
     # sim_topk_brute: the 50-row-panel BNLJ moved into the persisted
     # panel_truth frame's one-time BUILD (r15, r14 verdict #2) — the
     # served plan is the artifact scan with no BNLJ, so no allowance
