@@ -2961,7 +2961,6 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(prefix.select(F.col("doc_id").alias("doc_b"), "gram"), "gram")
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
-        .distinct()
     )
     # the doc->grams map is corpus-row-sized (no pair expansion) and
     # BROADCAST to the candidate stream, so the 788k-pair frame never
@@ -3006,16 +3005,29 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pushed too — which now works FOR us: one intersect per candidate
     # at the join, and the double jaccard below computes only for the
     # ~256 surviving pairs.
-    return verified.where(
-        F.lit(PFX_T_DEN + 1) * F.col("n_common")
-        >= F.col("n_a") + F.col("n_b")
-    ).select(
-        "doc_a",
-        "doc_b",
-        (
-            F.col("n_common").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-        ).alias("jaccard"),
+    # Dedup AFTER the threshold (r16, guide §2.4): the candidate join
+    # emits one row per SHARED prefix gram, and the old plan collapsed
+    # them with a full-width distinct — an exchange of the entire
+    # ~856k-row candidate stream to save 8.6% duplicate intersects
+    # (measured 855,810 raw vs 788,124 distinct at sf0.1). Verifying
+    # the raw stream instead and de-duplicating the ~290 surviving
+    # rows removes that corpus-scale exchange outright; n_common /
+    # jaccard are deterministic per pair, so the late distinct yields
+    # the identical set.
+    return (
+        verified.where(
+            F.lit(PFX_T_DEN + 1) * F.col("n_common")
+            >= F.col("n_a") + F.col("n_b")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .distinct()
     )
 
 
