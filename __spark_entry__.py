@@ -242,62 +242,49 @@ def _registries():
 # r11-green names, alphabetical — 6+21+1 = 28 rows lead them, so the
 # last ~18 roll past the ~50-row window to lead r16; REPLICA_r15
 # (same-session, full-registry) backstops the cut.
+# ROUND-16 ROTATION (applied AFTER the round's last rewrite — r15
+# verdict #2c: the r15 window was fixed BEFORE that round's main
+# rewrite commit landed, so 12 structurally rewritten queries shipped
+# with no driver-side oracle row; this window leads with exactly
+# those, plus everything round 16 touched). Latest-green census
+# entering r16 (committed CORRECTNESS files over the 188-name
+# registry): 18 names r11-green, 36 r12, 38 r13, 46 r14, 50 r15.
+# Tiers: (a) REWRITTEN-SINCE-GREEN — the 12 r15 rewrites the r15
+# window missed (grouped-map MMR, single-pass LSH sweep, skew-stress/
+# kmv/bloom checkpoints, quality_scores + artifact-served corpus
+# consumers) and the 5 further r16-touched names (dedup_jaccard_prefix
+# distinct-late, graph_kcore lazy-deg fold, the two CC-cluster
+# queries and pipeline_canonical_best under the lazy CC folds;
+# sketch_bloom_decontaminate was additionally restructured to the
+# dense-bitmask probe in r16); (b) the 15 remaining r11-green names,
+# five rounds stale, alphabetical; (c) the two rows-only ML rows so
+# their driver checks stay fresh; (d) backfill from the 30 remaining
+# r12-green names, alphabetical — 17+15+2 = 34 rows lead them, so the
+# tail rolls past the ~50-row window to lead r17; REPLICA_r16
+# (same-session, full-registry, regenerated at end-of-round HEAD)
+# backstops the cut.
 _GATE_PRIORITY = [
-    # (a) r15 rewritten (panel_truth artifact) + the four A/B'd rows
-    "knn_graph_recall",
-    "sim_topk_brute",
-    "events_stream_outer_join",
-    "ann_brp_ml",
+    # (a) rewritten since last green row: the 12 r15 rewrites the r15
+    # window missed (r15 verdict #2c), then the r16-touched names
+    "sim_topk_mmr",
+    "dedup_lsh_tuning",
+    "dedup_skew_stress",
+    "sketch_kmv_jaccard",
+    "sketch_bloom_decontaminate",
+    "corpus_source_overlap",
+    "corpus_novelty",
+    "corpus_stats",
+    "corpus_mix_weights",
+    "corpus_health_report",
+    "sample_mixture_budget",
+    "pipeline_near_dedup_corpus",
+    "dedup_jaccard_prefix",
     "graph_kcore",
-    "graph_common_neighbors",
-    # (b) r10-green, five rounds stale (alphabetical;
-    # knn_graph_recall moved up to tier (a))
-    "events_stream_upsert",
-    "events_tumbling",
-    "extra_lateral",
-    "extra_unpivot",
-    "ivf_incremental_ingest",
-    "lsh_candidate_growth",
-    "micro_topk_per_group",
-    "orders_bloom_join",
-    "pipeline_clean_corpus",
-    "quality_buckets",
-    "range_join_price_bands",
-    "ref_q7_sqlite",
-    "sample_balanced",
-    "sample_weighted_priority",
-    "sim_topk_ivf_trained",
-    "sim_topk_ivfpq",
-    "sim_topk_ivfpq_residual",
-    "sim_topk_pq",
-    "sim_topk_pq_rerank",
-    "sketch_hist_quantiles",
-    "source_zonemap_skip",
-    # (c) rows-only (no-oracle) ML row (ann_brp_ml is in tier (a))
-    "dedup_minhash_ml",
-    # (d) r11-green, four rounds stale (alphabetical)
-    "corpus_length_quantiles",
-    "dedup_edit_verify",
-    "dedup_exact",
-    "dedup_simhash",
-    "dedup_source_matrix",
-    "dedup_winnowing_capped",
-    "embed_quantize_int8",
-    "embed_silhouette",
-    "events_anomaly",
-    "events_salted_join",
-    "events_stream_dedup",
-    "events_stream_stateful",
-    "extra_stats",
-    "extra_variant_json",
-    "multimodal_decode_stats",
-    "multimodal_features",
-    "multimodal_frames",
-    "multimodal_meta",
-    "multimodal_thumbnail",
+    "dedup_clusters",
+    "dedup_embedding_clusters",
     "pipeline_canonical_best",
-    "q1",
-    "q10",
+    # (b) r11-green, five rounds stale (alphabetical; the other r11
+    # names are in tier (a))
     "q11",
     "q12",
     "q13",
@@ -310,12 +297,43 @@ _GATE_PRIORITY = [
     "q8",
     "q9",
     "ref_q8_sqlite",
-    "sample_mixture_budget",
     "sample_pack_sequences",
     "sample_token_budget",
-    "sim_topk_mmr",
-    "sketch_bloom_decontaminate",
     "sketch_cms_heavy_hitters",
+    # (c) rows-only (no-oracle) ML rows
+    "ann_brp_ml",
+    "dedup_minhash_ml",
+    # (d) r12-green, four rounds stale (alphabetical; tier-(a) names
+    # excluded)
+    "dedup_semdedup",
+    "events_scd2",
+    "events_stream_join",
+    "events_stream_sink",
+    "extra_udtf_ngrams",
+    "ivf_kmeanspp_init",
+    "micro_grouped_sum",
+    "micro_join2",
+    "micro_join3",
+    "micro_regex",
+    "micro_scalar_fns",
+    "micro_sort",
+    "micro_topk",
+    "profile_columns",
+    "q17",
+    "q18",
+    "q19",
+    "q20",
+    "sample_dsir",
+    "sketch_hll_distinct",
+    "source_csv_roundtrip",
+    "source_json_roundtrip",
+    "source_orc_roundtrip",
+    "source_pydatasource",
+    "text_fingerprint",
+    "text_langid",
+    "text_pii_scan",
+    "text_repetition",
+    "text_tokens",
 ]
 
 
