@@ -109,7 +109,21 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = docs.select(
         "source", F.explode(ngrams(toks(), HLL_N)).alias("gram")
     )
-    hashed = grams.select(
+    # r16 (guide §1.2/§2.4): ONE linear pipeline computes the sketch
+    # AND the exact count. The old plan derived the gram stream twice
+    # — the register branch hashed every OCCURRENCE and the exact
+    # branch ran a separate two-phase countDistinct — and joined the
+    # branches back at the end (Catalyst does not dedupe the common
+    # subtree, so documents was scanned and tokenized twice per run).
+    # Register assignment is a pure function of the gram, so max(rho)
+    # over occurrences equals max(rho) over DISTINCT (source, gram)
+    # rows; and because the register partitions the distinct gram set,
+    # the per-register distinct-gram count SUMS to n_exact — the
+    # countDistinct branch collapses into one extra aggregate column
+    # riding the register rollup. One corpus pass, md5 evaluated once
+    # per distinct gram instead of once per occurrence, no join-back.
+    sg = grams.distinct()
+    hashed = sg.select(
         "source",
         F.expr(
             "conv(substring(md5(gram), 1, 15), 16, 10)"
@@ -125,27 +139,30 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rho"),
         )
         .groupBy("source", "register")
-        .agg(F.max("rho").alias("m_j"))
-    )
-    # zero-fill the 256-register grid per source WITHOUT a cross join:
-    # explode a literal sequence on the (tiny, post-aggregate) source list
-    grid = (
-        regs.select("source")
-        .distinct()
-        .select(
-            "source",
-            F.explode(F.sequence(F.lit(0), F.lit(HLL_M - 1))).alias(
-                "register"
-            ),
+        .agg(
+            F.max("rho").alias("m_j"),
+            F.count(F.lit(1)).alias("n_distinct_reg"),
         )
     )
-    filled = grid.join(regs, ["source", "register"], "left").select(
-        "source", F.coalesce(F.col("m_j"), F.lit(0)).alias("m_j")
-    )
-    per_source = filled.groupBy("source").agg(
-        # exact bigint fold of 2^(53 - M_j); / 2^53 once => exact double
-        F.expr("sum(cast(pow(2, 53 - m_j) as bigint))").alias("s_int"),
-        F.expr("sum(if(m_j = 0, 1, 0))").alias("v_zero"),
+    # Zero-fill WITHOUT the register grid (r16): the old plan exploded
+    # a sources×256 grid and left-joined the registers back — and the
+    # grid's source list derived from regs, duplicating the whole
+    # tokenize+hash subtree (a second documents scan, since Catalyst
+    # does not dedupe common subtrees). A PRESENT register always has
+    # m_j >= 1 (rho = 53 - bitlen(v) >= 1 for v < 2^52), so the absent
+    # registers are exactly the m_j = 0 ones and contribute a closed
+    # form: v_zero = 256 - n_present and s_int gains
+    # (256 - n_present) * 2^53 — exact bigint arithmetic, identical
+    # fold value, one aggregate instead of explode+join.
+    per_source = regs.groupBy("source").agg(
+        F.expr(
+            "sum(cast(pow(2, 53 - m_j) as bigint)) "
+            f"+ ({HLL_M} - count(*)) * cast(pow(2, 53) as bigint)"
+        ).alias("s_int"),
+        F.expr(f"{HLL_M} - count(*)").alias("v_zero"),
+        # the registers partition the distinct gram set, so this IS
+        # count(distinct gram) per source — no second corpus pass
+        F.sum("n_distinct_reg").alias("n_exact"),
     )
     est = per_source.select(
         "source",
@@ -157,17 +174,16 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"/ (cast(s_int as double) / cast(pow(2, 53) as bigint))"
         ).alias("e_raw"),
         "v_zero",
+        "n_exact",
     ).select(
         "source",
         F.expr(
             f"if(e_raw <= {2.5 * HLL_M!r} and v_zero > 0, "
             f"{HLL_M} * ln({HLL_M} / cast(v_zero as double)), e_raw)"
         ).alias("n_hll"),
+        "n_exact",
     )
-    exact = grams.groupBy("source").agg(
-        F.countDistinct("gram").alias("n_exact")
-    )
-    return est.join(exact, "source").select(
+    return est.select(
         "source",
         "n_hll",
         "n_exact",
