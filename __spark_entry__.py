@@ -252,14 +252,15 @@ def _registries():
 # Tiers: (a) REWRITTEN-SINCE-GREEN — the 12 r15 rewrites the r15
 # window missed (grouped-map MMR, single-pass LSH sweep, skew-stress/
 # kmv/bloom checkpoints, quality_scores + artifact-served corpus
-# consumers) and the 5 further r16-touched names (dedup_jaccard_prefix
+# consumers) and the 6 further r16-touched names (dedup_jaccard_prefix
 # distinct-late, graph_kcore lazy-deg fold, the two CC-cluster
-# queries and pipeline_canonical_best under the lazy CC folds;
+# queries and pipeline_canonical_best under the lazy CC folds,
+# sketch_hll_distinct's single-pass gridless rollup;
 # sketch_bloom_decontaminate was additionally restructured to the
 # dense-bitmask probe in r16); (b) the 15 remaining r11-green names,
 # five rounds stale, alphabetical; (c) the two rows-only ML rows so
-# their driver checks stay fresh; (d) backfill from the 30 remaining
-# r12-green names, alphabetical — 17+15+2 = 34 rows lead them, so the
+# their driver checks stay fresh; (d) backfill from the 29 remaining
+# r12-green names, alphabetical — 18+15+2 = 35 rows lead them, so the
 # tail rolls past the ~50-row window to lead r17; REPLICA_r16
 # (same-session, full-registry, regenerated at end-of-round HEAD)
 # backstops the cut.
@@ -283,6 +284,7 @@ _GATE_PRIORITY = [
     "dedup_clusters",
     "dedup_embedding_clusters",
     "pipeline_canonical_best",
+    "sketch_hll_distinct",
     # (b) r11-green, five rounds stale (alphabetical; the other r11
     # names are in tier (a))
     "q11",
@@ -324,7 +326,6 @@ _GATE_PRIORITY = [
     "q19",
     "q20",
     "sample_dsir",
-    "sketch_hll_distinct",
     "source_csv_roundtrip",
     "source_json_roundtrip",
     "source_orc_roundtrip",
