@@ -285,8 +285,10 @@ _GATE_PRIORITY = [
     "dedup_embedding_clusters",
     "pipeline_canonical_best",
     "sketch_hll_distinct",
+    "sketch_cms_heavy_hitters",
     # (b) r11-green, five rounds stale (alphabetical; the other r11
-    # names are in tier (a))
+    # names are in tier (a); sketch_cms_heavy_hitters moved up to (a)
+    # — its single-count-frame rewrite landed in r16)
     "q11",
     "q12",
     "q13",
@@ -301,7 +303,6 @@ _GATE_PRIORITY = [
     "ref_q8_sqlite",
     "sample_pack_sequences",
     "sample_token_budget",
-    "sketch_cms_heavy_hitters",
     # (c) rows-only (no-oracle) ML rows
     "ann_brp_ml",
     "dedup_minhash_ml",

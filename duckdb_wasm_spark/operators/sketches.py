@@ -276,16 +276,29 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"struct({i} as i, {_cms_col_expr(i, 'gram')} as col)"
         for i in range(CMS_D)
     )
-    cms = (
-        g.select(F.expr(f"explode(array({cells}))").alias("rc"))
-        .groupBy("rc.i", "rc.col")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    top = (
+    # r16 (guide §1.2): ONE per-gram count frame feeds both the sketch
+    # build and the exact top-k — the old plan derived the gram stream
+    # twice (Catalyst does not dedupe common subtrees): once exploding
+    # d=4 cell updates per OCCURRENCE into the cell rollup, once for
+    # the exact counts. Cell updates for one gram all hit the same d
+    # cells, so cnt(i, col) = sum of per-gram totals over grams
+    # hashing there — the d-way explode and the md5 cell hashes now
+    # run once per DISTINCT gram over the small checkpointed count
+    # frame, and the corpus is tokenized once.
+    gc = (
         g.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("n_exact"))
-        .orderBy(F.col("n_exact").desc(), F.col("gram").asc())
-        .limit(CMS_TOPK)
+        .localCheckpoint()
+    )
+    cms = (
+        gc.select(
+            F.expr(f"explode(array({cells}))").alias("rc"), "n_exact"
+        )
+        .groupBy("rc.i", "rc.col")
+        .agg(F.sum("n_exact").alias("cnt"))
+    )
+    top = gc.orderBy(F.col("n_exact").desc(), F.col("gram").asc()).limit(
+        CMS_TOPK
     )
     probes = top.select(
         "gram", "n_exact", F.expr(f"explode(array({cells}))").alias("rc")
